@@ -1,0 +1,73 @@
+"""Benchmark harness — runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes session startup (fixed cost, irrelevant at scale) and
+includes full query execution to a count/collect action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lcmap_firebird_spark.queries import merged  # noqa: E402
+from lcmap_firebird_spark.session import session  # noqa: E402
+
+# Headline set: the heaviest representatives of each operator family.
+HEADLINE = [
+    "a4_pricing_summary",
+    "j2_revenue_by_nation",
+    "j1_selective_read",
+    "w1_rank_topk_per_group",
+    "w2_running_sum",
+    "a6_rollup",
+    "set1_union_intersect_except",
+    "o1_topk_orders",
+    "j6_semi_anti",
+    "a8_count_distinct",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = session("firebird-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = merged()
+
+    names = [n for n in HEADLINE if n in queries]
+    # extend with everything else that exists, cheap coverage signal
+    names += [n for n in sorted(queries) if n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # force full execution; count() still runs the whole plan
+        # (aggregations/joins/windows can't short-circuit it)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

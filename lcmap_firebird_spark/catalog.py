@@ -1,0 +1,99 @@
+"""Table catalog — parquet-backed sources and sinks.
+
+Replaces the reference's Cassandra connector surface
+(ccdc/cassandra.py:30-63 read/write; per-table wrappers
+ccdc/chip.py:39-66, ccdc/pixel.py:38-65, ccdc/segment.py:73-100,
+ccdc/tile.py:46-73) with partitioned Parquet per SURVEY §1.4: the
+Cassandra wide-row partition key (cx, cy) becomes
+`partitionBy('cx','cy')`, so the reference's `ids ⋈ table` selective
+read becomes a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import TABLES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def read_table(spark: SparkSession, name: str, base: str | None = None) -> DataFrame:
+    """Read one named table (analog of cassandra.read,
+    ccdc/cassandra.py:30-42). Plain `spark.read.parquet` so Catalyst
+    gets pushdown + pruning for free."""
+    base = base or sf_dir()
+    try:
+        # session conf; settable at runtime. Needed when the caller
+        # (e.g. the driver harness) built the session without it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as long under nanosAsLong;
+    # truncate to µs exactly as DuckDB does (integer div, not double).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def tables(spark: SparkSession, base: str | None = None) -> dict[str, DataFrame]:
+    """All driver tables as DataFrames keyed by name."""
+    return {t: read_table(spark, t, base) for t in TABLES}
+
+
+def register_views(spark: SparkSession, base: str | None = None) -> None:
+    """Register every table as a temp view so `spark.sql` works over
+    the same names DuckDB pre-registers."""
+    for name, df in tables(spark, base).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("cx", "cy"),
+    mode: str = "append",
+) -> None:
+    """Partitioned sink (analog of cassandra.write,
+    ccdc/cassandra.py:45-63). `partitionBy(cx, cy)` reproduces the
+    wide-row locality of resources/schema.cql:54,142: one chip's
+    pixels colocate under one partition directory.
+
+    Scale note: callers should ensure ~100 MB-1 GB per partition file
+    at target SF; `maxRecordsPerFile` bounds stragglers.
+    """
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.option("maxRecordsPerFile", 5_000_000).parquet(path)
+
+
+def read_partitioned(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame | None = None,
+    keys: tuple[str, ...] = ("cx", "cy"),
+) -> DataFrame:
+    """Selective read: scan a partitioned table restricted to the
+    requested ids (reference read pattern: `ids.join(table, keys,
+    'inner')`, ccdc/chip.py:49-51 et al.).
+
+    Implemented as a broadcast inner join on the partition keys —
+    with AQE + dynamic partition pruning the scan only touches the
+    matching (cx, cy) directories, which is the Parquet equivalent of
+    Cassandra partition-key lookup.
+    """
+    from pyspark.sql.functions import broadcast
+
+    df = spark.read.parquet(path)
+    if ids is None:
+        return df
+    return df.join(broadcast(ids), on=list(keys), how="inner")

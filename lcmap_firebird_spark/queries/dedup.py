@@ -1,0 +1,4 @@
+"""Placeholder registry — populated in a later milestone."""
+
+QUERIES: dict = {}
+ORACLES: dict = {}
