@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+New surface beyond the reference (BASELINE.json north-star):
+brute-force cosine top-k as the correctness baseline, and an
+LSH-bucketed variant as the scale path.
+
+Determinism design: raw float cosine is summation-order-dependent, so
+engines (and even Spark stages) can disagree in the last ulp. Every
+similarity here is computed on *quantized* embeddings — elements
+scaled by 1e4 and rounded to BIGINT — so dot products and norms are
+exact integer sums (order-independent), and the final cosine is one
+double division + sqrt of exact integers: bit-identical on any
+engine. At 1e-4 element precision the cosine error is ~1e-4 —
+irrelevant for retrieval, decisive for reproducibility.
+
+Everything is JVM-side `zip_with`/`aggregate` — no Python UDFs — so
+the scans stay in codegen and the only shuffle is the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT = 10_000
+
+
+def quantize(col: str | Column = "embedding") -> Column:
+    """array<float> → array<bigint> at 1e-4 resolution (exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * QUANT).cast("bigint")
+    )
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Deterministic cosine: int dot / (sqrt(int)·sqrt(int)).
+
+    Norms are sqrt'd separately — their BIGINT product could overflow
+    at 64 dims × 1e4 scale; two doubles multiply deterministically.
+    """
+    return dot_q(a, b).cast("double") / (
+        F.sqrt(dot_q(a, a).cast("double")) * F.sqrt(dot_q(b, b).cast("double"))
+    )
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan shape: broadcast the (small) query set against the corpus
+    scan — a map-side nested loop with no corpus shuffle — then one
+    top-k window per query. At 100 TB the corpus never moves; cost is
+    one full scan per query batch, which is what brute-force means.
+    For standing workloads, switch to `lsh_buckets` candidates.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), quantize(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("n_id"), quantize(vec_col).alias("n_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", cosine_q(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def _plane_component(plane: int, i: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in
+    [-1000, 1000]: derived from md5, no RNG state, engine-portable."""
+    from .dedup import hash60
+
+    return (hash60(F.lit(f"plane:{plane}:{i}")) % 2001 - 1000).cast("bigint")
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash) LSH bucket id per vector.
+
+    bucket bit j = sign(w_j · v) with w_j a deterministic md5-derived
+    integer hyperplane; all arithmetic exact-integer. Vectors in the
+    same bucket are ANN candidates — at scale, search joins on
+    `bucket` instead of scanning the corpus (expected bucket size =
+    N / 2^planes; union multiple plane-sets for recall).
+    """
+    qv = quantize(vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for j in range(num_planes):
+        w = F.array(*[_plane_component(j, i) for i in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(qv, w, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    top_k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: top-k within LSH bucket (candidates share all planes).
+
+    Recall < 1 by construction; the equi-join on bucket replaces the
+    all-pairs product — the scale path for standing similarity jobs.
+    """
+    b = lsh_buckets(embeddings, num_planes, dim, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
+    ).join(b, "vec_id")
+    a = e.alias("a")
+    c = e.alias("c")
+    scored = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("q_id"),
+        F.col("c.vec_id").alias("n_id"),
+        cosine_q(F.col("a.qv"), F.col("c.qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+New surface beyond the reference (BASELINE.json north-star): language
+identification, quality scoring, token counting, and document
+fingerprinting over a `documents(doc_id, text, ...)` table.
+
+All of it is built from JVM-side column expressions — no Python UDFs
+in the hot path — so the whole pipeline stays inside whole-stage
+codegen and scales linearly with executors. Determinism notes matter
+here: every score is either exact integer arithmetic or a fixed-order
+double expression, so results are reproducible across engines and
+cluster sizes (and hash-match the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword heuristic.
+# Deliberately small + deterministic; at production scale you'd swap
+# in a trained n-gram profile, same plan shape.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "y", "es", "un"],
+    "fr": ["le", "la", "et", "les", "est", "un"],
+}
+LANG_ORDER = ("en", "de", "es", "fr")  # deterministic tie-break order
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenizer: split + drop empties (pure built-ins)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.split(c, r"\s+"), "")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: str | Column = "text") -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def char_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def stopword_hits(col: str | Column, lang: str) -> Column:
+    """Distinct stopwords of `lang` present in the text (exact int)."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(col)),
+            F.array(*[F.lit(w) for w in STOPWORDS[lang]]),
+        )
+    )
+
+
+def language_id(col: str | Column = "text") -> Column:
+    """Stopword-profile language ID with deterministic tie-breaking.
+
+    argmax over per-language hit counts, ties resolved by LANG_ORDER,
+    'und' when no profile matches — expressed as a CASE chain so the
+    exact same SQL runs on any engine.
+    """
+    scores = {lang: stopword_hits(col, lang) for lang in LANG_ORDER}
+    best: Column | None = None
+    pred = F.lit("und")
+    # build CASE from lowest to highest priority so earlier langs win ties
+    for lang in reversed(LANG_ORDER):
+        cond = scores[lang] > 0
+        for other in LANG_ORDER:
+            if other == lang:
+                break  # langs before `lang` in LANG_ORDER win ties (>)
+            cond = cond & (scores[lang] > scores[other])
+        for other in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, lang).otherwise(pred)
+        best = scores[lang] if best is None else F.greatest(best, scores[lang])
+    return pred
+
+
+def punct_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Exact-integer quality signals + a deterministic double score.
+
+    Signals: length, token count, distinct-token ratio (lexical
+    diversity), punctuation ratio, English-stopword ratio — the
+    standard C4/Gopher-style quality heuristics, all codegen'd.
+    """
+    n_chars = char_count(col)
+    n_tok = token_count(col)
+    n_distinct = distinct_token_count(col)
+    n_punct = punct_count(col)
+    n_stop = stopword_hits(col, "en")
+    # fixed-order double arithmetic (identical expression both engines)
+    diversity = n_distinct.cast("double") / n_tok.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    score = diversity * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        n_punct.alias("n_punct"),
+        diversity.alias("diversity"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(col: str | Column = "text", bits: int = 60) -> Column:
+    """Deterministic 60-bit content fingerprint.
+
+    md5 of the token-normalized text, top 15 hex chars → BIGINT.
+    Engine-portable (md5 is standardized; Spark `conv` ≡ DuckDB hex
+    cast), collision-safe enough for dedup grouping at 100 TB
+    (2^60 space; for stronger guarantees keep the full md5 string).
+    """
+    norm = F.array_join(tokens(col), " ")
+    return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")

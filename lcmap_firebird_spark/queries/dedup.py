@@ -1,4 +1,196 @@
-"""Placeholder registry — populated in a later milestone."""
+"""Dedup query registry (documents table).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The MinHash/SimHash oracle SQL is generated from the same parameters
+as the Spark operators (perm salts, band layout, bit counts), so both
+engines compute the identical md5-derived hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import read_table
+from ..operators import dedup as D
+from .text import TOK
+
+NUM_PERM, BANDS, ROWS, K = 16, 4, 4, 3
+JACCARD_T = 0.3
+SIMHASH_BITS = 60
+HAMMING_MAX = 20
+PREFIX_BITS = 12
+
+
+def d1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup(read_table(spark, "documents", sf))
+
+
+def d2_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.jaccard_pairs(read_table(spark, "documents", sf), JACCARD_T, k=K)
+
+
+def d3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_dedup(
+        read_table(spark, "documents", sf),
+        threshold=JACCARD_T,
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        rows=ROWS,
+        k=K,
+    )
+
+
+def d4_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash(read_table(spark, "documents", sf), bits=SIMHASH_BITS)
+
+
+def d5_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_pairs(
+        read_table(spark, "documents", sf),
+        max_hamming=HAMMING_MAX,
+        bits=SIMHASH_BITS,
+        prefix_bits=PREFIX_BITS,
+    )
+
+
+QUERIES = {
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_ngram_jaccard": d2_ngram_jaccard,
+    "d3_minhash_lsh": d3_minhash_lsh,
+    "d4_simhash": d4_simhash,
+    "d5_simhash_pairs": d5_simhash_pairs,
+}
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders
+
+_HASH60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, len(t) - {K - 1}),
+        i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+    FROM toks WHERE len(t) >= {K}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_TAIL = f"""
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {JACCARD_T}
+"""
+
+
+def _minhash_sig_cte() -> str:
+    mins = ",\n           ".join(
+        f"min({_HASH60.format(expr=repr(str(p) + ':') + ' || s')}) AS h{p}"
+        for p in range(NUM_PERM)
+    )
+    return f"sig AS (\n    SELECT doc_id,\n           {mins}\n    FROM sh GROUP BY doc_id\n)"
+
+
+def _bands_cte() -> str:
+    parts = []
+    for b in range(BANDS):
+        cols = ", ".join(
+            f"CAST(h{b * ROWS + r} AS VARCHAR)" for r in range(ROWS)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_id,"
+            f" md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    return "bands AS (\n    " + "\n    UNION ALL\n    ".join(parts) + "\n)"
+
+
+def _simhash_cte() -> str:
+    h = _HASH60.format(expr="tk")
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(t)) AS tk FROM toks),
+per_bit AS (
+    SELECT doc_id,
+           {sums}
+    FROM tok GROUP BY doc_id
+),
+sh_val AS (SELECT doc_id, {value} AS simhash FROM per_bit)
+"""
+
+
+ORACLES = {
+    "d1_exact_dedup": f"""
+        WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+        fp AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(array_to_string(t, ' ')), 1, 15))
+                           AS BIGINT) AS fp
+               FROM toks)
+        SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM fp GROUP BY fp
+    """,
+    "d2_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        {_JACCARD_TAIL}
+    """,
+    "d4_simhash": f"""
+        WITH {_simhash_cte()}
+        SELECT doc_id, simhash FROM sh_val
+    """,
+    "d5_simhash_pairs": f"""
+        WITH {_simhash_cte()},
+        blocked AS (SELECT doc_id, simhash,
+                           simhash >> {SIMHASH_BITS - PREFIX_BITS} AS blk
+                    FROM sh_val)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+}
+
+ORACLES["d3_minhash_lsh"] = f"""
+    WITH {_SHINGLES_CTE},
+    {_minhash_sig_cte()},
+    {_bands_cte()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           CAST(c.n_common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE EXISTS (SELECT 1 FROM cand
+                  WHERE cand.doc_a = c.doc_a AND cand.doc_b = c.doc_b)
+      AND CAST(c.n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) >= {JACCARD_T}
+"""

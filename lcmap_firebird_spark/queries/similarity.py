@@ -1,4 +1,124 @@
-"""Placeholder registry — populated in a later milestone."""
+"""Similarity-search query registry (embeddings table).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Oracle parity relies on the quantized-integer cosine recipe (see
+operators/similarity.py): dot products and norms are exact BIGINT
+sums, so ranking and scores are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import read_table
+from ..operators import similarity as S
+
+TOP_K = 5
+N_QUERIES = 10  # query set: vec_id < 10
+NUM_PLANES = 8
+DIM = 64
+
+# DuckDB fragments -----------------------------------------------------------
+
+_QVEC = "[CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding]"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> {a}[i] * {b}[i])) AS DOUBLE)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+    )
+
+
+def _sql_plane_component(j: int) -> str:
+    # i runs 1..DIM in SQL; the salt uses 0-based position (i-1) to
+    # match operators.similarity._plane_component(j, i).
+    return (
+        f"(CAST(('0x' || substr(md5('plane:{j}:' || CAST(i - 1 AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % 2001 - 1000)"
+    )
+
+
+def _sql_bucket() -> str:
+    terms = []
+    for j in range(NUM_PLANES):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len(qv)),"
+            f" i -> qv[i] * {_sql_plane_component(j)}))"
+        )
+        terms.append(
+            f"CASE WHEN {proj} >= 0 THEN CAST({1 << j} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
+# Queries ---------------------------------------------------------------------
+
+
+def s1_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_table(spark, "embeddings", sf)
+    return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") < N_QUERIES), TOP_K)
+
+
+def s2_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    return S.lsh_buckets(read_table(spark, "embeddings", sf), NUM_PLANES, DIM)
+
+
+def s3_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return S.knn_lsh(read_table(spark, "embeddings", sf), TOP_K, NUM_PLANES, DIM)
+
+
+QUERIES = {
+    "s1_knn_bruteforce": s1_knn_bruteforce,
+    "s2_lsh_buckets": s2_lsh_buckets,
+    "s3_knn_lsh": s3_knn_lsh,
+}
+
+ORACLES = {
+    "s1_knn_bruteforce": f"""
+        WITH q AS (SELECT vec_id AS q_id, {_QVEC} AS qv
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+        c AS (SELECT vec_id AS n_id, {_QVEC} AS nv FROM embeddings),
+        scored AS (
+            SELECT q_id, n_id, {_sql_cosine('qv', 'nv')} AS cosine
+            FROM c, q WHERE q_id != n_id
+        ),
+        ranked AS (
+            SELECT q_id, n_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rank
+            FROM scored
+        )
+        SELECT q_id, n_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "s2_lsh_buckets": f"""
+        WITH qe AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings)
+        SELECT vec_id, {_sql_bucket()} AS bucket FROM qe
+    """,
+    "s3_knn_lsh": f"""
+        WITH qe AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+        bk AS (SELECT vec_id, qv, {_sql_bucket()} AS bucket FROM qe),
+        scored AS (
+            SELECT a.vec_id AS q_id, c.vec_id AS n_id,
+                   {_sql_cosine('a.qv', 'c.qv')} AS cosine
+            FROM bk a JOIN bk c
+              ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, n_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rank
+            FROM scored
+        )
+        SELECT q_id, n_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+}
