@@ -1,0 +1,153 @@
+"""Multimodal (image/audio/video) column operators.
+
+Design (BASELINE.json north-star): media travel as opaque `binary`
+columns with typed metadata alongside — the same dense-wide stance
+the reference takes for raster bands (arrays next to keys,
+ccdc/timeseries.py:33-45). All heavy per-item work runs as
+Arrow-batched `mapInPandas` kernels so executors stream batches
+without per-row pickling; the DataFrame plan (schema, partitioning,
+batch shape) is real and tested.
+
+The actual codec calls (PIL/librosa/ffmpeg) are NOT available in this
+container — they are STUBBED behind `_HAS_CODECS`, with a
+deterministic metadata kernel exercising the identical plumbing. The
+Spark-side contract (schemas, mapInPandas signatures, partition
+sizing) is what matters here and is fully real.
+
+Scale notes:
+- binary payloads make rows wide: keep `spark.sql.files.
+  maxPartitionBytes` moderate and repartition by a content-hash
+  bucket before shuffles so a few giant media files can't skew tasks.
+- decode kernels are CPU-bound: `mapInPandas` keeps them off the
+  driver and lets AQE size the stage by bytes, not row count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_HAS_CODECS = False  # PIL / soundfile / av are not in this container
+
+# Ship mapInPandas kernels by value — executors may not have this
+# repo on PYTHONPATH (see operators/segmentation.py).
+import sys as _sys  # noqa: E402
+
+import pyspark.cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+def media_schema() -> StructType:
+    """Canonical multimodal table shape: opaque payload + typed meta."""
+    return StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("media_type", StringType(), False),
+            StructField("n_bytes", LongType(), False),
+        ]
+    )
+
+
+def feature_schema() -> StructType:
+    return StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("checksum", StringType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+
+
+def to_media_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a binary media table from any source column (here: UTF-8
+    document payloads standing in for image bytes)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length(F.encode(F.col(text_col), "utf-8"))
+        .cast("long")
+        .alias("n_bytes"),
+    )
+
+
+def _decode_image(payload: bytes) -> tuple[int | None, int | None]:
+    """Codec stub: real decode needs PIL, absent here.
+
+    Returns deterministic fake dimensions derived from the payload so
+    the full pipeline (schema, nullability, Arrow round-trip) is
+    exercised; swap the body for `PIL.Image.open(io.BytesIO(...))`
+    in a codec-enabled image."""
+    if _HAS_CODECS:  # pragma: no cover
+        raise NotImplementedError("wire PIL.Image.open here")
+    h = hashlib.md5(payload).digest()
+    return 1 + h[0] % 64, 1 + h[1] % 64
+
+
+def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas streams `batch_size`-row Arrow batches through the
+    Python worker — payload bytes never materialize on the driver and
+    never pickle row-at-a-time.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [_decode_image(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(kernel, feature_schema())
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling stub shaped like video keyframe extraction:
+    1 row in → N sampled 'frames' out (here: byte-offset windows),
+    demonstrating the explode-shaped mapInPandas contract real video
+    sampling uses (1 clip → k frames)."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame_bytes", BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(payload[off : off + every_n_bytes])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema)

@@ -1,0 +1,112 @@
+"""Training/classification pipeline — ccdc/randomforest.py re-expressed.
+
+Mirrors the reference's composition exactly (SURVEY §2.10 M1-M6):
+  aux → filter trends[0] NOT IN (0,9)      (P6, randomforest.py:64)
+      → distinct chip ids                  (J4, randomforest.py:67)
+      → selective read of segments + day-window filter
+                                           (J1+P7, randomforest.py:69)
+      → features: 4-key join + label + densify + project
+                                           (J2/P5/U1/P2, features.py:66-82)
+      → empty guard                        (A1, randomforest.py:73-79)
+      → StringIndexer / VectorIndexer / RandomForest pipeline
+                                           (M1-M3, randomforest.py:25-39)
+  classify: model.transform + rename rawPrediction→rfrawp
+                                           (M5/P3, randomforest.py:90-103)
+  predictions re-attach: 6-key join + drop (J3, segment.py:103-116)
+
+Differences from the reference, on purpose:
+- day-window filter compares ordinal ints, not ISO strings — the
+  reference's string-vs-int comparison is a latent bug (SURVEY §7.5).
+- RF is seeded for reproducible goldens (numTrees default stays 500,
+  randomforest.py:38; tests pass a smaller forest).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.feature import StringIndexer, VectorIndexer
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.relational import distinct_keys, filter_not_in, selective_read
+from ..operators.vectors import densify
+
+PIXEL_KEYS = ["cx", "cy", "px", "py"]
+
+
+def features(
+    aux: DataFrame, ccd: DataFrame, feature_cols: list[str] | None = None
+) -> DataFrame:
+    """Feature assembly (ccdc/features.py:66-82): pixel-level attach
+    (J2) + label = trends[0] (P5) + densify (U1) + final projection
+    (P2)."""
+    joined = aux.join(ccd, PIXEL_KEYS, "inner")
+    labeled = joined.withColumn("label", F.element_at("trends", 1))
+    cols = feature_cols or ["dem", "aspect", "slope", "intercept", "rmse", "coef"]
+    dense = densify(labeled, cols, "features", compat=True)
+    return dense.select(
+        *PIXEL_KEYS, "sday", "eday", "label", "features"
+    )
+
+
+def pipeline(num_trees: int = 500, seed: int = 42) -> Pipeline:
+    """3-stage ML pipeline (ccdc/randomforest.py:25-39)."""
+    return Pipeline(
+        stages=[
+            StringIndexer(
+                inputCol="label", outputCol="label_index", handleInvalid="keep"
+            ),
+            VectorIndexer(
+                inputCol="features", outputCol="feature_index", maxCategories=8
+            ),
+            RandomForestClassifier(
+                labelCol="label_index",
+                featuresCol="feature_index",
+                numTrees=num_trees,
+                seed=seed,
+            ),
+        ]
+    )
+
+
+def train(
+    aux: DataFrame,
+    segments: DataFrame,
+    msday: int,
+    meday: int,
+    num_trees: int = 500,
+    seed: int = 42,
+    feature_cols: list[str] | None = None,
+) -> PipelineModel | None:
+    """Training composition (ccdc/randomforest.py:42-87)."""
+    aux2 = filter_not_in(aux, F.element_at("trends", 1), [0, 9]).persist()
+    ids = distinct_keys(aux2, ["cx", "cy"])
+    ccd = selective_read(segments, ids, ["cx", "cy"]).filter(
+        (F.col("sday") >= msday) & (F.col("eday") <= meday)
+    )
+    fdf = features(aux2, ccd, feature_cols).persist()
+    try:
+        if fdf.count() == 0:  # guard (randomforest.py:73-79)
+            return None
+        return pipeline(num_trees, seed).fit(fdf)
+    finally:
+        fdf.unpersist()
+        aux2.unpersist()
+
+
+def classify(model: PipelineModel, fdf: DataFrame) -> DataFrame:
+    """Prediction + projection (ccdc/randomforest.py:90-103)."""
+    return (
+        model.transform(fdf)
+        .select(*PIXEL_KEYS, "sday", "eday", "rawPrediction")
+        .withColumnRenamed("rawPrediction", "rfrawp")
+    )
+
+
+def attach_predictions(segments: DataFrame, predictions: DataFrame) -> DataFrame:
+    """Re-attach classifier output to segments: 6-key equi join then
+    drop the duplicate column (J3/P4; ccdc/segment.py:103-116)."""
+    return segments.drop("rfrawp").join(
+        predictions, [*PIXEL_KEYS, "sday", "eday"], "inner"
+    )

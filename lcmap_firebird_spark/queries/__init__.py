@@ -16,11 +16,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from . import dedup, ml, relational, similarity, text, timeseries
+    from . import dedup, ml, multimodal, relational, similarity, text, timeseries
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, text, dedup, similarity, timeseries, ml):
+    for mod in (relational, text, dedup, similarity, timeseries, ml, multimodal):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles
