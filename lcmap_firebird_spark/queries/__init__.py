@@ -16,11 +16,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from . import dedup, ml, multimodal, relational, similarity, text, timeseries
+    from . import (
+        dedup,
+        ml,
+        multimodal,
+        relational,
+        similarity,
+        streaming,
+        text,
+        timeseries,
+    )
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, text, dedup, similarity, timeseries, ml, multimodal):
+    for mod in (
+        relational,
+        text,
+        dedup,
+        similarity,
+        timeseries,
+        ml,
+        multimodal,
+        streaming,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

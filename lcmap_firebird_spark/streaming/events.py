@@ -1,0 +1,160 @@
+"""Streaming operators over the events stream.
+
+The reference is batch-only (closed 'acquired' intervals,
+ccdc/core.py:41-50); this module adds the Structured Streaming
+equivalents a continuous-ingest deployment needs: watermarked
+tumbling/sliding windows, session windows, and stateful dedup — all
+built-ins, no custom state handling.
+
+Scale notes:
+- watermark delay bounds state size: tumbling/sliding state evicts
+  once `ts < watermark`, session state once a session closes.
+- `availableNow` triggers give deterministic batch-equivalent
+  results over static files — which is what the oracle checks: the
+  streaming plan must equal the batch aggregation of the same data.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def events_schema() -> StructType:
+    """Static schema for the stream source (streams can't infer).
+    ts arrives as TIMESTAMP(NANOS) → long under nanosAsLong."""
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", LongType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("value", DoubleType(), True),
+            StructField("props", StringType(), True),
+        ]
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "events*.parquet",
+) -> DataFrame:
+    """File-source stream over the events table (one micro-batch per
+    file with max_files_per_trigger=1 — used to exercise watermark
+    advancement across batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(events_schema())
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window aggregation (each event lands in
+    width/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"), "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows: merge events within `gap`; state closes (and
+    emits, in append mode) once the watermark passes session end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+def dedup_keys(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Stateful streaming dedup: first arrival per key wins within
+    the watermark horizon (state evicts after it). Only the keys are
+    emitted — which row 'wins' per key is arrival-order dependent,
+    the key set itself is deterministic."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, spark: SparkSession, mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming plan over everything currently available,
+    collect via a memory sink, return the result as a static
+    DataFrame.
+
+    Mode choice decides the oracle semantics:
+    - complete: every window/state row (batch-equivalent).
+    - append: only state finalized below the final watermark
+      (max event time − delay, advanced by the trailing no-data
+      micro-batch) — late/open windows are withheld, exactly what a
+      production append sink would see.
+    """
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join("/tmp", f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
