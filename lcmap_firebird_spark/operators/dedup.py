@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition to the session's default parallelism.
+
+    Compact inputs (a few MB of documents) arrive as ONE parquet
+    split, so explode/hash-heavy operators would run on a single
+    core. The row shuffle is tiny relative to the downstream
+    per-shingle work; at 100 TB inputs are already many splits and
+    this becomes a cheap no-op-shaped rebalance.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in key_cols])
+
+
 def hash60(col: Column) -> Column:
     """Deterministic 60-bit hash of a string column (md5 hex → int).
 
@@ -39,6 +52,20 @@ def hash60(col: Column) -> Column:
     ≡ DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`.
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def perm_params(p: int) -> tuple[int, int]:
+    """Universal-hash coefficients for permutation p, md5-derived
+    (deterministic, no RNG state). a is odd and 28-bit, so
+    a·h32 + b < 2^61 — no BIGINT overflow on any engine."""
+    import hashlib
+
+    a = int(hashlib.md5(f"perm_a:{p}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"perm_b:{p}".encode()).hexdigest()[:7], 16)
+    return a, b
 
 
 def shingles(col: str | Column = "text", k: int = 3) -> Column:
@@ -66,6 +93,7 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """Exploded (id, shingle) pairs — the inverted-index input."""
+    df = spread(df, id_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(text_col, k)).alias("s"),
@@ -79,6 +107,7 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     candidates: DataFrame | None = None,
+    sh_precomputed: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard similarity >= threshold.
 
@@ -91,10 +120,23 @@ def jaccard_pairs(
     quadratic per hot shingle; fine below ~10M docs with a k large
     enough to keep buckets small).
     """
-    sh = shingle_sets(df, id_col, text_col, k).cache()
+    sh = (sh_precomputed if sh_precomputed is not None
+          else shingle_sets(df, id_col, text_col, k).cache())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    pair_src = sh
+    if candidates is not None:
+        # Scale-critical ordering: restrict the shingle table to docs
+        # that appear in ANY candidate pair BEFORE the self-join —
+        # the quadratic enumeration then runs over the (tiny)
+        # candidate universe, not the corpus.
+        docs_in = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        pair_src = sh.join(F.broadcast(docs_in), "doc_id", "left_semi")
+    a = pair_src.alias("a")
+    b = pair_src.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -126,6 +168,7 @@ def minhash_signature(
     text_col: str = "text",
     num_perm: int = 16,
     k: int = 3,
+    sh_precomputed: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: one column h0..h{P-1} per permutation.
 
@@ -134,12 +177,21 @@ def minhash_signature(
     One explode + one groupBy with P parallel min-aggregates: a
     single shuffle regardless of P.
     """
-    sh = shingle_sets(df, id_col, text_col, k)
-    aggs = [
-        F.min(hash60(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"h{p}")
-        for p in range(num_perm)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sh = (sh_precomputed if sh_precomputed is not None
+          else shingle_sets(df, id_col, text_col, k))
+    # one md5 per shingle; permutations are a universal-hash family
+    # (a·h32 + b) mod P — exact 63-bit integer arithmetic, so results
+    # stay engine-portable while codegen shrinks ~16×.
+    h32 = hash60(F.col("s")).bitwiseAND(F.lit(0xFFFFFFFF))
+    tagged = sh.select("doc_id", h32.alias("_h32"))
+    aggs = []
+    for p in range(num_perm):
+        a, b = perm_params(p)
+        aggs.append(
+            F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % F.lit(MINHASH_PRIME))
+            .alias(f"h{p}")
+        )
+    return tagged.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidates(
@@ -185,10 +237,17 @@ def minhash_dedup(
     k: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band
-    candidates → exact-Jaccard verification of candidates only."""
-    sig = minhash_signature(df, num_perm=num_perm, k=k)
+    candidates → exact-Jaccard verification of candidates only.
+
+    The shingle explode is computed ONCE and cached — signatures and
+    verification both read it (the reference's persist-for-multi-
+    consumer pattern, ccdc/core.py:68-72, applied to dedup)."""
+    sh = shingle_sets(df, k=k).cache()
+    sig = minhash_signature(df, num_perm=num_perm, k=k, sh_precomputed=sh)
     cand = lsh_candidates(sig, bands=bands, rows=rows)
-    return jaccard_pairs(df, threshold, k=k, candidates=cand)
+    return jaccard_pairs(
+        df, threshold, k=k, candidates=cand, sh_precomputed=sh
+    )
 
 
 def simhash(
@@ -203,7 +262,7 @@ def simhash(
     every engine. One explode + one groupBy with `bits` conditional
     sums — still a single shuffle.
     """
-    tok = df.select(
+    tok = spread(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("t"),
     )

@@ -72,7 +72,9 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("q_id"), quantize(vec_col).alias("q_vec")
     )
-    c = embeddings.select(
+    from .dedup import spread
+
+    c = spread(embeddings, id_col).select(
         F.col(id_col).alias("n_id"), quantize(vec_col).alias("n_vec")
     )
     scored = (
@@ -87,12 +89,19 @@ def knn_bruteforce(
     )
 
 
-def _plane_component(plane: int, i: int) -> Column:
+def _plane_component(plane: int, i: int) -> int:
     """Deterministic pseudo-random hyperplane component in
-    [-1000, 1000]: derived from md5, no RNG state, engine-portable."""
-    from .dedup import hash60
+    [-1000, 1000]: md5-derived, no RNG state.
 
-    return (hash60(F.lit(f"plane:{plane}:{i}")) % 2001 - 1000).cast("bigint")
+    Computed driver-side with hashlib (bit-identical to the SQL
+    `conv(substr(md5(...)))` recipe) and embedded as a literal, so
+    the per-row plan does zero hashing — the oracle still derives
+    the same values in SQL.
+    """
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{plane}:{i}".encode()).hexdigest()[:15], 16)
+    return h % 2001 - 1000
 
 
 def lsh_buckets(
@@ -110,10 +119,15 @@ def lsh_buckets(
     `bucket` instead of scanning the corpus (expected bucket size =
     N / 2^planes; union multiple plane-sets for recall).
     """
+    from .dedup import spread
+
+    embeddings = spread(embeddings, id_col)
     qv = quantize(vec_col)
     bucket = F.lit(0).cast("bigint")
     for j in range(num_planes):
-        w = F.array(*[_plane_component(j, i) for i in range(dim)])
+        w = F.array(
+            *[F.lit(_plane_component(j, i)).cast("bigint") for i in range(dim)]
+        )
         proj = F.aggregate(
             F.zip_with(qv, w, lambda x, y: x * y),
             F.lit(0).cast("bigint"),

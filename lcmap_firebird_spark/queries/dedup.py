@@ -94,11 +94,17 @@ WHERE CAST(n_common AS DOUBLE)
 
 
 def _minhash_sig_cte() -> str:
-    mins = ",\n           ".join(
-        f"min({_HASH60.format(expr=repr(str(p) + ':') + ' || s')}) AS h{p}"
-        for p in range(NUM_PERM)
-    )
-    return f"sig AS (\n    SELECT doc_id,\n           {mins}\n    FROM sh GROUP BY doc_id\n)"
+    from ..operators.dedup import MINHASH_PRIME, perm_params
+
+    h32 = f"({_HASH60.format(expr='s')} & 4294967295)"
+    mins = []
+    for p in range(NUM_PERM):
+        a, b = perm_params(p)
+        mins.append(
+            f"min((CAST({a} AS BIGINT) * {h32} + {b}) % {MINHASH_PRIME}) AS h{p}"
+        )
+    joined = ",\n           ".join(mins)
+    return f"sig AS (\n    SELECT doc_id,\n           {joined}\n    FROM sh GROUP BY doc_id\n)"
 
 
 def _bands_cte() -> str:

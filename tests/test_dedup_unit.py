@@ -39,8 +39,21 @@ def test_jaccard_finds_near_dup(docs):
 
 
 def test_minhash_lsh_recalls_dups(docs):
-    out = {(r.doc_a, r.doc_b) for r in D.minhash_dedup(docs, threshold=0.3).collect()}
+    # banding tuned for the target similarity: 8 bands × 2 rows puts
+    # the S-curve threshold at ~(1/8)^(1/2) ≈ 0.35, so a 0.4-jaccard
+    # near-dup is recalled with high probability (and the md5-derived
+    # hashes are seedless, so the outcome is deterministic).
+    out = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_dedup(docs, threshold=0.3, bands=8, rows=2).collect()
+    }
     assert (1, 2) in out and (1, 3) in out
+
+
+def test_minhash_identical_docs_always_collide(docs):
+    # identical text ⇒ identical signatures ⇒ banding can never miss
+    out = {(r.doc_a, r.doc_b) for r in D.minhash_dedup(docs, threshold=0.99).collect()}
+    assert (1, 2) in out
 
 
 def test_simhash_distance_orders_similarity(docs):
