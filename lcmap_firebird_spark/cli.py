@@ -1,0 +1,93 @@
+"""CLI — thin shell over the library (reference: ccdc/cli.py:25-74,
+click-based `ccdc changedetection|classification`; argparse here to
+stay dependency-free).
+
+Usage:
+  python -m lcmap_firebird_spark.cli changedetection \
+      --observations /path/obs.parquet --x -1815585 --y 1064805 \
+      --output /path/out
+  python -m lcmap_firebird_spark.cli classification \
+      --aux /path/aux.parquet --segments /path/out/segment \
+      --msday 0 --meday 999999 --model-out /path/model
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from . import grid
+from .session import session
+from .sources.ids import chip_ids
+
+
+def _cmd_changedetection(args: argparse.Namespace) -> int:
+    from .plans.changedetection import changedetection
+
+    spark = session("firebird-changedetection")
+    obs = spark.read.parquet(args.observations)
+    ids = None
+    if args.x is not None and args.y is not None:
+        t = grid.tile(args.x, args.y)
+        xys = t["chips"][: args.number] if args.number else t["chips"]
+        ids = chip_ids(spark, xys)
+    tables = changedetection(obs, ids, output_base=args.output)
+    if not args.output:
+        print(json.dumps({"segments": tables["segment"].count()}))
+    return 0
+
+
+def _cmd_classification(args: argparse.Namespace) -> int:
+    from .plans.classification import classify, features, train
+
+    spark = session("firebird-classification")
+    aux = spark.read.parquet(args.aux)
+    segments = spark.read.parquet(args.segments)
+    model = train(
+        aux, segments, args.msday, args.meday, num_trees=args.trees, seed=args.seed
+    )
+    if model is None:
+        print("No features found to train model", file=sys.stderr)
+        return 1
+    if args.model_out:
+        model.write().overwrite().save(args.model_out)
+    if args.predictions_out:
+        from pyspark.sql import functions as F
+
+        fdf = features(
+            aux.filter(~F.element_at("trends", 1).isin(0, 9)), segments
+        )
+        classify(model, fdf).write.mode("overwrite").parquet(args.predictions_out)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lcmap-firebird-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    cd = sub.add_parser("changedetection", help="segment pixel time series")
+    cd.add_argument("--observations", required=True)
+    cd.add_argument("--x", type=float, default=None)
+    cd.add_argument("--y", type=float, default=None)
+    cd.add_argument("--number", type=int, default=2500)  # cli.py:29 default
+    cd.add_argument("--output", default=None)
+    cd.set_defaults(fn=_cmd_changedetection)
+
+    cl = sub.add_parser("classification", help="train/apply random forest")
+    cl.add_argument("--aux", required=True)
+    cl.add_argument("--segments", required=True)
+    cl.add_argument("--msday", type=int, required=True)
+    cl.add_argument("--meday", type=int, required=True)
+    cl.add_argument("--trees", type=int, default=500)  # randomforest.py:38
+    cl.add_argument("--seed", type=int, default=42)
+    cl.add_argument("--model-out", default=None)
+    cl.add_argument("--predictions-out", default=None)
+    cl.set_defaults(fn=_cmd_classification)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
