@@ -1,0 +1,80 @@
+"""As-of and range joins — the [absent] temporal-join row of
+SURVEY §2.3.
+
+as-of join (backward): for each left row, attach the latest right
+row with `right.ts <= left.ts` within the same `by` key.
+
+Implemented with the union-window strategy rather than a per-row
+range probe: tag both sides, union, and carry the most recent right
+value forward with `last_value(..., ignoreNulls) over (partition by
+key order by ts, side)`. One shuffle on the key, no quadratic
+candidate enumeration, no skew beyond the key distribution — the
+scalable pattern for 100 TB event streams (a sort-merge interval
+probe would need a custom physical operator; this composition gets
+the same result from stock exchanges).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts_col: str,
+    right_value_cols: Sequence[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Attach, to each left row, the newest right row at-or-before
+    its timestamp (per `by` key). `ts_col` must be integer-like
+    (epoch units) on both sides; `tolerance` (same units) bounds the
+    lookback like pandas.merge_asof.
+
+    Output: all left columns + `right_value_cols` (null when no
+    right row precedes, or the newest one is outside tolerance).
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols, F.lit(1).alias("_side"), *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_value_cols]
+    )
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*lcols, "_side", *[f"_r_{c}" for c in right_value_cols])
+    unioned = l.unionByName(r)
+    # right rows (_side=0) sort before left rows at equal ts → a right
+    # row at exactly left.ts is visible to that left row ("at or before")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+        for c in right_value_cols
+    ]
+    carried_ts = F.last(
+        F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True
+    ).over(w).alias("_c_ts")
+    out = unioned.select("*", *carried, carried_ts).filter(F.col("_side") == 1)
+    sel = [F.col(c) for c in lcols]
+    for c in right_value_cols:
+        v = F.col(f"_c_{c}")
+        if tolerance is not None:
+            v = F.when(
+                F.col(ts_col) - F.col("_c_ts") <= tolerance, v
+            )
+        sel.append(v.alias(c))
+    return out.select(*sel)

@@ -18,6 +18,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from . import (
         dedup,
+        extended,
         ml,
         multimodal,
         relational,
@@ -31,6 +32,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         relational,
+        extended,
         text,
         dedup,
         similarity,

@@ -1,0 +1,289 @@
+"""Extended coverage registry — the SURVEY §2 rows not yet bound to
+a query: array ops (P5/F3), string/JSON/map scalar functions
+([absent] §2.8), pivot + grouping sets + percentiles ([absent]
+§2.4), as-of + range joins ([absent] §2.3), and the external-fetch
+source (S3) with a deterministic fetch kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import read_table, register_views
+from ..functions.exact import dsum, sql_dsum
+from ..operators.asof import asof_join_backward
+
+
+# --- P5/F3: array indexing / slicing ---------------------------------------
+
+
+def p5_array_ops(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_table(spark, "embeddings", sf)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.element_at("embedding", -1).alias("last_val"),
+        F.slice("embedding", 1, 3).alias("head3"),
+    )
+
+
+# --- [absent §2.8] string functions ----------------------------------------
+
+
+def f5_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    cust = read_table(spark, "customer", sf)
+    return cust.select(
+        "c_custkey",
+        F.lower("c_name").alias("lower_name"),
+        F.upper("c_mktsegment").alias("upper_seg"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+    )
+
+
+# --- [absent §2.8] JSON functions ------------------------------------------
+
+
+def f6_json_functions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, "events", sf)
+    k_str = F.get_json_object("props", "$.k")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        k_str.alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+    )
+
+
+# --- [absent §2.8] map functions -------------------------------------------
+
+
+def f7_map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, "events", sf)
+    m = F.create_map(
+        F.lit("et"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "et").alias("et"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_contains(F.map_values(m), F.col("event_type")).alias("has_type"),
+    )
+
+
+# --- [absent §2.4] pivot ----------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def a10_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, "events", sf)
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return out.select(
+        "user_id", *[F.coalesce(t, F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+# --- [absent §2.4] grouping sets (SQL surface) ------------------------------
+
+
+def a11_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --- [absent §2.4] exact percentiles ---------------------------------------
+
+
+def a12_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf)
+    pct = F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9)))
+    return li.groupBy("l_returnflag").agg(
+        F.element_at(pct, 1).alias("p50_qty"),
+        F.element_at(pct, 2).alias("p90_qty"),
+    )
+
+
+# --- [absent §2.3] as-of join ----------------------------------------------
+
+
+def j7_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, "events", sf).withColumn(
+        "t_us", F.unix_micros("ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "t_us"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "t_us", F.col("value").alias("signup_value")
+    )
+    return asof_join_backward(
+        errors, signups, by=["user_id"], ts_col="t_us",
+        right_value_cols=["signup_value"],
+    ).select("event_id", "user_id", "signup_value")
+
+
+# --- [absent §2.3] range (non-equi) join ------------------------------------
+
+
+def j8_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    orders = read_table(spark, "orders", sf)
+    li = read_table(spark, "lineitem", sf)
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_shipped_30d"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+# --- S3: external-fetch source (deterministic kernel) -----------------------
+
+
+def s4_external_fetch(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's executor-side fetch-and-explode (S3,
+    ccdc/timeseries.py:92-126) with INPUT_PARTITIONS-style
+    throttling; the fetch kernel is a deterministic arithmetic fake
+    so the oracle can reproduce it (a real deployment swaps in an
+    HTTP call — plan shape identical)."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from ..sources.external import fetch_explode
+
+    ids = read_table(spark, "nation", sf).select("n_nationkey")
+
+    def fake_fetch(row: dict) -> list[dict]:
+        k = row["n_nationkey"]
+        return [
+            {"n_nationkey": k, "i": i, "val": k * 100 + i} for i in range(4)
+        ]
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType(), False),
+            StructField("i", IntegerType(), False),
+            StructField("val", LongType(), False),
+        ]
+    )
+    return fetch_explode(ids, fake_fetch, schema, max_concurrency=2)
+
+
+QUERIES = {
+    "p5_array_ops": p5_array_ops,
+    "f5_string_functions": f5_string_functions,
+    "f6_json_functions": f6_json_functions,
+    "f7_map_functions": f7_map_functions,
+    "a10_pivot": a10_pivot,
+    "a11_grouping_sets": a11_grouping_sets,
+    "a12_percentiles": a12_percentiles,
+    "j7_asof_join": j7_asof_join,
+    "j8_range_join": j8_range_join,
+    "s4_external_fetch": s4_external_fetch,
+}
+
+ORACLES = {
+    "p5_array_ops": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               embedding[1] AS first_val,
+               embedding[len(embedding)] AS last_val,
+               embedding[1:3] AS head3
+        FROM embeddings
+    """,
+    "f5_string_functions": """
+        SELECT c_custkey,
+               lower(c_name) AS lower_name,
+               upper(c_mktsegment) AS upper_seg,
+               substr(c_name, 1, 8) AS prefix8,
+               CAST(length(c_name) AS INT) AS name_len,
+               concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+               regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
+        FROM customer
+    """,
+    "f6_json_functions": """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        FROM events
+    """,
+    "f7_map_functions": """
+        SELECT event_id,
+               event_type AS et,
+               2 AS n_keys,
+               TRUE AS has_type
+        FROM events
+    """,
+    "a10_pivot": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id
+    """,
+    "a11_grouping_sets": f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "a12_percentiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS p50_qty,
+               quantile_cont(l_quantity, 0.9) AS p90_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "j7_asof_join": """
+        SELECT e.event_id, e.user_id,
+               (SELECT s.value FROM events s
+                WHERE s.user_id = e.user_id
+                  AND s.event_type = 'signup'
+                  AND s.ts <= e.ts
+                ORDER BY s.ts DESC LIMIT 1) AS signup_value
+        FROM events e WHERE e.event_type = 'error'
+    """,
+    "j8_range_join": f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_shipped_30d,
+               {sql_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        GROUP BY o_orderpriority
+    """,
+    "s4_external_fetch": """
+        SELECT n_nationkey,
+               CAST(i AS INT) AS i,
+               CAST(n_nationkey * 100 + i AS BIGINT) AS val
+        FROM nation, generate_series(0, 3) t(i)
+    """,
+}

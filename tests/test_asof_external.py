@@ -1,0 +1,67 @@
+"""Behavioral tests: as-of join semantics (tolerance, no-match
+nulls, at-or-before boundary) and the external-fetch source's
+throttle + explode contract."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from lcmap_firebird_spark.operators.asof import asof_join_backward
+from lcmap_firebird_spark.sources.external import fetch_explode
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 150, "c"), (3, 100, "d")],
+        ["key", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 160, 30.0)],
+        ["key", "t", "quote"],
+    )
+    return left, right
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left, right = _frames(spark)
+    out = {
+        r.tag: r.quote
+        for r in asof_join_backward(left, right, ["key"], "t", ["quote"]).collect()
+    }
+    assert out["a"] == 10.0  # exact-ts match counts ("at or before")
+    assert out["b"] == 20.0  # latest of two predecessors
+    assert out["c"] is None  # right row is AFTER left ts
+    assert out["d"] is None  # key has no right rows
+
+
+def test_asof_tolerance_bounds_lookback(spark):
+    left, right = _frames(spark)
+    out = {
+        r.tag: r.quote
+        for r in asof_join_backward(
+            left, right, ["key"], "t", ["quote"], tolerance=4
+        ).collect()
+    }
+    assert out["a"] == 10.0  # gap 0 <= 4
+    assert out["b"] is None  # gap 5 > 4 → outside tolerance
+
+
+def test_fetch_explode_shape_and_throttle(spark):
+    ids = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    schema = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("j", IntegerType(), False),
+            StructField("payload", LongType(), False),
+        ]
+    )
+
+    def fake(row):
+        return [{"id": row["id"], "j": j, "payload": row["id"] * 10 + j} for j in range(3)]
+
+    out = fetch_explode(ids, fake, schema, max_concurrency=2)
+    # throttle: the fetch stage runs at exactly 2 concurrent partitions
+    assert out.rdd.getNumPartitions() == 2
+    rows = sorted((r.id, r.j, r.payload) for r in out.collect())
+    assert len(rows) == 30  # 1 id → 3 records, exploded
+    assert rows[0] == (0, 0, 0) and rows[-1] == (9, 2, 92)
