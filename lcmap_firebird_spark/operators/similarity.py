@@ -139,6 +139,78 @@ def lsh_buckets(
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest seed
+    centroid (exact quantized L2, ties → smallest seed id).
+
+    Seeds are the `num_cells` lowest-id vectors — a deterministic
+    stand-in for k-means centroids (swap in MLlib KMeans offline for
+    production; the assignment plan is identical). The seed set is
+    broadcast, so assignment is one map-side pass over the corpus —
+    the IVF property that makes standing ANN cheap at 100 TB: search
+    joins on `cell` and scans N/num_cells vectors.
+    """
+    from .dedup import spread
+
+    seeds = embeddings.filter(F.col(id_col) < num_cells).select(
+        F.col(id_col).alias("seed_id"), quantize(vec_col).alias("seed_vec")
+    )
+    corpus = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
+    )
+    # exact integer squared-L2: sum((a-b)^2) ≤ 64·(2·10^4)² < 2^36
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("seed_vec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = corpus.join(F.broadcast(seeds)).withColumn("dist", dist)
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("seed_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"), "dist")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    top_k: int = 5,
+    num_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: top-k within the query's IVF cell (nprobe=1; union more
+    cells for recall). Same bucketed-join shape as knn_lsh, with a
+    learned-ish coarse quantizer instead of random hyperplanes."""
+    cells = ivf_assign(embeddings, num_cells, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
+    ).join(cells.select("vec_id", "cell"), "vec_id")
+    a = e.alias("a")
+    c = e.alias("c")
+    scored = a.join(
+        c,
+        (F.col("a.cell") == F.col("c.cell"))
+        & (F.col("a.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("q_id"),
+        F.col("c.vec_id").alias("n_id"),
+        cosine_q(F.col("a.qv"), F.col("c.qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     top_k: int = 5,

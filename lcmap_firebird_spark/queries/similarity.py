@@ -75,13 +75,39 @@ def s3_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return S.knn_lsh(read_table(spark, "embeddings", sf), TOP_K, NUM_PLANES, DIM)
 
 
+def s5_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
+    return S.ivf_assign(read_table(spark, "embeddings", sf), NUM_CELLS)
+
+
+NUM_CELLS = 8
+
+
 QUERIES = {
     "s1_knn_bruteforce": s1_knn_bruteforce,
     "s2_lsh_buckets": s2_lsh_buckets,
     "s3_knn_lsh": s3_knn_lsh,
+    "s5_ivf_assign": s5_ivf_assign,
 }
 
 ORACLES = {
+    "s5_ivf_assign": f"""
+        WITH seeds AS (SELECT vec_id AS seed_id, {_QVEC} AS sv
+                       FROM embeddings WHERE vec_id < 8),
+        corpus AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+        scored AS (
+            SELECT vec_id, seed_id,
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                       i -> (qv[i] - sv[i]) * (qv[i] - sv[i]))) AS dist
+            FROM corpus, seeds
+        ),
+        ranked AS (
+            SELECT vec_id, seed_id AS cell, CAST(dist AS BIGINT) AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, seed_id) AS rn
+            FROM scored
+        )
+        SELECT vec_id, cell, dist FROM ranked WHERE rn = 1
+    """,
     "s1_knn_bruteforce": f"""
         WITH q AS (SELECT vec_id AS q_id, {_QVEC} AS qv
                    FROM embeddings WHERE vec_id < {N_QUERIES}),

@@ -133,6 +133,39 @@ def dedup_keys(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) carried across micro-batches — the escape
+    hatch for stateful semantics the built-in windows can't express
+    (SURVEY §2.11). State is one tiny tuple per key; at scale the
+    state store shards by the group key like any keyed state.
+
+    Emits the updated running totals for every user seen in each
+    micro-batch (update semantics — the memory sink accumulates one
+    row per (user, batch); take the max-n row per user for finals).
+    """
+    import pandas as pd
+
+    def kernel(key, pdf_iter, state):
+        (user_id,) = key
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n": [count], "total": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        kernel,
+        outputStructType="user_id long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, spark: SparkSession, mode: str = "append"
 ) -> DataFrame:

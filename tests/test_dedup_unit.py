@@ -75,6 +75,25 @@ def test_knn_bruteforce_finds_self_duplicate_vector(spark):
     assert out[0].cosine == pytest.approx(1.0, abs=1e-6)
 
 
+def test_ivf_assign_and_search(spark):
+    # seeds are vec_id < 8; vector 20 is a copy of seed 3 → must land
+    # in cell 3 at distance 0 and retrieve seed 3 as top neighbor
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(8)]
+    vecs.append((20, list(vecs[3][1])))
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    cells = {r.vec_id: (r.cell, r.dist) for r in S.ivf_assign(emb, 8).collect()}
+    assert cells[20] == (3, 0)
+    assert all(cells[i] == (i, 0) for i in range(8))  # seeds own their cells
+    knn = S.knn_ivf(emb, top_k=1, num_cells=8).collect()
+    top = {r.q_id: r.n_id for r in knn if r.rank == 1}
+    assert top[20] == 3 and top[3] == 20
+
+
 def test_lsh_buckets_colocate_identical_vectors(spark):
     base = [0.3] * 64
     emb = spark.createDataFrame(

@@ -1,0 +1,55 @@
+"""applyInPandasWithState: custom keyed state across micro-batches."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from lcmap_firebird_spark.streaming import events as ST
+from .test_streaming import _write_events
+
+
+def test_running_totals_carry_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    batches = [
+        [
+            (1, t("2024-01-01 09:00:00"), 1, "click", 10.0, "{}"),
+            (2, t("2024-01-01 09:01:00"), 2, "click", 5.0, "{}"),
+        ],
+        [
+            (3, t("2024-01-01 10:00:00"), 1, "click", 7.0, "{}"),
+        ],
+    ]
+    for rows in batches:
+        _write_events(spark, src, rows)
+        time.sleep(1.1)
+    stream = ST.stream_events(spark, src, max_files_per_trigger=1, glob="*.parquet")
+    out = ST.run_available_now(
+        ST.running_user_totals(stream), spark, mode="update"
+    ).collect()
+    # user 1 emits twice (once per batch) with a GROWING count —
+    # proof the state survived the batch boundary
+    u1 = sorted((r.n, r.total) for r in out if r.user_id == 1)
+    assert u1 == [(1, 10.0), (2, 17.0)]
+    # user 2 appears only in batch 1
+    u2 = [(r.n, r.total) for r in out if r.user_id == 2]
+    assert u2 == [(1, 5.0)]
+
+
+def test_final_totals_equal_batch_aggregate(spark, sf_dir):
+    stream = ST.stream_events(spark, sf_dir)
+    out = ST.run_available_now(
+        ST.running_user_totals(stream), spark, mode="update"
+    )
+    # single availableNow batch → one emission per user == batch agg
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r.user_id: r.n for r in out.collect()}
+    want = {r.user_id: r.n for r in batch.collect()}
+    assert got == want
