@@ -1,0 +1,101 @@
+"""pyccd-shaped detector: exact 40-field schema, sentinel semantics,
+masking, and multi-band break detection on planted ARD."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lcmap_firebird_spark import schemas
+from lcmap_firebird_spark.operators import pyccd
+
+
+def _ard_row(cx, cy, px, py, dates, bands, qas):
+    return {
+        "cx": cx, "cy": cy, "px": px, "py": py,
+        "dates": dates,
+        **{c: bands[c] for c in pyccd.BAND_MAP},
+        "qas": qas,
+    }
+
+
+@pytest.fixture(scope="module")
+def ard(spark):
+    """2 pixels: one with a level break in ALL bands at day 400,
+    one with too few clear obs (sentinel). Arrays DESC by date, the
+    merlin delivery order (FIXTURES.md §2)."""
+    rng = np.random.default_rng(11)
+    n = 60
+    dates = [100 + 10 * i for i in range(n)][::-1]  # DESC
+    qas = [66] * n
+
+    def series(breaky):
+        vals = {}
+        for c in pyccd.BAND_MAP:
+            base = np.full(n, 1000.0)
+            if breaky:
+                base[30:] = 3000.0  # days >= 400 (ascending index)
+            noisy = base + rng.normal(0, 5.0, n)
+            vals[c] = [int(v) for v in noisy[::-1]]  # DESC like dates
+        return vals
+
+    rows = [
+        _ard_row(0, 0, 1, 1, dates, series(True), qas),
+        _ard_row(0, 0, 2, 2, dates[:3], {c: v[:3] for c, v in series(False).items()}, [1, 1, 66]),
+    ]
+    return spark.createDataFrame(
+        [tuple(r[f.name] for f in schemas.ard_schema().fields) for r in rows],
+        schemas.ard_schema(),
+    )
+
+
+def test_output_schema_is_reference_exact(ard):
+    out = pyccd.detect(ard)
+    assert out.schema.simpleString() == schemas.segment_schema(True).simpleString()
+    assert len(out.schema.fields) == 40
+
+
+def test_multiband_break_detected(ard):
+    segs = [r for r in pyccd.detect(ard).collect() if (r.px, r.py) == (1, 1)]
+    assert len(segs) >= 2
+    bdays = [r.bday for r in segs if r.bday is not None]
+    assert any(b.startswith("0002-02") for b in bdays)  # ordinal 400 ≈ 0002-02-04
+    first = min(segs, key=lambda r: r.sday)
+    assert first.chprob == 1.0
+    assert first.blcoef is not None and len(first.blcoef) == 1
+    assert all(
+        getattr(first, f"{p}rmse") is not None for p in pyccd.BAND_MAP.values()
+    )
+    # magnitude reflects the planted 2000-unit jump
+    assert first.blmag > 1000
+
+
+def test_sentinel_for_sparse_pixel(ard):
+    segs = [r for r in pyccd.detect(ard).collect() if (r.px, r.py) == (2, 2)]
+    assert len(segs) == 1
+    s = segs[0]
+    assert (s.sday, s.eday, s.bday) == ("0001-01-01", "0001-01-01", "0001-01-01")
+    assert s.curqa == 1  # only one clear obs (qa=66)
+    # dates arrive DESC [690,680,670] with qas [1,1,66]; after the
+    # ascending re-sort the clear (66) obs is the oldest → [1,0,0]
+    assert list(s.mask) == [1, 0, 0]
+
+
+def test_mask_aligned_to_sorted_dates(ard):
+    seg = [r for r in pyccd.detect(ard).collect() if (r.px, r.py) == (1, 1)][0]
+    assert len(seg.mask) == len(seg.dates) == 60
+    assert seg.dates == sorted(seg.dates)  # ISO strings, ascending
+    assert all(m == 1 for m in seg.mask)  # all qa=66 → clear
+
+
+def test_projection_tables_conform(ard):
+    seg = pyccd.detect(ard)
+    assert pyccd.chip_table(seg).schema.simpleString() == (
+        schemas.chip_schema().simpleString()
+    )
+    assert pyccd.pixel_table(seg).schema.simpleString() == (
+        schemas.pixel_schema().simpleString()
+    )
+    assert len(pyccd.segment_table(seg).schema.fields) == 38
+    assert pyccd.chip_table(seg).count() == 1  # one chip
+    assert pyccd.pixel_table(seg).count() == 2  # two pixels
