@@ -55,17 +55,43 @@ def _iso(ordinal: int) -> str:
     return (_EPOCH + timedelta(days=int(ordinal) - 1)).isoformat()
 
 
-def _fit(ts: np.ndarray, vs: np.ndarray) -> tuple[float, float, float]:
+ANNUAL_DAYS = 365.25
+
+
+def _design(ts: np.ndarray, harmonics: int) -> np.ndarray:
+    """CCDC design matrix: intercept, trend, k annual harmonic pairs
+    (lcmap-pyccd fits Lasso over exactly this basis; OLS here)."""
+    cols = [np.ones_like(ts), ts]
+    for j in range(1, harmonics + 1):
+        w = 2.0 * np.pi * j / ANNUAL_DAYS
+        cols.append(np.sin(w * ts))
+        cols.append(np.cos(w * ts))
+    return np.column_stack(cols)
+
+
+def _fit(
+    ts: np.ndarray, vs: np.ndarray, harmonics: int = 0
+) -> tuple[np.ndarray, float]:
+    """Least-squares fit over the harmonic basis → (beta, rmse).
+    beta[0]=intercept, beta[1]=trend slope, beta[2:]=harmonic terms.
+    rmse uses n−p dof (p = 2+2k params)."""
     n = len(ts)
-    if n < 2:
-        return 0.0, (float(vs[0]) if n else 0.0), 0.0
-    tm, vm = ts.mean(), vs.mean()
-    dt = ts - tm
-    denom = float((dt * dt).sum())
-    slope = float((dt * (vs - vm)).sum() / denom) if denom > 0 else 0.0
-    inter = float(vm - slope * tm)
-    resid = vs - (slope * ts + inter)
-    return slope, inter, float(np.sqrt((resid * resid).sum() / max(n - 2, 1)))
+    p = 2 + 2 * harmonics
+    if n == 0:
+        return np.zeros(p), 0.0
+    if n < p or (n >= 2 and np.ptp(ts) == 0.0) or n < 2:
+        beta = np.zeros(p)
+        beta[0] = float(vs.mean())
+        resid = vs - beta[0]
+        return beta, float(np.sqrt((resid * resid).sum() / max(n - 1, 1)))
+    X = _design(ts, harmonics)
+    beta, *_ = np.linalg.lstsq(X, vs, rcond=None)
+    resid = vs - X @ beta
+    return beta, float(np.sqrt((resid * resid).sum() / max(n - p, 1)))
+
+
+def _predict(ts: np.ndarray, beta: np.ndarray, harmonics: int) -> np.ndarray:
+    return _design(ts, harmonics) @ beta
 
 
 def _segment_row(
@@ -79,8 +105,13 @@ def _segment_row(
     peek_slice: slice | None,
     all_dates: np.ndarray,
     mask: np.ndarray,
+    harmonics: int = 0,
 ) -> dict:
-    """One 40-field segment dict (pyccd.format, ccdc/pyccd.py:106-148)."""
+    """One 40-field segment dict (pyccd.format, ccdc/pyccd.py:106-148).
+
+    coef = [trend, sin1, cos1, ...] with the intercept in {b}int —
+    the reference's split between coefficient array and intercept
+    (ccdc/pyccd.py:64-77)."""
     row = dict(keys)
     row["sday"] = _iso(ts[start])
     row["eday"] = _iso(ts[end - 1])
@@ -89,31 +120,43 @@ def _segment_row(
     row["curqa"] = int(end - start)
     for col, pre in BAND_MAP.items():
         vs = band_vals[col]
-        slope, inter, rmse = _fit(ts[start:end], vs[start:end])
+        beta, rmse = _fit(ts[start:end], vs[start:end], harmonics)
         if peek_slice is not None:
-            pred = slope * ts[peek_slice] + inter
+            pred = _predict(ts[peek_slice], beta, harmonics)
             mag = float(np.abs(vs[peek_slice] - pred).mean())
         else:
             mag = None
         row[f"{pre}mag"] = mag
         row[f"{pre}rmse"] = float(rmse)
-        row[f"{pre}coef"] = [float(slope)]
-        row[f"{pre}int"] = float(inter)
+        row[f"{pre}coef"] = [float(b) for b in beta[1:]]
+        row[f"{pre}int"] = float(beta[0])
     row["rfrawp"] = None
     row["dates"] = [_iso(d) for d in all_dates]
     row["mask"] = [int(m) for m in mask]
     return row
 
 
-def detect(ard: DataFrame, min_obs: int = 6, chi: float = 3.0, peek: int = 3) -> DataFrame:
+def detect(
+    ard: DataFrame,
+    min_obs: int = 6,
+    chi: float = 3.0,
+    peek: int = 3,
+    harmonics: int = 0,
+) -> DataFrame:
     """Dense-wide ARD → 40-field segments (mapInPandas, no shuffle).
 
     Every pixel emits ≥1 row: detected segments plus a trailing open
     segment, or the sentinel when fewer than `min_obs` clear
     observations exist (pyccd.default semantics, ccdc/pyccd.py:99-103
-    — sday/eday/bday = '0001-01-01')."""
+    — sday/eday/bday = '0001-01-01').
+
+    `harmonics=k` fits k annual sin/cos pairs alongside the trend —
+    CCDC's actual basis; without it, seasonal land cover triggers
+    false breaks (see tests/test_pyccd.py seasonal case).
+    `min_obs` should be ≥ 2+2k+peek for a determined fit."""
     schema = segment_schema(True)
     band_cols = list(BAND_MAP)
+    min_obs = max(min_obs, 2 + 2 * harmonics + 1)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -163,14 +206,23 @@ def detect(ard: DataFrame, min_obs: int = 6, chi: float = 3.0, peek: int = 3) ->
         rows: list[dict] = []
         start, i, n = 0, min_obs, len(ts)
         while i < n:
-            fits = {c: _fit(ts[start:i], bands[c][start:i]) for c in band_cols}
-            if i - start >= min_obs and i + peek <= n:
+            fits = {
+                c: _fit(ts[start:i], bands[c][start:i], harmonics)
+                for c in band_cols
+            }
+            # harmonic terms are only constrained once the window
+            # spans a full annual cycle (pyccd's year-span
+            # initialization requirement) — never break-test before
+            span_ok = harmonics == 0 or (
+                ts[i - 1] - ts[start] >= ANNUAL_DAYS
+            )
+            if i - start >= min_obs and i + peek <= n and span_ok:
                 # cross-band mean normalized residual over the peek
                 # window (pyccd's consecutive-obs test, aggregated)
                 scores = np.zeros(peek)
                 for c in band_cols:
-                    slope, inter, rmse = fits[c]
-                    pred = slope * ts[i : i + peek] + inter
+                    beta, rmse = fits[c]
+                    pred = _predict(ts[i : i + peek], beta, harmonics)
                     scores += np.abs(bands[c][i : i + peek] - pred) / max(
                         rmse, 1e-6
                     )
@@ -182,7 +234,7 @@ def detect(ard: DataFrame, min_obs: int = 6, chi: float = 3.0, peek: int = 3) ->
                 rows.append(
                     _segment_row(
                         keys, ts, bands, start, i, int(ts[i]), 1.0,
-                        slice(i, i + peek), dates_sorted, mask,
+                        slice(i, i + peek), dates_sorted, mask, harmonics,
                     )
                 )
                 start = i
@@ -191,7 +243,8 @@ def detect(ard: DataFrame, min_obs: int = 6, chi: float = 3.0, peek: int = 3) ->
                 i += 1
         rows.append(
             _segment_row(
-                keys, ts, bands, start, n, None, 0.0, None, dates_sorted, mask
+                keys, ts, bands, start, n, None, 0.0, None,
+                dates_sorted, mask, harmonics,
             )
         )
         return rows

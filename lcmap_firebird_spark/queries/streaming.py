@@ -37,10 +37,17 @@ def st3_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return ST.run_available_now(deduped, spark, mode="append")
 
 
+def st4_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    stream = ST.stream_events(spark, sf)
+    joined = ST.purchases_after_signup(stream, "1 hour", WATERMARK)
+    return ST.run_available_now(joined, spark, mode="append")
+
+
 QUERIES = {
     "st1_tumbling_counts": st1_tumbling_counts,
     "st2_session_windows": st2_session_windows,
     "st3_stream_dedup": st3_stream_dedup,
+    "st4_stream_stream_join": st4_stream_stream_join,
 }
 
 ORACLES = {
@@ -84,5 +91,16 @@ ORACLES = {
     """,
     "st3_stream_dedup": """
         SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "st4_stream_stream_join": """
+        SELECT p.event_id AS p_event_id,
+               s.event_id AS s_event_id,
+               p.user_id,
+               p.value AS p_value
+        FROM events p JOIN events s
+          ON p.user_id = s.user_id
+         AND p.event_type = 'purchase' AND s.event_type = 'signup'
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL 1 HOUR
     """,
 }

@@ -133,6 +133,51 @@ def dedup_keys(
     )
 
 
+def purchases_after_signup(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each
+    purchase matched to every signup by the same user in the
+    preceding `within` interval.
+
+    Both sides carry watermarks; the range condition bounds the join
+    state (signups evict once `p_ts > s_ts + within` is impossible
+    under the watermark). Inner-join matches emit immediately — no
+    emission hold — so availableNow output equals the batch join.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("s_event_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    joined = purchases.join(signups, cond)
+    return joined.select(
+        "p_event_id",
+        "s_event_id",
+        F.col("p_user").alias("user_id"),
+        "p_value",
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (count, sum) carried across micro-batches — the escape

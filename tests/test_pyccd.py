@@ -88,6 +88,33 @@ def test_mask_aligned_to_sorted_dates(ard):
     assert all(m == 1 for m in seg.mask)  # all qa=66 → clear
 
 
+def test_harmonics_absorb_seasonality(spark):
+    """A purely seasonal pixel: the harmonic model must fit it as ONE
+    stable segment, while the trend-only model false-alarms — the
+    reason CCDC fits harmonics at all."""
+    rng = np.random.default_rng(5)
+    n = 80
+    days = np.array([100 + 10 * i for i in range(n)])  # ~2.2 years
+    seasonal = 1000 + 300 * np.sin(2 * np.pi * days / 365.25)
+    vals = {
+        c: [int(v) for v in (seasonal + rng.normal(0, 3, n))[::-1]]
+        for c in pyccd.BAND_MAP
+    }
+    row = _ard_row(0, 0, 5, 5, [int(d) for d in days[::-1]], vals, [66] * n)
+    ard = spark.createDataFrame(
+        [tuple(row[f.name] for f in schemas.ard_schema().fields)],
+        schemas.ard_schema(),
+    )
+    with_h = pyccd.detect(ard, harmonics=1).collect()
+    without_h = pyccd.detect(ard, harmonics=0).collect()
+    assert len(with_h) == 1 and with_h[0].chprob == 0.0
+    assert len(without_h) > 1  # trend-only mistakes seasonality for change
+    # harmonic coef layout: [trend, sin1, cos1]; annual amplitude ≈ 300
+    seg = with_h[0]
+    amp = (seg.blcoef[1] ** 2 + seg.blcoef[2] ** 2) ** 0.5
+    assert 280 < amp < 320
+
+
 def test_projection_tables_conform(ard):
     seg = pyccd.detect(ard)
     assert pyccd.chip_table(seg).schema.simpleString() == (
