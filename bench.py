@@ -60,14 +60,17 @@ def main() -> None:
         df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    total = round(sum(timings.values()), 4)
+    # value = the FIXED headline set (stable across rounds as the
+    # registry grows); per-query timings cover everything.
+    headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     print(
         json.dumps(
             {
-                "metric": "total_query_time",
-                "value": total,
+                "metric": "headline_query_time",
+                "value": headline_total,
                 "unit": "sec",
                 "queries": timings,
+                "total_all_queries": round(sum(timings.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

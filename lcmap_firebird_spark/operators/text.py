@@ -115,6 +115,23 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer shape: optional leading space + letter
+# run | digit run | punctuation run (ASCII subset — portable across
+# Java regex and RE2)
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens(col: str | Column = "text") -> Column:
+    """BPE-ish pretokenization via regex (the standard LLM token-count
+    estimator when the real tokenizer isn't on the cluster)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def fingerprint(col: str | Column = "text", bits: int = 60) -> Column:
     """Deterministic 60-bit content fingerprint.
 

@@ -58,11 +58,22 @@ def t4_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
+def t5_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_table(spark, "documents", sf)
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        (T.bpe_token_count("text").cast("double") / T.token_count("text"))
+        .alias("tokens_per_word"),
+    )
+
+
 QUERIES = {
     "t1_token_stats": t1_token_stats,
     "t2_language_id": t2_language_id,
     "t3_quality_score": t3_quality_score,
     "t4_fingerprint": t4_fingerprint,
+    "t5_bpe_token_count": t5_bpe_token_count,
 }
 
 
@@ -120,6 +131,18 @@ ORACLES = {
                  + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) * 0.2,
                  6) AS quality_score
         FROM feats
+    """,
+    "t5_bpe_token_count": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS n_bpe,
+                   len({TOK}) AS n_ws
+            FROM documents)
+        SELECT doc_id,
+               CAST(n_bpe AS INT) AS n_bpe_tokens,
+               CAST(n_bpe AS DOUBLE) / n_ws AS tokens_per_word
+        FROM toks
     """,
     "t4_fingerprint": f"""
         WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents)
