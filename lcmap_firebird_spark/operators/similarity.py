@@ -211,6 +211,42 @@ def knn_ivf(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    The dedup-ladder rung for embedded content: candidates =
+    same-LSH-bucket pairs (equi-join, no all-pairs product),
+    verification = exact quantized cosine ≥ threshold. Same
+    candidates-before-quadratics ordering as MinHash dedup.
+    """
+    b = lsh_buckets(embeddings, num_planes, dim, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
+    ).join(b, "vec_id")
+    a = e.alias("a")
+    c = e.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            cosine_q(F.col("a.qv"), F.col("c.qv")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     top_k: int = 5,

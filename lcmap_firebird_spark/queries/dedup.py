@@ -52,12 +52,24 @@ def d5_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+COSINE_T = 0.4
+
+
+def d6_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        read_table(spark, "embeddings", sf), threshold=COSINE_T
+    )
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
     "d4_simhash": d4_simhash,
     "d5_simhash_pairs": d5_simhash_pairs,
+    "d6_embedding_neardup": d6_embedding_neardup,
 }
 
 # ---------------------------------------------------------------------------
@@ -173,6 +185,22 @@ ORACLES = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     """,
 }
+
+def _d6_oracle() -> str:
+    from .similarity import _QVEC, _sql_bucket, _sql_cosine
+
+    return f"""
+        WITH qe AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+        bk AS (SELECT vec_id, qv, {_sql_bucket()} AS bucket FROM qe)
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               {_sql_cosine('a.qv', 'c.qv')} AS cosine
+        FROM bk a JOIN bk c
+          ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE {_sql_cosine('a.qv', 'c.qv')} >= {COSINE_T}
+    """
+
+
+ORACLES["d6_embedding_neardup"] = _d6_oracle()
 
 ORACLES["d3_minhash_lsh"] = f"""
     WITH {_SHINGLES_CTE},
