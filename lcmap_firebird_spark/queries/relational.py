@@ -41,8 +41,8 @@ def p6_p7_filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
     out = R.filter_range(
         out,
         "l_shipdate",
-        F.lit("1996-01-01").cast("timestamp"),
-        F.lit("1996-12-31").cast("timestamp"),
+        F.lit("1996-01-01").cast("timestamp_ntz"),
+        F.lit("1996-12-31").cast("timestamp_ntz"),
     )
     return out.filter(F.col("l_quantity") > 25).select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
@@ -71,8 +71,8 @@ def j1_selective_read(spark: SparkSession, sf: str) -> DataFrame:
 def j2_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     cust = read_table(spark, "customer", sf)
     orders = read_table(spark, "orders", sf).filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     li = read_table(spark, "lineitem", sf)
     nation = read_table(spark, "nation", sf)
@@ -166,7 +166,7 @@ def a4_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     disc = dec("l_discount", 4, 6)
     tax = dec("l_tax", 4, 6)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),

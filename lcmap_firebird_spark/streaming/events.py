@@ -211,6 +211,52 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals on Spark 4's
+    transformWithStateInPandas — the successor API to
+    applyInPandasWithState, with typed state handles (ValueState
+    here; List/Map state and timers available) backed by the RocksDB
+    state store at scale.
+
+    NOTE: this API requires a working `google.protobuf` install
+    (the Python worker speaks protobuf to the JVM state server);
+    environments without it should use `running_user_totals`
+    (applyInPandasWithState), which is wire-protocol-free."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        TotalsProcessor(),
+        outputStructType="user_id long, n long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, spark: SparkSession, mode: str = "append"
 ) -> DataFrame:

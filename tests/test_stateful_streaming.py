@@ -5,6 +5,7 @@ from __future__ import annotations
 import time
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from lcmap_firebird_spark.streaming import events as ST
@@ -37,6 +38,41 @@ def test_running_totals_carry_state_across_batches(spark, tmp_path):
     # user 2 appears only in batch 1
     u2 = [(r.n, r.total) for r in out if r.user_id == 2]
     assert u2 == [(1, 5.0)]
+
+
+def _protobuf_ok() -> bool:
+    # transformWithStateInPandas speaks protobuf to the JVM state
+    # server; this container's protobuf install is broken
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithStateInPandas needs a working protobuf "
+    "(absent in this container); operator code path is exercised in "
+    "protobuf-enabled environments",
+)
+def test_transform_with_state_carries_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src_tws")
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    batches = [
+        [(1, t("2024-01-01 09:00:00"), 1, "click", 10.0, "{}")],
+        [(2, t("2024-01-01 10:00:00"), 1, "click", 7.0, "{}")],
+    ]
+    for rows in batches:
+        _write_events(spark, src, rows)
+        time.sleep(1.1)
+    stream = ST.stream_events(spark, src, max_files_per_trigger=1, glob="*.parquet")
+    out = ST.run_available_now(
+        ST.running_user_totals_tws(stream), spark, mode="update"
+    ).collect()
+    u1 = sorted((r.n, r.total) for r in out if r.user_id == 1)
+    assert u1 == [(1, 10.0), (2, 17.0)]
 
 
 def test_final_totals_equal_batch_aggregate(spark, sf_dir):
