@@ -1,0 +1,65 @@
+"""Sampling operators for training-data pipelines.
+
+Two tiers:
+- `hash_sample` — deterministic content-hash sampling: a row is in
+  the p% split iff hash(key) mod M < p·M. Reproducible across runs,
+  engines, and cluster sizes (no RNG state, no partition-layout
+  dependence) — the only sane way to carve train/val/test splits at
+  100 TB, because membership is a pure function of the key: late
+  data lands in the same split, and joins between split artifacts
+  stay consistent.
+- `stratified_sample` — per-stratum Bernoulli via sampleBy(seed):
+  statistically clean fractions per class, but partition-layout
+  dependent → use for exploratory work, not reproducible splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash60
+
+SAMPLE_MOD = 10_000
+
+
+def split_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, SAMPLE_MOD) from a key column
+    (md5-derived — portable to any engine, incl. the DuckDB oracle).
+    `salt` decorrelates independent splits over the same key."""
+    c = F.col(key) if isinstance(key, str) else key
+    return hash60(F.concat(F.lit(salt), c.cast("string"))) % SAMPLE_MOD
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~fraction of rows, membership a pure function of key."""
+    return df.filter(split_bucket(key, salt) < int(fraction * SAMPLE_MOD))
+
+
+def train_val_test(
+    df: DataFrame,
+    key: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive, deterministic split assignment column
+    ('train'/'val'/'test') — consistent for the same key forever."""
+    b = split_bucket(key, salt)
+    t1 = int(weights[0] * SAMPLE_MOD)
+    t2 = t1 + int(weights[1] * SAMPLE_MOD)
+    assignment = (
+        F.when(b < t1, "train").when(b < t2, "val").otherwise("test")
+    )
+    return df.withColumn("split", assignment)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (Spark sampleBy). Seeded but
+    partition-layout dependent — NOT for reproducible splits."""
+    return df.sampleBy(strata_col, fractions, seed)

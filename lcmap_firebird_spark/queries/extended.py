@@ -192,7 +192,31 @@ def s4_external_fetch(spark: SparkSession, sf: str) -> DataFrame:
     return fetch_explode(ids, fake_fetch, schema, max_concurrency=2)
 
 
+def x3_hash_sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic content-hash train/val/test assignment over
+    documents + per-split counts (reproducible on any engine)."""
+    from ..operators.sampling import train_val_test
+
+    docs = read_table(spark, "documents", sf)
+    return (
+        train_val_test(docs, "doc_id", (0.8, 0.1, 0.1))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
+def x4_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # seeded Bernoulli is partition-layout dependent → rows-only check
+    from ..operators.sampling import stratified_sample
+
+    docs = read_table(spark, "documents", sf)
+    fr = {lang: 0.5 for lang in ["en", "de", "es", "fr", "zh"]}
+    return stratified_sample(docs, "lang", fr).select("doc_id", "lang")
+
+
 QUERIES = {
+    "x3_hash_sample_split": x3_hash_sample_split,
+    "x4_stratified_sample": x4_stratified_sample,
     "p5_array_ops": p5_array_ops,
     "f5_string_functions": f5_string_functions,
     "f6_json_functions": f6_json_functions,
@@ -206,6 +230,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    # x4_stratified_sample: seeded RNG sampling — rows-only by design.
+    "x3_hash_sample_split": """
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 10000 AS bucket
+            FROM documents)
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n,
+               MIN(doc_id) AS min_id
+        FROM b GROUP BY 1
+    """,
     "p5_array_ops": """
         SELECT vec_id,
                CAST(len(embedding) AS INT) AS dim,

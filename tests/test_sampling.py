@@ -1,0 +1,42 @@
+"""Deterministic hash-sampling invariants: stability across runs,
+split disjointness/exhaustiveness, salt decorrelation."""
+
+from __future__ import annotations
+
+from lcmap_firebird_spark.catalog import read_table
+from lcmap_firebird_spark.operators.sampling import (
+    hash_sample,
+    train_val_test,
+)
+
+
+def test_hash_sample_is_stable_and_subsets_nest(spark, sf_dir):
+    docs = read_table(spark, "documents", sf_dir)
+    s10_a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.10).select("doc_id").collect()}
+    s10_b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.10).select("doc_id").collect()}
+    s20 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.20).select("doc_id").collect()}
+    assert s10_a == s10_b  # pure function of key
+    assert s10_a <= s20  # larger fraction nests the smaller
+    n = docs.count()
+    assert 0.05 * n < len(s10_a) < 0.15 * n
+
+
+def test_split_disjoint_exhaustive_deterministic(spark, sf_dir):
+    docs = read_table(spark, "documents", sf_dir)
+    a = {r.doc_id: r.split for r in train_val_test(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in train_val_test(docs, "doc_id").collect()}
+    assert a == b
+    assert set(a) == {r.doc_id for r in docs.select("doc_id").collect()}
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.7 * n < train < 0.9 * n
+
+
+def test_salt_decorrelates_splits(spark, sf_dir):
+    docs = read_table(spark, "documents", sf_dir)
+    s1 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, salt="a").select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, salt="b").select("doc_id").collect()}
+    assert s1 != s2
+    n = docs.count()
+    overlap = len(s1 & s2) / n
+    assert 0.15 < overlap < 0.35  # ~25% for independent 50% samples
