@@ -77,7 +77,9 @@ def feature_schema() -> StructType:
 def to_media_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Build a binary media table from any source column (here: UTF-8
     document payloads standing in for image bytes)."""
-    return df.select(
+    from .dedup import spread
+
+    return spread(df, id_col).select(
         F.col(id_col).cast("long").alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("media_type"),

@@ -244,6 +244,14 @@ def ccd_segments(
     key_types = [dict(df.dtypes)[k] for k in keys]
     schema = segment_schema(keys, key_types)
 
+    # The kernel is CPU-bound but its input is tiny, so AQE would
+    # coalesce the pre-apply shuffle down to one partition and run
+    # every group serially. An explicit keyed repartition pins the
+    # parallelism (it already satisfies the groupBy distribution, so
+    # no second shuffle is added).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(n_parts, *[F.col(k) for k in keys])
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(t_col, kind="mergesort")
         ts = pdf[t_col].to_numpy(dtype="float64")

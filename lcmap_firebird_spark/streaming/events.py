@@ -272,13 +272,26 @@ def run_available_now(
       production append sink would see.
     """
     name = f"st_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join("/tmp", f"ckpt_{name}"))
-        .start()
-    )
+    # Stateful operators allocate one state store per shuffle
+    # partition per operator; local streams don't need 32+. The
+    # partition count is captured into the (fresh) checkpoint at
+    # start, so scoping the conf around start() affects only this
+    # query. On a real cluster you'd size this to throughput and
+    # keep it FIXED for the checkpoint's lifetime.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev), 8))
+        )
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join("/tmp", f"ckpt_{name}"))
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(name)
