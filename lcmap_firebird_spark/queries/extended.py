@@ -214,7 +214,32 @@ def x4_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_sample(docs, "lang", fr).select("doc_id", "lang")
 
 
+def sql1_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """The raw-SQL front door: TPC-H Q3 (shipping priority) through
+    spark.sql over the registered views — same text the oracle runs,
+    modulo the decimal-exact revenue recipe."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP_NTZ '1997-01-01'
+          AND l_shipdate > TIMESTAMP_NTZ '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
 QUERIES = {
+    "sql1_tpch_q3": sql1_tpch_q3,
     "x3_hash_sample_split": x3_hash_sample_split,
     "x4_stratified_sample": x4_stratified_sample,
     "p5_array_ops": p5_array_ops,
@@ -231,6 +256,21 @@ QUERIES = {
 
 ORACLES = {
     # x4_stratified_sample: seeded RNG sampling — rows-only by design.
+    "sql1_tpch_q3": """
+        SELECT l_orderkey,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR)
+                    AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
     "x3_hash_sample_split": """
         WITH b AS (
             SELECT doc_id,
