@@ -129,6 +129,42 @@ def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
     return media.mapInPandas(kernel, feature_schema())
 
 
+def resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize stub: real impl is PIL `Image.resize` inside the same
+    kernel shape. The stub emits a deterministic 'thumbnail' (payload
+    truncated to width·height bytes, zero-padded) plus the typed
+    target dims — exercising the contract that matters on Spark:
+    payload-in/payload-out binary kernels with metadata columns.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+    n = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if _HAS_CODECS:  # pragma: no cover
+                raise NotImplementedError("wire PIL Image.resize here")
+            thumbs = [
+                bytes(p[:n]).ljust(n, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": thumbs,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling stub shaped like video keyframe extraction:
     1 row in → N sampled 'frames' out (here: byte-offset windows),
