@@ -93,6 +93,23 @@ def filter_not_in(df: DataFrame, col, values: Sequence) -> DataFrame:
     return df.filter(~c.isin(*values))
 
 
+def upsert(
+    target: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE/upsert semantics as a pure DataFrame plan: update rows
+    present in `updates` (matched keys take the update's values),
+    insert unmatched updates, keep untouched target rows.
+
+    Implemented as target-anti-join ∪ updates — one shuffle on the
+    key (or zero if both sides are bucketed on it). This is the
+    engine-agnostic core of what Delta/Iceberg MERGE INTO compiles
+    to; pair with `catalog.write_partitioned` overwrite for the
+    table-level operation.
+    """
+    untouched = target.join(updates.select(*keys), list(keys), "left_anti")
+    return untouched.unionByName(updates)
+
+
 def head(df: DataFrame, n: int) -> DataFrame:
     """Bounded work (O1; driver-side `take(number, chips)`
     ccdc/core.py:98-99 becomes a plan-level limit)."""

@@ -214,6 +214,54 @@ def x4_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_sample(docs, "lang", fr).select("doc_id", "lang")
 
 
+def x5_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE semantics: 'update' every BUILDING customer's balance to
+    0 and 'insert' two synthetic customers; output the merged table
+    (untouched ∪ updates — the anti-join+union core of MERGE INTO)."""
+    from ..operators.relational import upsert
+
+    cust = read_table(spark, "customer", sf).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    updates = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .withColumn("c_acctbal", F.lit(0.0))
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (1_000_001, "NEW Customer#1", "BUILDING", 1.0),
+                    (1_000_002, "NEW Customer#2", "MACHINERY", 2.0),
+                ],
+                ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+            )
+        )
+    )
+    return upsert(cust, updates, ["c_custkey"])
+
+
+def w4_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE window frame: per user, sum of value over the trailing
+    hour (event-time range, not row count) — the [absent] frame
+    variant of §2.5."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, "events", sf).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum("v").over(w).cast("double").alias("trailing_hour_value"),
+    )
+
+
 def sql1_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     """The raw-SQL front door: TPC-H Q3 (shipping priority) through
     spark.sql over the registered views — same text the oracle runs,
@@ -239,6 +287,8 @@ def sql1_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "x5_upsert": x5_upsert,
+    "w4_range_frame": w4_range_frame,
     "sql1_tpch_q3": sql1_tpch_q3,
     "x3_hash_sample_split": x3_hash_sample_split,
     "x4_stratified_sample": x4_stratified_sample,
@@ -256,6 +306,30 @@ QUERIES = {
 
 ORACLES = {
     # x4_stratified_sample: seeded RNG sampling — rows-only by design.
+    "x5_upsert": """
+        WITH updates AS (
+            SELECT c_custkey, c_name, c_mktsegment, 0.0 AS c_acctbal
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT * FROM (VALUES
+                (1000001, 'NEW Customer#1', 'BUILDING', 1.0),
+                (1000002, 'NEW Customer#2', 'MACHINERY', 2.0))
+                t(c_custkey, c_name, c_mktsegment, c_acctbal)
+        )
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM updates
+    """,
+    "w4_range_frame": """
+        SELECT user_id, event_id,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                   AS VARCHAR) AS DOUBLE) AS trailing_hour_value
+        FROM events
+    """,
     "sql1_tpch_q3": """
         SELECT l_orderkey,
                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
