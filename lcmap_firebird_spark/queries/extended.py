@@ -262,6 +262,24 @@ def w4_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sql2_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into a
+    join+aggregate (§4 'join reordering / subquery decorrelation'
+    row); the oracle runs the identical correlated form."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT') AS n_urgent
+        FROM customer
+        """
+    )
+
+
 def sql1_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     """The raw-SQL front door: TPC-H Q3 (shipping priority) through
     spark.sql over the registered views — same text the oracle runs,
@@ -290,6 +308,7 @@ QUERIES = {
     "x5_upsert": x5_upsert,
     "w4_range_frame": w4_range_frame,
     "sql1_tpch_q3": sql1_tpch_q3,
+    "sql2_correlated_subquery": sql2_correlated_subquery,
     "x3_hash_sample_split": x3_hash_sample_split,
     "x4_stratified_sample": x4_stratified_sample,
     "p5_array_ops": p5_array_ops,
@@ -329,6 +348,15 @@ ORACLES = {
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                    AS VARCHAR) AS DOUBLE) AS trailing_hour_value
         FROM events
+    """,
+    "sql2_correlated_subquery": """
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT') AS n_urgent
+        FROM customer
     """,
     "sql1_tpch_q3": """
         SELECT l_orderkey,
