@@ -214,6 +214,25 @@ def x4_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_sample(docs, "lang", fr).select("doc_id", "lang")
 
 
+def j9_parts_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-way fact⋈dim⋈dim join over the remaining catalog tables
+    (part, supplier): revenue by brand × supplier with both dims
+    broadcast."""
+    li = read_table(spark, "lineitem", sf)
+    part = read_table(spark, "part", sf)
+    supp = read_table(spark, "supplier", sf)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
 def x5_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE semantics: 'update' every BUILDING customer's balance to
     0 and 'insert' two synthetic customers; output the merged table
@@ -305,6 +324,7 @@ def sql1_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "j9_parts_suppliers": j9_parts_suppliers,
     "x5_upsert": x5_upsert,
     "w4_range_frame": w4_range_frame,
     "sql1_tpch_q3": sql1_tpch_q3,
@@ -325,6 +345,16 @@ QUERIES = {
 
 ORACLES = {
     # x4_stratified_sample: seeded RNG sampling — rows-only by design.
+    "j9_parts_suppliers": f"""
+        SELECT p_brand, s_name,
+               COUNT(*) AS n_items,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY p_brand, s_name
+    """,
     "x5_upsert": """
         WITH updates AS (
             SELECT c_custkey, c_name, c_mktsegment, 0.0 AS c_acctbal
