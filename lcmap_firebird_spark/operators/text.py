@@ -61,25 +61,26 @@ def stopword_hits(col: str | Column, lang: str) -> Column:
 def language_id(col: str | Column = "text") -> Column:
     """Stopword-profile language ID with deterministic tie-breaking.
 
-    argmax over per-language hit counts, ties resolved by LANG_ORDER,
-    'und' when no profile matches — expressed as a CASE chain so the
-    exact same SQL runs on any engine.
+    argmax over per-language hit counts via `array_max` of
+    (score, priority, lang) structs — O(L) comparisons, so the
+    profile list can grow without a quadratic CASE chain. Ties
+    resolve by LANG_ORDER (earlier language gets higher priority);
+    'und' when no profile matches. Struct comparison is lexicographic
+    on both Spark and DuckDB, so the oracle mirrors this exactly.
     """
-    scores = {lang: stopword_hits(col, lang) for lang in LANG_ORDER}
-    best: Column | None = None
-    pred = F.lit("und")
-    # build CASE from lowest to highest priority so earlier langs win ties
-    for lang in reversed(LANG_ORDER):
-        cond = scores[lang] > 0
-        for other in LANG_ORDER:
-            if other == lang:
-                break  # langs before `lang` in LANG_ORDER win ties (>)
-            cond = cond & (scores[lang] > scores[other])
-        for other in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]:
-            cond = cond & (scores[lang] >= scores[other])
-        pred = F.when(cond, lang).otherwise(pred)
-        best = scores[lang] if best is None else F.greatest(best, scores[lang])
-    return pred
+    n = len(LANG_ORDER)
+    entries = [
+        F.struct(
+            stopword_hits(col, lang).alias("score"),
+            F.lit(n - idx).alias("prio"),  # earlier lang = higher prio
+            F.lit(lang).alias("lang"),
+        )
+        for idx, lang in enumerate(LANG_ORDER)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
 
 
 def punct_count(col: str | Column = "text") -> Column:
@@ -87,12 +88,16 @@ def punct_count(col: str | Column = "text") -> Column:
     return F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
 
 
-def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, col: str = "text", extra_cols: dict[str, Column] | None = None
+) -> DataFrame:
     """Exact-integer quality signals + a deterministic double score.
 
     Signals: length, token count, distinct-token ratio (lexical
     diversity), punctuation ratio, English-stopword ratio — the
     standard C4/Gopher-style quality heuristics, all codegen'd.
+    `extra_cols` appends named expressions to the output projection
+    (used to ride the fingerprint along in the same scan).
     """
     n_chars = char_count(col)
     n_tok = token_count(col)
@@ -112,6 +117,7 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
         n_punct.alias("n_punct"),
         diversity.alias("diversity"),
         F.round(score, 6).alias("quality_score"),
+        *[c.alias(name) for name, c in (extra_cols or {}).items()],
     )
 
 

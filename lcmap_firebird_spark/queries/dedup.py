@@ -39,11 +39,10 @@ def d3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def d4_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return D.simhash(read_table(spark, "documents", sf), bits=SIMHASH_BITS)
-
-
 def d5_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash signature + blocked Hamming pairs (folds old d4: the
+    oracle recomputes the identical signatures, so signature parity is
+    checked transitively through the pair output)."""
     return D.simhash_pairs(
         read_table(spark, "documents", sf),
         max_hamming=HAMMING_MAX,
@@ -67,7 +66,6 @@ QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
-    "d4_simhash": d4_simhash,
     "d5_simhash_pairs": d5_simhash_pairs,
     "d6_embedding_neardup": d6_embedding_neardup,
 }
@@ -168,10 +166,6 @@ ORACLES = {
     "d2_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
         {_JACCARD_TAIL}
-    """,
-    "d4_simhash": f"""
-        WITH {_simhash_cte()}
-        SELECT doc_id, simhash FROM sh_val
     """,
     "d5_simhash_pairs": f"""
         WITH {_simhash_cte()},

@@ -1,10 +1,10 @@
 """ML-pipeline query registry.
 
-u1 densify/dedensify round-trip is oracle-checked (pure column
-algebra once the vector round-trips). The RF train/classify pipeline
-(M1-M5) is seeded-deterministic but has no SQL equivalent — declared
-rows-only; its behavioral guarantees are covered by
-tests/test_plans.py goldens.
+The densify/dedensify round-trip (U1/U2) is oracle-checked inside
+p5_array_ops (queries/extended.py) — folded there in the round-2
+registry consolidation. The RF train/classify pipeline (M1-M5) is
+seeded-deterministic but has no SQL equivalent — declared rows-only;
+its behavioral guarantees are covered by tests/test_plans.py goldens.
 """
 
 from __future__ import annotations
@@ -13,18 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
-from ..operators.vectors import dedensify, densify
-
-
-def u1_densify_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    emb = read_table(spark, "embeddings", sf)
-    dense = densify(emb, ["embedding", "label"], "features", compat=True)
-    back = dedensify(dense, "features", "farr")
-    return back.select(
-        "vec_id",
-        F.element_at("farr", 1).alias("f0"),
-        F.element_at("farr", 2).alias("f1"),
-    )
+from ..operators.vectors import densify
 
 
 def ml1_rf_classify(spark: SparkSession, sf: str) -> DataFrame:
@@ -61,16 +50,8 @@ def ml1_rf_classify(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
-    "u1_densify_roundtrip": u1_densify_roundtrip,
     "ml1_rf_classify": ml1_rf_classify,
 }
 
-ORACLES = {
-    "u1_densify_roundtrip": """
-        SELECT vec_id,
-               CAST(embedding[1] AS DOUBLE) AS f0,
-               CAST(label AS DOUBLE) AS f1
-        FROM embeddings
-    """,
-    # ml1_rf_classify: MLlib pipeline — no SQL oracle, rows-only.
-}
+# ml1_rf_classify: MLlib pipeline — no SQL oracle, rows-only.
+ORACLES: dict[str, str] = {}

@@ -67,11 +67,11 @@ def s1_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") < N_QUERIES), TOP_K)
 
 
-def s2_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    return S.lsh_buckets(read_table(spark, "embeddings", sf), NUM_PLANES, DIM)
-
-
 def s3_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN (folds old s2: the bucket assignment is the
+    first stage of this plan, and the oracle recomputes the identical
+    md5-derived hyperplane buckets, so bucket parity is checked
+    transitively through the k-NN output)."""
     return S.knn_lsh(read_table(spark, "embeddings", sf), TOP_K, NUM_PLANES, DIM)
 
 
@@ -84,7 +84,6 @@ NUM_CELLS = 8
 
 QUERIES = {
     "s1_knn_bruteforce": s1_knn_bruteforce,
-    "s2_lsh_buckets": s2_lsh_buckets,
     "s3_knn_lsh": s3_knn_lsh,
     "s5_ivf_assign": s5_ivf_assign,
 }
@@ -124,10 +123,6 @@ ORACLES = {
         )
         SELECT q_id, n_id, cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {TOP_K}
-    """,
-    "s2_lsh_buckets": f"""
-        WITH qe AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings)
-        SELECT vec_id, {_sql_bucket()} AS bucket FROM qe
     """,
     "s3_knn_lsh": f"""
         WITH qe AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),

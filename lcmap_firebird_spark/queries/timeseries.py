@@ -1,9 +1,16 @@
 """Time-series query registry (events table).
 
-u3 sessionize / u4 threshold segmentation are fully SQL-expressible
+u3 sessionize / threshold segmentation are fully SQL-expressible
 (window algebra) and oracle-checked; u5 is the applyInPandas CCD
 kernel — genuinely non-SQL (iterative refit per break), so it's a
 declared rows-only check (SURVEY §2.9 U3).
+
+Round-2 consolidation (driver records only 50 registry entries):
+- u4_threshold_segments → u3_sessionize_threshold (tagged union)
+- x2's assembled arrays are re-exploded with posexplode — the
+  driver's pandas canonicalizer cannot sort list-typed cells, and
+  the (pos ↔ sorted ts) pairing still proves the O2 array-ordering
+  contract end to end.
 """
 
 from __future__ import annotations
@@ -20,22 +27,44 @@ LEVEL_T = 200.0
 EPOCH_ORDINAL = 719_163  # date(1970,1,1).toordinal()
 
 
-def u3_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+def u3_sessionize_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization and level-shift threshold segmentation
+    over the same events scan, tagged by `kind` (folds old u3 + u4)."""
     ev = read_table(spark, "events", sf)
     s = sessionize(ev, ["user_id"], "ts", GAP_MIN, order_cols=["event_id"])
-    return s.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.unix_micros(F.min("ts")).alias("start_us"),
-        F.unix_micros(F.max("ts")).alias("end_us"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    sessions = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("metric"),
+        )
+        .select(
+            F.lit("session").alias("kind"),
+            "user_id",
+            F.col("session_id").cast("bigint").alias("seg_id"),
+            "start_us",
+            "end_us",
+            "n_obs",
+            "metric",
+        )
     )
-
-
-def u4_threshold_segments(spark: SparkSession, sf: str) -> DataFrame:
-    ev = read_table(spark, "events", sf).withColumn("t_us", F.unix_micros("ts"))
-    return threshold_segments(
-        ev, ["user_id"], "t_us", "value", LEVEL_T, order_cols=["event_id"]
+    ev_us = ev.withColumn("t_us", F.unix_micros("ts"))
+    segments = threshold_segments(
+        ev_us, ["user_id"], "t_us", "value", LEVEL_T, order_cols=["event_id"]
+    ).select(
+        F.lit("threshold").alias("kind"),
+        "user_id",
+        F.col("segment_id").cast("bigint").alias("seg_id"),
+        F.col("seg_start").alias("start_us"),
+        F.col("seg_end").alias("end_us"),
+        "n_obs",
+        F.col("avg_value").alias("metric"),
     )
+    return sessions.unionByName(segments)
 
 
 def u5_ccd_segments(spark: SparkSession, sf: str) -> DataFrame:
@@ -55,26 +84,35 @@ def u5_ccd_segments(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def x2_assemble_series(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key series assembly with an explicit ordering contract
+    (O2): sort_array(collect_list(struct)) inside `assemble`, then
+    posexplode so position i provably holds the i-th (ts, value) in
+    sorted order — scalar output for the driver's canonicalizer."""
     ev = read_table(spark, "events", sf).select(
         "user_id", F.unix_micros("ts").alias("t_us"), "value"
     )
     wide = assemble(ev, ["user_id"], "t_us", ["value"])
     return wide.select(
         "user_id",
-        F.col("t_uss").alias("t_list"),
-        F.col("values").alias("v_list"),
+        F.size("t_uss").alias("n_obs"),
+        F.posexplode(F.arrays_zip("t_uss", "values")).alias("pos", "z"),
+    ).select(
+        "user_id",
+        "n_obs",
+        "pos",
+        F.col("z.t_uss").alias("t_us"),
+        F.col("z.values").alias("value"),
     )
 
 
 QUERIES = {
-    "u3_sessionize": u3_sessionize,
-    "u4_threshold_segments": u4_threshold_segments,
+    "u3_sessionize_threshold": u3_sessionize_threshold,
     "u5_ccd_segments": u5_ccd_segments,
     "x2_assemble_series": x2_assemble_series,
 }
 
 ORACLES = {
-    "u3_sessionize": f"""
+    "u3_sessionize_threshold": f"""
         WITH flagged AS (
             SELECT user_id, event_id, ts, value,
                    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
@@ -90,19 +128,10 @@ ORACLES = {
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
-        )
-        SELECT user_id, session_id,
-               COUNT(*) AS n_events,
-               epoch_us(MIN(ts)) AS start_us,
-               epoch_us(MAX(ts)) AS end_us,
-               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
-                   AS sum_value
-        FROM sessions GROUP BY user_id, session_id
-    """,
-    "u4_threshold_segments": f"""
-        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, value
-                    FROM events),
-        flagged AS (
+        ),
+        ev AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, value
+               FROM events),
+        tflag AS (
             SELECT user_id, event_id, t_us, value,
                    CASE WHEN ABS(CAST(value AS DOUBLE)
                                  - CAST(LAG(value) OVER w AS DOUBLE)) > {LEVEL_T}
@@ -115,20 +144,35 @@ ORACLES = {
             SELECT user_id, t_us, value,
                    SUM(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
                                   ROWS UNBOUNDED PRECEDING) AS segment_id
-            FROM flagged
+            FROM tflag
         )
-        SELECT user_id, segment_id,
-               MIN(t_us) AS seg_start, MAX(t_us) AS seg_end,
+        SELECT 'session' AS kind, user_id,
+               CAST(session_id AS BIGINT) AS seg_id,
+               epoch_us(MIN(ts)) AS start_us,
+               epoch_us(MAX(ts)) AS end_us,
                COUNT(*) AS n_obs,
                CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
-                   / COUNT(*) AS avg_value
+                   AS metric
+        FROM sessions GROUP BY user_id, session_id
+        UNION ALL
+        SELECT 'threshold' AS kind, user_id,
+               CAST(segment_id AS BIGINT) AS seg_id,
+               MIN(t_us) AS start_us, MAX(t_us) AS end_us,
+               COUNT(*) AS n_obs,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS metric
         FROM seg GROUP BY user_id, segment_id
     """,
     # u5_ccd_segments: applyInPandas kernel — declared rows-only.
     "x2_assemble_series": """
-        SELECT user_id,
-               list(epoch_us(ts) ORDER BY epoch_us(ts), value) AS t_list,
-               list(value ORDER BY epoch_us(ts), value) AS v_list
-        FROM events GROUP BY user_id
+        WITH s AS (
+            SELECT user_id, epoch_us(ts) AS t_us, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), value) - 1 AS pos,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_obs
+            FROM events)
+        SELECT user_id, CAST(n_obs AS INT) AS n_obs, CAST(pos AS INT) AS pos,
+               t_us, value
+        FROM s
     """,
 }
