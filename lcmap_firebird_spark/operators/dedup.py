@@ -228,6 +228,17 @@ def lsh_candidates(
     )
 
 
+def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, rep) membership map of byte-identical token streams:
+    rep = min doc_id in each content-fingerprint group. The shuffle
+    key is the 60-bit fingerprint (8 bytes/doc, never the text)."""
+    from .text import fingerprint
+
+    fpd = df.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
+    reps = fpd.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    return fpd.join(reps, "fp").select("doc_id", "rep")
+
+
 def minhash_dedup(
     df: DataFrame,
     threshold: float = 0.5,
@@ -235,19 +246,90 @@ def minhash_dedup(
     bands: int = 4,
     rows: int = 4,
     k: int = 3,
+    exact_first: bool = True,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signatures → band
-    candidates → exact-Jaccard verification of candidates only.
+    """Full MinHash-LSH near-dup pipeline: exact-dedup rung →
+    signatures → band candidates → exact-Jaccard verification of
+    candidates only → membership re-expansion.
+
+    The exact-first rung is the scale-critical composition: 10^5
+    byte-identical copies of one document share every band bucket, so
+    without it one dup cluster alone yields ~10^10 candidate pairs.
+    With it, MinHash runs over one representative per content group
+    (candidate volume is a function of *distinct* content), and group
+    membership is re-expanded afterwards with two equi-joins:
+    intra-group pairs are emitted directly with jaccard = 1.0 (their
+    shingle sets are identical by construction — no verification
+    needed), and each rep-level near-dup pair fans out to the member
+    cross product. Output is row-identical to the unladdered pipeline
+    (`exact_first=False`) because byte-identical docs have identical
+    signatures, candidacy, and Jaccard scores.
 
     The shingle explode is computed ONCE and cached — signatures and
     verification both read it (the reference's persist-for-multi-
-    consumer pattern, ccdc/core.py:68-72, applied to dedup)."""
-    sh = shingle_sets(df, k=k).cache()
-    sig = minhash_signature(df, num_perm=num_perm, k=k, sh_precomputed=sh)
-    cand = lsh_candidates(sig, bands=bands, rows=rows)
-    return jaccard_pairs(
-        df, threshold, k=k, candidates=cand, sh_precomputed=sh
+    consumer pattern, ccdc/core.py:68-72, applied to dedup; the
+    distinct-before-heavy-work ordering mirrors
+    /root/reference/ccdc/randomforest.py:67)."""
+    if not exact_first:
+        sh = shingle_sets(df, k=k).cache()
+        sig = minhash_signature(df, num_perm=num_perm, k=k, sh_precomputed=sh)
+        cand = lsh_candidates(sig, bands=bands, rows=rows)
+        return jaccard_pairs(
+            df, threshold, k=k, candidates=cand, sh_precomputed=sh
+        )
+
+    grp = exact_groups(df)
+    reps_df = df.join(
+        grp.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
     )
+    sh = shingle_sets(reps_df, k=k).cache()
+    sig = minhash_signature(reps_df, num_perm=num_perm, k=k, sh_precomputed=sh)
+    cand = lsh_candidates(sig, bands=bands, rows=rows)
+    rep_pairs = jaccard_pairs(
+        reps_df, threshold, k=k, candidates=cand, sh_precomputed=sh
+    )
+    # --- re-expand membership -------------------------------------
+    # intra-group pairs: identical shingle sets → n_common = n_sh,
+    # jaccard = 1.0 exactly; groups whose rep has no shingles (text
+    # shorter than k tokens) drop via the inner size join, matching
+    # the unladdered pipeline (shingle-less docs never pair).
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    g_a = grp.select("rep", F.col("doc_id").alias("doc_a"))
+    g_b = grp.select("rep", F.col("doc_id").alias("doc_b"))
+    copies = (
+        g_a.join(g_b, "rep")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(sizes.withColumnRenamed("doc_id", "rep"), "rep")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_sh").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross-group pairs: fan each rep pair out to its members; member
+    # ids can invert the rep ordering, so re-normalize doc_a < doc_b.
+    m_a = grp.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("m_a"))
+    m_b = grp.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            "n_common",
+            "jaccard",
+        )
+        .join(m_a, "rep_a")
+        .join(m_b, "rep_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    return cross.unionByName(copies)
 
 
 def simhash(
@@ -285,35 +367,96 @@ def simhash(
     return per_bit.select("doc_id", value.alias("simhash"))
 
 
+def derive_prefix_bits(
+    n: int, target_block: int = 64, lo: int = 8, hi: int = 28
+) -> int:
+    """Blocking width that keeps the expected block at ~`target_block`
+    docs: ceil(log2(n / target_block)), clamped. At n = 10^9 with the
+    default target this yields 24 bits (~16M blocks of ~60 docs) —
+    the in-block quadratic stays bounded as the corpus grows, unlike
+    a fixed prefix."""
+    import math
+
+    if n <= target_block:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_block))))
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 8,
     bits: int = 60,
-    prefix_bits: int = 16,
+    prefix_bits: int | None = None,
+    rotations: int = 1,
+    target_block: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on the top
     `prefix_bits` so the self-join is per-block, not all-pairs.
 
-    Blocking is a recall/cost dial: identical prefixes are guaranteed
-    for hamming distance 0 within the prefix; production would union
-    several rotated blockings. The XOR+bit_count verification is
-    exact-integer → deterministic.
+    Scale dials (both default to corpus-derived behavior):
+    - `prefix_bits=None` derives the width from the corpus count so
+      the expected block holds ~`target_block` docs at any scale
+      (`derive_prefix_bits`); pass an explicit value to pin it.
+    - `rotations=r` unions r rotated blockings (rotation i blocks on
+      the prefix of the signature circularly left-shifted by
+      i·bits/r): a near-dup pair whose differing bits straddle the
+      top prefix is still caught when some rotation moves agreeing
+      bits into the prefix. rotation 0 is the identity, so results
+      are a superset of the single-blocking output; pairs found by
+      several rotations are deduplicated before the Hamming filter.
+
+    The XOR+bit_count verification is exact-integer → deterministic.
     """
+    if prefix_bits is None:
+        # one metadata-cheap count job sizes the blocking; at 100 TB
+        # this is a parquet row-count read, not a scan
+        prefix_bits = derive_prefix_bits(df.count(), target_block)
     sh = simhash(df, bits=bits)
-    blocked = sh.withColumn("blk", F.shiftright("simhash", bits - prefix_bits))
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
+    mask = (1 << bits) - 1
+    blockings = []
+    for r in range(rotations):
+        s = (r * bits) // max(1, rotations)
+        h = F.col("simhash")
+        if s == 0:
+            rot = h
+        else:
+            # circular left shift within `bits`: the << overflow past
+            # bit 63 is discarded by the & mask (2^60 | 2^64, so the
+            # 64-bit wrap preserves the value mod 2^60)
+            rot = (
+                F.shiftleft(h, s)
+                .bitwiseAND(F.lit(mask))
+                .bitwiseOR(F.shiftrightunsigned(h, bits - s))
+            )
+        blockings.append(
+            sh.select(
+                "doc_id",
+                "simhash",
+                F.shiftright(rot, bits - prefix_bits).alias("blk"),
+            )
+        )
+
+    def block_pairs(blocked: DataFrame) -> DataFrame:
+        a = blocked.alias("a")
+        b = blocked.alias("b")
+        return a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+        ).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
         )
+
+    cand = block_pairs(blockings[0])
+    if rotations > 1:
+        for blocked in blockings[1:]:
+            cand = cand.unionByName(block_pairs(blocked))
+        cand = cand.distinct()  # a pair may surface in several rotations
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

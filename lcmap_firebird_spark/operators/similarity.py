@@ -89,9 +89,11 @@ def knn_bruteforce(
     )
 
 
-def _plane_component(plane: int, i: int) -> int:
+def _plane_component(plane: int, i: int, table: int = 0) -> int:
     """Deterministic pseudo-random hyperplane component in
-    [-1000, 1000]: md5-derived, no RNG state.
+    [-1000, 1000]: md5-derived, no RNG state. `table` salts
+    independent plane sets for multi-table LSH (table 0 keeps the
+    original salt so existing oracles stay valid).
 
     Computed driver-side with hashlib (bit-identical to the SQL
     `conv(substr(md5(...)))` recipe) and embedded as a literal, so
@@ -100,33 +102,59 @@ def _plane_component(plane: int, i: int) -> int:
     """
     import hashlib
 
-    h = int(hashlib.md5(f"plane:{plane}:{i}".encode()).hexdigest()[:15], 16)
+    salt = f"plane:{plane}:{i}" if table == 0 else f"plane:t{table}:{plane}:{i}"
+    h = int(hashlib.md5(salt.encode()).hexdigest()[:15], 16)
     return h % 2001 - 1000
+
+
+def derive_num_planes(
+    n: int, target_bucket: int = 64, lo: int = 4, hi: int = 30
+) -> int:
+    """Plane count that keeps the expected bucket at ~`target_bucket`
+    vectors: ceil(log2(n / target_bucket)), clamped. At n = 10^9 with
+    the default target this yields 24 planes (~16M buckets) — the
+    per-bucket quadratic stays bounded as the corpus grows, unlike a
+    fixed 8-plane / 256-bucket layout."""
+    import math
+
+    if n <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_bucket))))
 
 
 def lsh_buckets(
     embeddings: DataFrame,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table: int = 0,
 ) -> DataFrame:
     """Random-hyperplane (SimHash) LSH bucket id per vector.
 
     bucket bit j = sign(w_j · v) with w_j a deterministic md5-derived
     integer hyperplane; all arithmetic exact-integer. Vectors in the
     same bucket are ANN candidates — at scale, search joins on
-    `bucket` instead of scanning the corpus (expected bucket size =
-    N / 2^planes; union multiple plane-sets for recall).
+    `bucket` instead of scanning the corpus.
+
+    `num_planes=None` derives the width from the corpus count so the
+    expected bucket holds ~64 vectors at any scale
+    (`derive_num_planes`); `table` selects an independent plane set
+    for multi-table recall (see `knn_lsh`'s num_tables).
     """
     from .dedup import spread
 
+    if num_planes is None:
+        num_planes = derive_num_planes(embeddings.count())
     embeddings = spread(embeddings, id_col)
     qv = quantize(vec_col)
     bucket = F.lit(0).cast("bigint")
     for j in range(num_planes):
         w = F.array(
-            *[F.lit(_plane_component(j, i)).cast("bigint") for i in range(dim)]
+            *[
+                F.lit(_plane_component(j, i, table)).cast("bigint")
+                for i in range(dim)
+            ]
         )
         proj = F.aggregate(
             F.zip_with(qv, w, lambda x, y: x * y),
@@ -211,13 +239,44 @@ def knn_ivf(
     )
 
 
+def _bucket_pairs(
+    embeddings: DataFrame,
+    num_planes: int | None,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    num_tables: int,
+    symmetric: bool,
+) -> DataFrame:
+    """Candidate (a_id, b_id) pairs sharing a bucket in ANY of
+    `num_tables` independent plane sets; multi-table unions are
+    deduplicated. symmetric=True emits both directions (k-NN),
+    False emits a_id < b_id once (dedup pairs)."""
+    pairs: DataFrame | None = None
+    for t in range(num_tables):
+        b = lsh_buckets(embeddings, num_planes, dim, id_col, vec_col, table=t)
+        a = b.alias("a")
+        c = b.alias("c")
+        ident = (
+            F.col("a.vec_id") != F.col("c.vec_id")
+            if symmetric
+            else F.col("a.vec_id") < F.col("c.vec_id")
+        )
+        p = a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & ident).select(
+            F.col("a.vec_id").alias("a_id"), F.col("c.vec_id").alias("b_id")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct() if num_tables > 1 else pairs
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -225,23 +284,20 @@ def embedding_neardup_pairs(
     same-LSH-bucket pairs (equi-join, no all-pairs product),
     verification = exact quantized cosine ≥ threshold. Same
     candidates-before-quadratics ordering as MinHash dedup.
+    `num_planes=None` sizes buckets from the corpus count;
+    `num_tables>1` unions independent plane sets for recall.
     """
-    b = lsh_buckets(embeddings, num_planes, dim, id_col, vec_col)
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
-    ).join(b, "vec_id")
-    a = e.alias("a")
-    c = e.alias("c")
+    cand = _bucket_pairs(
+        embeddings, num_planes, dim, id_col, vec_col, num_tables, symmetric=False
+    )
+    e = embeddings.select(F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv"))
     return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col("a.vec_id") < F.col("c.vec_id")),
-        )
+        cand.join(e.select(F.col("vec_id").alias("a_id"), F.col("qv").alias("qa")), "a_id")
+        .join(e.select(F.col("vec_id").alias("b_id"), F.col("qv").alias("qb")), "b_id")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("c.vec_id").alias("vec_b"),
-            cosine_q(F.col("a.qv"), F.col("c.qv")).alias("cosine"),
+            F.col("a_id").alias("vec_a"),
+            F.col("b_id").alias("vec_b"),
+            cosine_q(F.col("qa"), F.col("qb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -250,30 +306,32 @@ def embedding_neardup_pairs(
 def knn_lsh(
     embeddings: DataFrame,
     top_k: int = 5,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
     """ANN: top-k within LSH bucket (candidates share all planes).
 
     Recall < 1 by construction; the equi-join on bucket replaces the
     all-pairs product — the scale path for standing similarity jobs.
+    `num_planes=None` sizes buckets from the corpus count;
+    `num_tables>1` unions independent plane sets (classic multi-table
+    LSH) to recover recall lost to narrower buckets.
     """
-    b = lsh_buckets(embeddings, num_planes, dim, id_col, vec_col)
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
-    ).join(b, "vec_id")
-    a = e.alias("a")
-    c = e.alias("c")
-    scored = a.join(
-        c,
-        (F.col("a.bucket") == F.col("c.bucket"))
-        & (F.col("a.vec_id") != F.col("c.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("q_id"),
-        F.col("c.vec_id").alias("n_id"),
-        cosine_q(F.col("a.qv"), F.col("c.qv")).alias("cosine"),
+    cand = _bucket_pairs(
+        embeddings, num_planes, dim, id_col, vec_col, num_tables, symmetric=True
+    )
+    e = embeddings.select(F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv"))
+    scored = (
+        cand.join(e.select(F.col("vec_id").alias("a_id"), F.col("qv").alias("qa")), "a_id")
+        .join(e.select(F.col("vec_id").alias("b_id"), F.col("qv").alias("qb")), "b_id")
+        .select(
+            F.col("a_id").alias("q_id"),
+            F.col("b_id").alias("n_id"),
+            cosine_q(F.col("qa"), F.col("qb")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
