@@ -39,7 +39,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_HAS_CODECS = False  # PIL / soundfile / av are not in this container
+# Probe for a real image codec at import time: when PIL exists the
+# decode/resize kernels run it; otherwise the deterministic stubs
+# exercise the identical plumbing. (This container has no PIL, so the
+# stub path runs here — but the gate is live, not hardcoded.)
+from importlib.util import find_spec as _find_spec  # noqa: E402
+
+_HAS_CODECS = _find_spec("PIL") is not None
 
 # Ship mapInPandas kernels by value — executors may not have this
 # repo on PYTHONPATH (see operators/segmentation.py).
@@ -90,14 +96,20 @@ def to_media_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def _decode_image(payload: bytes) -> tuple[int | None, int | None]:
-    """Codec stub: real decode needs PIL, absent here.
+    """Image dimension probe: PIL when available, else a
+    deterministic stub (fake dimensions derived from the payload) so
+    the full pipeline — schema, nullability, Arrow round-trip — is
+    exercised identically on codec-less containers."""
+    if _HAS_CODECS:  # pragma: no cover — PIL absent in this container
+        import io
 
-    Returns deterministic fake dimensions derived from the payload so
-    the full pipeline (schema, nullability, Arrow round-trip) is
-    exercised; swap the body for `PIL.Image.open(io.BytesIO(...))`
-    in a codec-enabled image."""
-    if _HAS_CODECS:  # pragma: no cover
-        raise NotImplementedError("wire PIL.Image.open here")
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                return int(img.width), int(img.height)
+        except Exception:
+            return None, None  # undecodable payload → null dims
     h = hashlib.md5(payload).digest()
     return 1 + h[0] % 64, 1 + h[1] % 64
 
@@ -130,11 +142,11 @@ def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
 
 
 def resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize stub: real impl is PIL `Image.resize` inside the same
-    kernel shape. The stub emits a deterministic 'thumbnail' (payload
-    truncated to width·height bytes, zero-padded) plus the typed
-    target dims — exercising the contract that matters on Spark:
-    payload-in/payload-out binary kernels with metadata columns.
+    """Thumbnail kernel: PIL `Image.resize` when a codec is present,
+    else a deterministic stand-in (payload truncated to width·height
+    bytes, zero-padded) — either way the contract that matters on
+    Spark is exercised: payload-in/payload-out binary kernels with
+    typed metadata columns.
     """
     schema = StructType(
         [
@@ -146,17 +158,27 @@ def resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     )
     n = width * height
 
+    def _thumb(payload: bytes) -> bytes:
+        if _HAS_CODECS:  # pragma: no cover — PIL absent here
+            import io
+
+            from PIL import Image
+
+            try:
+                with Image.open(io.BytesIO(payload)) as img:
+                    buf = io.BytesIO()
+                    img.resize((width, height)).save(buf, format="PNG")
+                    return buf.getvalue()
+            except Exception:
+                pass  # undecodable → deterministic fallback below
+        return bytes(payload[:n]).ljust(n, b"\0")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAS_CODECS:  # pragma: no cover
-                raise NotImplementedError("wire PIL Image.resize here")
-            thumbs = [
-                bytes(p[:n]).ljust(n, b"\0") for p in pdf["payload"]
-            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": thumbs,
+                    "payload": [_thumb(p) for p in pdf["payload"]],
                     "width": width,
                     "height": height,
                 }

@@ -14,12 +14,20 @@ detection is a pure MAP: `mapInPandas`, one pixel row in → N segment
 rows out, ZERO shuffles. The reference's flatMap shape, kept — but
 visible to Catalyst and Arrow-batched.
 
-Model simplification vs lcmap-pyccd (documented, intentional): OLS
-line per band instead of Lasso-on-harmonics; break when the
+Model fidelity (round 2): per-band fits are LASSO over the harmonic
+basis — the model family lcmap-pyccd actually uses (its lasso model
+wraps sklearn `linear_model.Lasso` fitted on the same
+intercept/trend/annual-harmonic design) — implemented here as plain
+numpy coordinate descent with soft-thresholding (unpenalized,
+centered intercept), so no sklearn dependency reaches the executors.
+A Tmask-style robust iteration screens outliers before the final
+fit: observations whose residual exceeds `ROBUST_T`·rmse are dropped
+once and the model refit on the inliers (pyccd's Tmask screens with
+robust thresholds before fitting, same intent). Break when the
 cross-band mean normalized residual of `peek` consecutive clear
 observations exceeds `chi` (pyccd's consecutive-observation test,
-aggregated across bands). Harmonic terms are a round-2 extension —
-the schema, masking, sentinel, and date semantics are exact.
+aggregated across bands). Schema, masking, sentinel, and date
+semantics are exact (ccdc/pyccd.py:39-148).
 """
 
 from __future__ import annotations
@@ -69,12 +77,68 @@ def _design(ts: np.ndarray, harmonics: int) -> np.ndarray:
     return np.column_stack(cols)
 
 
+# lcmap-pyccd's lasso model regularization weight (its lasso module
+# builds sklearn Lasso with alpha=1 over this same design); iteration
+# caps keep the coordinate descent deterministic.
+LASSO_ALPHA = 1.0
+LASSO_MAX_ITER = 100
+LASSO_TOL = 1e-7
+# Tmask-style robust screen: drop observations beyond T·rmse once,
+# refit on inliers (pyccd screens outliers before the final fit).
+ROBUST_T = 4.0
+
+
+def _lasso_cd(
+    X: np.ndarray,
+    y: np.ndarray,
+    alpha: float,
+    max_iter: int = LASSO_MAX_ITER,
+    tol: float = LASSO_TOL,
+) -> np.ndarray:
+    """Coordinate-descent Lasso, sklearn objective
+    (1/2n)·||y − Xβ||² + α·||β₁..||₁ with the intercept (column 0)
+    unpenalized via centering. Deterministic: fixed sweep order,
+    fixed tolerance, no RNG."""
+    n, p = X.shape
+    Xc = X[:, 1:]
+    xm = Xc.mean(axis=0)
+    ym = y.mean()
+    Xz = Xc - xm
+    yz = y - ym
+    z = (Xz * Xz).sum(axis=0) / n  # per-feature curvature
+    b = np.zeros(p - 1)
+    r = yz.copy()
+    for _ in range(max_iter):
+        delta = 0.0
+        for j in range(p - 1):
+            if z[j] <= 0.0:
+                continue
+            rho = (Xz[:, j] @ r) / n + z[j] * b[j]
+            bj = np.sign(rho) * max(abs(rho) - alpha, 0.0) / z[j]
+            if bj != b[j]:
+                r += Xz[:, j] * (b[j] - bj)
+                delta = max(delta, abs(bj - b[j]))
+                b[j] = bj
+        if delta < tol:
+            break
+    beta = np.empty(p)
+    beta[0] = ym - xm @ b
+    beta[1:] = b
+    return beta
+
+
 def _fit(
-    ts: np.ndarray, vs: np.ndarray, harmonics: int = 0
+    ts: np.ndarray,
+    vs: np.ndarray,
+    harmonics: int = 0,
+    alpha: float = LASSO_ALPHA,
+    robust: bool = True,
 ) -> tuple[np.ndarray, float]:
-    """Least-squares fit over the harmonic basis → (beta, rmse).
-    beta[0]=intercept, beta[1]=trend slope, beta[2:]=harmonic terms.
-    rmse uses n−p dof (p = 2+2k params)."""
+    """Lasso fit over the harmonic basis → (beta, rmse) with one
+    Tmask-style robust pass. beta[0]=intercept, beta[1]=trend slope,
+    beta[2:]=harmonic terms. rmse uses n−p dof (p = 2+2k params).
+    `alpha=0` short-circuits to exact OLS (lstsq) — the round-1
+    behavior, kept for comparison and degenerate bases."""
     n = len(ts)
     p = 2 + 2 * harmonics
     if n == 0:
@@ -85,9 +149,27 @@ def _fit(
         resid = vs - beta[0]
         return beta, float(np.sqrt((resid * resid).sum() / max(n - 1, 1)))
     X = _design(ts, harmonics)
-    beta, *_ = np.linalg.lstsq(X, vs, rcond=None)
-    resid = vs - X @ beta
-    return beta, float(np.sqrt((resid * resid).sum() / max(n - p, 1)))
+
+    def solve(Xw: np.ndarray, yw: np.ndarray) -> np.ndarray:
+        if alpha <= 0.0:
+            beta, *_ = np.linalg.lstsq(Xw, yw, rcond=None)
+            return beta
+        return _lasso_cd(Xw, yw, alpha)
+
+    def score(Xw, yw, beta) -> tuple[np.ndarray, float]:
+        resid = yw - Xw @ beta
+        rmse = float(np.sqrt((resid * resid).sum() / max(len(yw) - p, 1)))
+        return resid, rmse
+
+    beta = solve(X, vs)
+    resid, rmse = score(X, vs, beta)
+    if robust and rmse > 0.0:
+        inlier = np.abs(resid) <= ROBUST_T * rmse
+        n_in = int(inlier.sum())
+        if p + 1 <= n_in < n:  # something to drop, enough to refit
+            beta = solve(X[inlier], vs[inlier])
+            _, rmse = score(X[inlier], vs[inlier], beta)
+    return beta, rmse
 
 
 def _predict(ts: np.ndarray, beta: np.ndarray, harmonics: int) -> np.ndarray:

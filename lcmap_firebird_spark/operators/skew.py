@@ -21,10 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt_col(keys: Sequence[str], salt: int):
-    # deterministic (xxhash of the key tuple + a spreading column) so
-    # retries and re-runs place rows identically
-    return F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()), F.lit(salt))
+def _salt_col(df: DataFrame, keys: Sequence[str], salt: int):
+    # salt = xxhash of the ENTIRE row content (never
+    # spark_partition_id, which is explicitly nondeterministic under
+    # recomputation / different input splits): a pure function of row
+    # attributes, so retries and re-runs place rows identically, and
+    # a hot key's distinct rows spread across all `salt` buckets even
+    # when the key occupies few input partitions
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
 
 
 def salted_join(
@@ -38,7 +42,7 @@ def salted_join(
     deterministic salt in [0, salt); `small` is exploded across all
     salts. Each hot key's rows now land on `salt` reducers instead
     of one. Result is identical to a plain join."""
-    big_s = big.withColumn("_salt", _salt_col(keys, salt))
+    big_s = big.withColumn("_salt", _salt_col(big, keys, salt))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
@@ -55,7 +59,7 @@ def salted_agg_count(
     map-side partials; this pattern matters for algebraic aggregates
     implemented via applyInPandas, where no partial exists.)"""
     partial = (
-        df.withColumn("_salt", _salt_col(keys, salt))
+        df.withColumn("_salt", _salt_col(df, keys, salt))
         .groupBy(*keys, "_salt")
         .agg(F.count("*").alias("_n"))
     )

@@ -124,12 +124,17 @@ def segment_schema(with_dates_mask: bool = True) -> StructType:
     fields += [StructField(f"{b}rmse", FloatType(), True) for b in _BANDS]
     fields += [StructField(f"{b}coef", farr, True) for b in _BANDS]
     fields += [StructField(f"{b}int", FloatType(), True) for b in _BANDS]
-    fields += [StructField("rfrawp", farr, True)]
     if with_dates_mask:
+        # reference field order ends dates, mask, rfrawp
+        # (ccdc/pyccd.py:77-81)
         fields += [
             StructField("dates", ArrayType(StringType()), False),
             StructField("mask", ArrayType(ByteType()), True),
+            StructField("rfrawp", farr, True),
         ]
+    else:
+        # persisted segment projection ends rfrawp (ccdc/segment.py)
+        fields += [StructField("rfrawp", farr, True)]
     return StructType(fields)
 
 

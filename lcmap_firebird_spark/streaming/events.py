@@ -257,6 +257,22 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+_CKPT_ROOT: str | None = None
+LOCAL_STATE_PARTITIONS = 4
+
+
+def streaming_conf() -> str:
+    """One shared checkpoint ROOT per process (each query still gets
+    its own subdirectory — checkpoints are per-query state, but the
+    root is created/stat'd once). Returns the root path."""
+    global _CKPT_ROOT
+    if _CKPT_ROOT is None:
+        import tempfile
+
+        _CKPT_ROOT = tempfile.mkdtemp(prefix="firebird_stream_ckpt_")
+    return _CKPT_ROOT
+
+
 def run_available_now(
     stream_df: DataFrame, spark: SparkSession, mode: str = "append"
 ) -> DataFrame:
@@ -273,22 +289,27 @@ def run_available_now(
     """
     name = f"st_{uuid.uuid4().hex[:12]}"
     # Stateful operators allocate one state store per shuffle
-    # partition per operator; local streams don't need 32+. The
-    # partition count is captured into the (fresh) checkpoint at
-    # start, so scoping the conf around start() affects only this
-    # query. On a real cluster you'd size this to throughput and
-    # keep it FIXED for the checkpoint's lifetime.
+    # partition per operator; local availableNow runs over a few MB
+    # don't need 32+ stores spun up and checkpointed — 4 keeps the
+    # fixed cost low. The partition count is captured into the
+    # (fresh) checkpoint at start, so scoping the conf around
+    # start() affects only this query. On a real cluster you'd size
+    # this to throughput and keep it FIXED for the checkpoint's
+    # lifetime.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set(
-            "spark.sql.shuffle.partitions", str(min(int(prev), 8))
+            "spark.sql.shuffle.partitions",
+            str(min(int(prev), LOCAL_STATE_PARTITIONS)),
         )
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
             .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join("/tmp", f"ckpt_{name}"))
+            .option(
+                "checkpointLocation", os.path.join(streaming_conf(), name)
+            )
             .start()
         )
     finally:

@@ -126,3 +126,45 @@ def test_projection_tables_conform(ard):
     assert len(pyccd.segment_table(seg).schema.fields) == 38
     assert pyccd.chip_table(seg).count() == 1  # one chip
     assert pyccd.pixel_table(seg).count() == 2  # two pixels
+
+
+def test_lasso_shrinks_spurious_harmonics_ols_keeps():
+    """Trend-only signal fitted WITH harmonic terms: OLS keeps small
+    noise-fitted harmonic coefficients, Lasso's soft threshold zeroes
+    them exactly — the reason lcmap-pyccd regularizes this basis."""
+    rng = np.random.default_rng(3)
+    ts = np.array([100.0 + 10 * i for i in range(60)])
+    vs = 1000.0 + 0.5 * ts + rng.normal(0, 5.0, 60)
+    beta_ols, _ = pyccd._fit(ts, vs, harmonics=2, alpha=0.0, robust=False)
+    beta_lasso, _ = pyccd._fit(ts, vs, harmonics=2, robust=False)
+    assert all(abs(b) > 0 for b in beta_ols[2:])  # OLS noise-fits
+    assert all(b == 0.0 for b in beta_lasso[2:])  # Lasso shrinks to 0
+    # trend survives regularization essentially unchanged
+    assert beta_lasso[1] == pytest.approx(0.5, abs=0.05)
+
+
+def test_lasso_keeps_real_seasonal_amplitude():
+    """A genuine 300-unit annual harmonic must NOT be shrunk away
+    (alpha=1 on reflectance-scale data barely biases real signal)."""
+    rng = np.random.default_rng(4)
+    ts = np.array([100.0 + 10 * i for i in range(80)])
+    vs = 1000.0 + 300.0 * np.sin(2 * np.pi * ts / 365.25) + rng.normal(0, 3.0, 80)
+    beta, _ = pyccd._fit(ts, vs, harmonics=1)
+    amp = (beta[2] ** 2 + beta[3] ** 2) ** 0.5
+    assert 290 < amp < 310
+
+
+def test_robust_refit_screens_outliers():
+    """One wild outlier (cloud shadow the QA missed): the Tmask-style
+    pass drops it, so slope and rmse match the clean series instead
+    of being dragged by the spike."""
+    rng = np.random.default_rng(6)
+    ts = np.array([100.0 + 10 * i for i in range(40)])
+    clean = 1000.0 + 1.0 * ts + rng.normal(0, 4.0, 40)
+    dirty = clean.copy()
+    dirty[20] += 5000.0
+    beta_r, rmse_r = pyccd._fit(ts, dirty, harmonics=0, robust=True)
+    beta_n, rmse_n = pyccd._fit(ts, dirty, harmonics=0, robust=False)
+    assert rmse_r < rmse_n / 5  # outlier no longer inflates rmse
+    assert beta_r[1] == pytest.approx(1.0, abs=0.05)
+    assert rmse_r < 10.0
