@@ -332,6 +332,116 @@ def minhash_dedup(
     return cross.unionByName(copies)
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → one cluster id per
+    document: the production dedup output ("keep one per cluster")
+    built on top of any pair source (minhash_dedup, simhash_pairs,
+    embedding_neardup_pairs).
+
+    Algorithm: min-label propagation with pointer jumping — each
+    round takes the min label over the neighborhood, then follows one
+    label indirection (label ← label's label), so labels double their
+    reach per round and convergence is O(log component-diameter)
+    rounds, not O(diameter). Each round is two keyed equi-joins +
+    one groupBy (shuffles on doc_id/label — uniform keys), and
+    `localCheckpoint` truncates the lineage so the plan doesn't grow
+    with iterations. The driver-side loop touches only a convergence
+    COUNT per round — never row data.
+
+    `pairs` needs (doc_a, doc_b) columns; `all_ids` (a doc_id frame)
+    adds isolated documents as singleton clusters. Output:
+    (doc_id, cluster_id, is_keeper) with cluster_id = min doc_id of
+    the component — deterministic on any engine.
+    """
+    # materialize the pair plan ONCE before symmetrizing — `pairs` is
+    # usually an expensive upstream plan (MinHash signatures + band
+    # join + verification), the a→b ∪ b→a union would execute it
+    # twice, and every propagation round joins the edges again
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    spark = sym.sparkSession
+    # Pin the loop's shuffle width to the EDGE count, not the session
+    # default (PLANS.md: pin parallelism where the byte heuristic
+    # mis-sizes): near-dup graphs are tiny relative to the corpus, and
+    # 32-way shuffles of a few hundred rows cost more in task setup
+    # than the join itself. ~100k edges per partition; grows with the
+    # graph on a real cluster.
+    n_edges = sym.count()
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
+    # iterate ONLY over vertices that touch an edge; isolated docs
+    # (the overwhelming majority of a deduped corpus) are attached as
+    # singleton clusters with one anti-join AFTER convergence instead
+    # of riding every propagation round
+    verts = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = verts.select("doc_id", F.col("doc_id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    def checksum(frame: DataFrame) -> int:
+        # labels only ever decrease, so the label sum is a monotone
+        # convergence witness — one agg, no self-join
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_sum = checksum(labels)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(
+                    labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
+                )
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+                .withColumnRenamed("src", "doc_id")
+            )
+            stepped = labels.join(nbr_min, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            # pointer jump: follow one indirection so reach doubles
+            jump = stepped.select(
+                F.col("doc_id").alias("label"), F.col("label").alias("label2")
+            )
+            new_labels = stepped.join(jump, "label", "left").select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("label2", F.col("label"))
+                ).alias("label"),
+            )
+            labels = new_labels.localCheckpoint(eager=True)
+            new_sum = checksum(labels)
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if all_ids is not None:
+        singles = (
+            all_ids.select("doc_id")
+            .distinct()
+            .join(labels.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("label"))
+        )
+        labels = labels.unionByName(singles)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -62,12 +62,24 @@ def d6_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def d7_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Production dedup output: connected components over the MinHash
+    near-dup pairs → (doc_id, cluster_id, is_keeper) for EVERY
+    document (singletons keep themselves). Iterative min-label
+    propagation with pointer jumping on DataFrames; the oracle is a
+    recursive CTE computing the same component minima."""
+    docs = read_table(spark, "documents", sf)
+    pairs = d3_minhash_lsh(spark, sf)
+    return D.dedup_clusters(pairs, all_ids=docs.select("doc_id"))
+
+
 QUERIES = {
     "d1_exact_dedup": d1_exact_dedup,
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
     "d5_simhash_pairs": d5_simhash_pairs,
     "d6_embedding_neardup": d6_embedding_neardup,
+    "d7_dedup_clusters": d7_dedup_clusters,
 }
 
 # ---------------------------------------------------------------------------
@@ -221,4 +233,24 @@ ORACLES["d3_minhash_lsh"] = f"""
                   WHERE cand.doc_a = c.doc_a AND cand.doc_b = c.doc_b)
       AND CAST(c.n_common AS DOUBLE)
               / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) >= {JACCARD_T}
+"""
+
+# Connected components over the d3 pair set: recursive label
+# reachability, MIN(label) per doc = component minimum — the same
+# cluster ids the Spark-side pointer-jumping loop converges to.
+ORACLES["d7_dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLES['d3_minhash_lsh']}) t),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)
+    SELECT doc_id,
+           MIN(label) AS cluster_id,
+           doc_id = MIN(label) AS is_keeper
+    FROM reach GROUP BY doc_id
 """

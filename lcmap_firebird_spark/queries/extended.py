@@ -257,6 +257,24 @@ def sql2_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def z1_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    the multi-dimensional sort key `operators/zorder.write_zordered`
+    clusters files by, exposed as a query so the interleave math is
+    oracle-checked; zbucket (top bits) is the coarse cluster id a
+    reader prunes on."""
+    from ..operators.zorder import zvalue
+
+    li = read_table(spark, "lineitem", sf)
+    z = zvalue(["l_partkey", "l_suppkey"], bits=16)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        z.alias("zval"),
+        F.shiftright(z, 24).alias("zbucket"),
+    )
+
+
 def sql1_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     """The raw-SQL front door: TPC-H Q3 (shipping priority) through
     spark.sql over the registered views — same text the oracle runs,
@@ -295,6 +313,7 @@ QUERIES = {
     "j7_asof_join": j7_asof_join,
     "j8_range_join": j8_range_join,
     "s4_external_fetch": s4_external_fetch,
+    "z1_zorder": z1_zorder,
 }
 
 ORACLES = {
@@ -428,3 +447,18 @@ ORACLES = {
         FROM nation, generate_series(0, 3) t(i)
     """,
 }
+
+
+def _z1_oracle() -> str:
+    from ..operators.zorder import sql_zvalue
+
+    z = sql_zvalue(["l_partkey", "l_suppkey"], bits=16)
+    return f"""
+        SELECT l_orderkey, l_linenumber,
+               {z} AS zval,
+               ({z} >> 24) AS zbucket
+        FROM lineitem
+    """
+
+
+ORACLES["z1_zorder"] = _z1_oracle()
