@@ -273,12 +273,18 @@ def minhash_dedup(
     if not exact_first:
         sh = shingle_sets(df, k=k).cache()
         sig = minhash_signature(df, num_perm=num_perm, k=k, sh_precomputed=sh)
-        cand = lsh_candidates(sig, bands=bands, rows=rows)
+        # verification consumes the candidate set twice (doc-restriction
+        # semi-join + pair semi-join) — cache it so the signature + band
+        # self-join pipeline runs once; the set is tiny (near-dup pairs)
+        cand = lsh_candidates(sig, bands=bands, rows=rows).cache()
         return jaccard_pairs(
             df, threshold, k=k, candidates=cand, sh_precomputed=sh
         )
 
-    grp = exact_groups(df)
+    # the membership map is read five times (rep semi-join, intra-group
+    # pair expansion ×2, cross-group expansion ×2) — cache it so the
+    # fingerprint pass over the corpus runs once, not five times
+    grp = exact_groups(df).cache()
     reps_df = df.join(
         grp.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id",
@@ -286,7 +292,7 @@ def minhash_dedup(
     )
     sh = shingle_sets(reps_df, k=k).cache()
     sig = minhash_signature(reps_df, num_perm=num_perm, k=k, sh_precomputed=sh)
-    cand = lsh_candidates(sig, bands=bands, rows=rows)
+    cand = lsh_candidates(sig, bands=bands, rows=rows).cache()
     rep_pairs = jaccard_pairs(
         reps_df, threshold, k=k, candidates=cand, sh_precomputed=sh
     )
