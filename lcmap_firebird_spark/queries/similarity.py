@@ -75,8 +75,12 @@ def s3_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return S.knn_lsh(read_table(spark, "embeddings", sf), TOP_K, NUM_PLANES, DIM)
 
 
-def s5_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
-    return S.ivf_assign(read_table(spark, "embeddings", sf), NUM_CELLS)
+def s5_ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN search (folds old s5_ivf_assign: the coarse-quantizer
+    assignment is the first stage of this plan and the oracle
+    recomputes the identical seed distances, so cell parity is
+    checked transitively through the k-NN output)."""
+    return S.knn_ivf(read_table(spark, "embeddings", sf), TOP_K, NUM_CELLS)
 
 
 NUM_CELLS = 8
@@ -85,27 +89,45 @@ NUM_CELLS = 8
 QUERIES = {
     "s1_knn_bruteforce": s1_knn_bruteforce,
     "s3_knn_lsh": s3_knn_lsh,
-    "s5_ivf_assign": s5_ivf_assign,
+    "s5_ivf_knn": s5_ivf_knn,
 }
 
 ORACLES = {
-    "s5_ivf_assign": f"""
+    "s5_ivf_knn": f"""
         WITH seeds AS (SELECT vec_id AS seed_id, {_QVEC} AS sv
                        FROM embeddings WHERE vec_id < 8),
         corpus AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
-        scored AS (
+        assign_scored AS (
             SELECT vec_id, seed_id,
                    list_sum(list_transform(generate_series(1, len(qv)),
                        i -> (qv[i] - sv[i]) * (qv[i] - sv[i]))) AS dist
             FROM corpus, seeds
         ),
-        ranked AS (
-            SELECT vec_id, seed_id AS cell, CAST(dist AS BIGINT) AS dist,
+        assign_ranked AS (
+            SELECT vec_id, seed_id AS cell,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY dist, seed_id) AS rn
+            FROM assign_scored
+        ),
+        e AS (
+            SELECT c.vec_id, c.qv, a.cell
+            FROM corpus c JOIN assign_ranked a
+              ON a.vec_id = c.vec_id AND a.rn = 1
+        ),
+        scored AS (
+            SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                   {_sql_cosine('a.qv', 'b.qv')} AS cosine
+            FROM e a JOIN e b
+              ON a.cell = b.cell AND a.vec_id != b.vec_id
+        ),
+        ranked AS (
+            SELECT q_id, n_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, n_id) AS rank
             FROM scored
         )
-        SELECT vec_id, cell, dist FROM ranked WHERE rn = 1
+        SELECT q_id, n_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
     """,
     "s1_knn_bruteforce": f"""
         WITH q AS (SELECT vec_id AS q_id, {_QVEC} AS qv

@@ -9,7 +9,16 @@ scale hazard (CSV/JSON inference scans the data twice).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 
 def read_csv(
@@ -67,3 +76,42 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+
+
+# The record schema the kafka connector emits (Structured Streaming
+# Kafka integration guide). Everything downstream of the connector is
+# written against THIS shape, so the parse path is testable on a
+# static DataFrame with no broker: the jar only supplies rows.
+KAFKA_WIRE_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+
+def parse_kafka_events(
+    kafka_df: DataFrame, value_schema: StructType
+) -> DataFrame:
+    """Decode kafka records into typed event rows.
+
+    `value` is UTF-8 JSON → `from_json` under the caller's declared
+    schema (inference is impossible on a stream and a scale hazard
+    anyway); kafka ingestion metadata is kept as `_topic/_partition/
+    _offset/_ts` so downstream dedup can build an idempotence key
+    without re-reading the broker. Works identically on a static
+    DataFrame (tests) and a readStream source (production) — the plan
+    is the same Catalyst tree.
+    """
+    return kafka_df.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.col("topic").alias("_topic"),
+        F.col("partition").alias("_partition"),
+        F.col("offset").alias("_offset"),
+        F.col("timestamp").alias("_ts"),
+    ).select("v.*", "_topic", "_partition", "_offset", "_ts")
