@@ -194,14 +194,11 @@ def minhash_signature(
     return tagged.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(
-    signatures: DataFrame, bands: int = 4, rows: int = 4
-) -> DataFrame:
-    """LSH banding: docs agreeing on all `rows` hashes of any band
-    become a candidate pair. One explode + one self-join on the band
-    bucket — the join key is (band_id, md5-of-band), so the shuffle is
-    tiny and uniform even when documents are skewed.
-    """
+def band_keys(signatures: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """(doc_id, band_id, band_key) rows from h0..h{bands·rows-1}
+    signature columns — the LSH banding projection. Pure column work:
+    callers decide the join shape (self-join for batch dedup,
+    batch⋈store for incremental)."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -211,9 +208,20 @@ def lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def lsh_candidates(
+    signatures: DataFrame, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on all `rows` hashes of any band
+    become a candidate pair. One explode + one self-join on the band
+    bucket — the join key is (band_id, md5-of-band), so the shuffle is
+    tiny and uniform even when documents are skewed.
+    """
+    banded = band_keys(signatures, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -54,6 +54,23 @@ def cosine_q(a: Column, b: Column) -> Column:
     )
 
 
+def norm_q(a: Column) -> Column:
+    """sqrt of the exact integer self-dot — precompute this per VECTOR
+    before any pairwise join: `cosine_q` inside a pair join re-derives
+    both norms for every candidate pair (3× the zip_with work and, at
+    k candidates/vector, k× redundant), while
+    `dot/(norm_a·norm_b)` with precomputed norms does one array pass
+    per pair. Bit-identical result: same exact-int self-dot, same
+    double sqrt/multiply/divide order."""
+    return F.sqrt(dot_q(a, a).cast("double"))
+
+
+def cosine_pre(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a pair dot product and precomputed per-vector
+    norms (see `norm_q`)."""
+    return dot.cast("double") / (norm_a * norm_b)
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -71,15 +88,22 @@ def knn_bruteforce(
     """
     q = queries.select(
         F.col(id_col).alias("q_id"), quantize(vec_col).alias("q_vec")
-    )
+    ).withColumn("q_nrm", norm_q(F.col("q_vec")))
     from .dedup import spread
 
     c = spread(embeddings, id_col).select(
         F.col(id_col).alias("n_id"), quantize(vec_col).alias("n_vec")
-    )
+    ).withColumn("n_nrm", norm_q(F.col("n_vec")))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .withColumn("cosine", cosine_q(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "cosine",
+            cosine_pre(
+                dot_q(F.col("q_vec"), F.col("n_vec")),
+                F.col("q_nrm"),
+                F.col("n_nrm"),
+            ),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
@@ -167,9 +191,21 @@ def lsh_buckets(
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def derive_num_cells(
+    n: int, target_cell: int = 64, lo: int = 8, hi: int = 65536
+) -> int:
+    """Cell count that keeps the expected IVF cell at ~`target_cell`
+    vectors (the per-cell self-join in `knn_ivf` is quadratic in cell
+    occupancy): ceil(n / target_cell), clamped. Same corpus-derived
+    sizing rule as `derive_num_planes`/`derive_prefix_bits`."""
+    import math
+
+    return max(lo, min(hi, math.ceil(n / target_cell)))
+
+
 def ivf_assign(
     embeddings: DataFrame,
-    num_cells: int = 8,
+    num_cells: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -182,8 +218,14 @@ def ivf_assign(
     broadcast, so assignment is one map-side pass over the corpus —
     the IVF property that makes standing ANN cheap at 100 TB: search
     joins on `cell` and scans N/num_cells vectors.
+
+    `num_cells=None` derives the cell count from the corpus size so
+    expected occupancy stays ~64 at any scale (`derive_num_cells`).
     """
     from .dedup import spread
+
+    if num_cells is None:
+        num_cells = derive_num_cells(embeddings.count())
 
     seeds = embeddings.filter(F.col(id_col) < num_cells).select(
         F.col(id_col).alias("seed_id"), quantize(vec_col).alias("seed_vec")
@@ -209,17 +251,25 @@ def ivf_assign(
 def knn_ivf(
     embeddings: DataFrame,
     top_k: int = 5,
-    num_cells: int = 8,
+    num_cells: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN: top-k within the query's IVF cell (nprobe=1; union more
     cells for recall). Same bucketed-join shape as knn_lsh, with a
-    learned-ish coarse quantizer instead of random hyperplanes."""
+    learned-ish coarse quantizer instead of random hyperplanes.
+    `num_cells=None` sizes cells from the corpus count."""
     cells = ivf_assign(embeddings, num_cells, id_col, vec_col)
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
-    ).join(cells.select("vec_id", "cell"), "vec_id")
+    e = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
+        )
+        .withColumn("nrm", norm_q(F.col("qv")))
+        .join(cells.select("vec_id", "cell"), "vec_id")
+        # both sides of the per-cell self-join read this frame — cache
+        # it so the assignment window pipeline runs once
+        .cache()
+    )
     a = e.alias("a")
     c = e.alias("c")
     scored = a.join(
@@ -229,7 +279,9 @@ def knn_ivf(
     ).select(
         F.col("a.vec_id").alias("q_id"),
         F.col("c.vec_id").alias("n_id"),
-        cosine_q(F.col("a.qv"), F.col("c.qv")).alias("cosine"),
+        cosine_pre(
+            dot_q(F.col("a.qv"), F.col("c.qv")), F.col("a.nrm"), F.col("c.nrm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
@@ -290,14 +342,32 @@ def embedding_neardup_pairs(
     cand = _bucket_pairs(
         embeddings, num_planes, dim, id_col, vec_col, num_tables, symmetric=False
     )
-    e = embeddings.select(F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv"))
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
+    ).withColumn("nrm", norm_q(F.col("qv")))
     return (
-        cand.join(e.select(F.col("vec_id").alias("a_id"), F.col("qv").alias("qa")), "a_id")
-        .join(e.select(F.col("vec_id").alias("b_id"), F.col("qv").alias("qb")), "b_id")
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("qv").alias("qa"),
+                F.col("nrm").alias("na"),
+            ),
+            "a_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("qv").alias("qb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "b_id",
+        )
         .select(
             F.col("a_id").alias("vec_a"),
             F.col("b_id").alias("vec_b"),
-            cosine_q(F.col("qa"), F.col("qb")).alias("cosine"),
+            cosine_pre(
+                dot_q(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -323,14 +393,32 @@ def knn_lsh(
     cand = _bucket_pairs(
         embeddings, num_planes, dim, id_col, vec_col, num_tables, symmetric=True
     )
-    e = embeddings.select(F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv"))
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
+    ).withColumn("nrm", norm_q(F.col("qv")))
     scored = (
-        cand.join(e.select(F.col("vec_id").alias("a_id"), F.col("qv").alias("qa")), "a_id")
-        .join(e.select(F.col("vec_id").alias("b_id"), F.col("qv").alias("qb")), "b_id")
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("qv").alias("qa"),
+                F.col("nrm").alias("na"),
+            ),
+            "a_id",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("qv").alias("qb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "b_id",
+        )
         .select(
             F.col("a_id").alias("q_id"),
             F.col("b_id").alias("n_id"),
-            cosine_q(F.col("qa"), F.col("qb")).alias("cosine"),
+            cosine_pre(
+                dot_q(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))

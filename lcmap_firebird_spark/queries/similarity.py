@@ -83,7 +83,10 @@ def s5_ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
     return S.knn_ivf(read_table(spark, "embeddings", sf), TOP_K, NUM_CELLS)
 
 
-NUM_CELLS = 8
+# pinned for oracle generation (operator default derives from corpus
+# count); 64 keeps expected cell occupancy ~N/64 — the per-cell
+# self-join volume drops 8× vs the old 8-cell demo layout
+NUM_CELLS = 64
 
 
 QUERIES = {
@@ -95,7 +98,7 @@ QUERIES = {
 ORACLES = {
     "s5_ivf_knn": f"""
         WITH seeds AS (SELECT vec_id AS seed_id, {_QVEC} AS sv
-                       FROM embeddings WHERE vec_id < 8),
+                       FROM embeddings WHERE vec_id < {NUM_CELLS}),
         corpus AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
         assign_scored AS (
             SELECT vec_id, seed_id,
