@@ -121,6 +121,61 @@ def quality_features(
     )
 
 
+def ngram_list(col: str | Column = "text", n: int = 2) -> Column:
+    """ALL n-token grams in order (not distinct — repetition signals
+    need multiplicities; `operators.dedup.shingles` is the distinct
+    variant for set similarity)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repeated_ngram_fraction(col: str | Column = "text", n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of n-grams that are
+    repeats of an earlier one (1 − distinct/total). Exact-integer
+    inputs, one double division — engine-portable."""
+    g = ngram_list(col, n)
+    return F.when(
+        F.size(g) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(col: str | Column = "text", n: int = 2) -> Column:
+    """Fraction of n-grams claimed by the single most frequent one
+    (Gopher's top-n-gram dominance filter). The per-document count
+    loop is doc-local HOF work (O(distinct·total) on a ~10²-token
+    doc), never a shuffle."""
+    g = ngram_list(col, n)
+    counts = F.transform(
+        F.array_distinct(g),
+        lambda d: F.size(F.filter(g, lambda x: x == d)),
+    )
+    return F.when(
+        F.size(g) > 0,
+        F.array_max(counts).cast("double") / F.size(g).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_fraction(col: str | Column = "text") -> Column:
+    """Fraction of non-blank lines that duplicate an earlier line —
+    the Gopher boilerplate filter (nav bars, cookie banners repeat
+    verbatim). Docs without newlines score 0.0."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.length(F.trim(x)) > 0)
+    return F.when(
+        F.size(lines) > 1,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double")
+        / F.size(lines).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 # GPT-2-style pretokenizer shape: optional leading space + letter
 # run | digit run | punctuation run (ASCII subset — portable across
 # Java regex and RE2)

@@ -57,11 +57,17 @@ def t2_language_id(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def t3_quality_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality heuristics + 60-bit content fingerprint in one scan
-    (folds old t4)."""
+    """Quality heuristics + Gopher repetition signals + 60-bit content
+    fingerprint in one scan (folds old t4)."""
     docs = read_table(spark, "documents", sf)
     return T.quality_features(
-        docs, "text", extra_cols={"fp": T.fingerprint("text")}
+        docs,
+        "text",
+        extra_cols={
+            "rep_2gram_frac": F.round(T.repeated_ngram_fraction("text", 2), 6),
+            "top_2gram_frac": F.round(T.top_ngram_fraction("text", 2), 6),
+            "fp": T.fingerprint("text"),
+        },
     )
 
 
@@ -118,6 +124,24 @@ ORACLES = {
     "t3_quality_fingerprint": f"""
         WITH toks AS (SELECT doc_id, text, length(text) AS n_chars_m, {TOK} AS t
                       FROM documents),
+        grams AS (SELECT doc_id,
+                         CASE WHEN len(t) >= 2
+                              THEN list_transform(
+                                  generate_series(1, len(t) - 1),
+                                  i -> concat_ws(' ', t[i], t[i+1]))
+                              ELSE [] END AS g
+                  FROM toks),
+        reps AS (SELECT doc_id,
+                        CASE WHEN len(g) > 0
+                             THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                                      / CAST(len(g) AS DOUBLE)
+                             ELSE 0.0 END AS rep_2gram_frac,
+                        CASE WHEN len(g) > 0
+                             THEN CAST(list_max(list_transform(list_distinct(g),
+                                      d -> len(list_filter(g, x -> x = d))))
+                                      AS DOUBLE) / CAST(len(g) AS DOUBLE)
+                             ELSE 0.0 END AS top_2gram_frac
+                 FROM grams),
         feats AS (SELECT doc_id, n_chars_m,
                          len(t) AS n_tokens,
                          len(list_distinct(t)) AS n_distinct,
@@ -127,14 +151,16 @@ ORACLES = {
                          CAST(('0x' || substr(md5(array_to_string(t, ' ')), 1, 15))
                               AS BIGINT) AS fp
                   FROM toks)
-        SELECT doc_id, n_chars_m, n_tokens, n_distinct, n_punct,
+        SELECT f.doc_id, n_chars_m, n_tokens, n_distinct, n_punct,
                CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS diversity,
                round(
                  (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
                  + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
                  + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) * 0.2,
                  6) AS quality_score,
+               round(r.rep_2gram_frac, 6) AS rep_2gram_frac,
+               round(r.top_2gram_frac, 6) AS top_2gram_frac,
                fp
-        FROM feats
+        FROM feats f JOIN reps r ON r.doc_id = f.doc_id
     """,
 }
