@@ -1,0 +1,112 @@
+"""Plan-level contracts — the properties that make queries scale are
+asserted on the EXPLAIN output, not just implied by the API used:
+
+- filters reach the parquet scan (PushedFilters),
+- projections prune the read schema (ReadSchema),
+- known-small join sides broadcast (BroadcastHashJoin),
+- aggregations combine map-side before the shuffle (partial_),
+- relational/text hot paths contain NO Python evaluation nodes,
+- candidate-based dedup never degenerates to a cartesian product.
+
+These are the `.explain("formatted")`-and-iterate checks from the
+build rules, frozen as regressions.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    from lcmap_firebird_spark.queries import merged
+
+    queries, _ = merged()
+
+    def run(name):
+        return queries[name](spark, sf_dir)
+
+    return run
+
+
+def test_filter_pushdown_reaches_scan(q):
+    plan = plan_of(q("p6_p7_filter_predicates"))
+    assert "PushedFilters: [" in plan
+    # the range conjunction must actually be in the pushed list, not
+    # just an empty marker
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any(
+        "GreaterThan" in line or "LessThan" in line or "IsNotNull" in line
+        for line in pushed
+    ), pushed
+
+
+def test_projection_prunes_read_schema(q):
+    plan = plan_of(q("p1_conform_project"))
+    [schema_line] = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][:1]
+    # lineitem has 16 columns; the conform projection needs few — the
+    # scan must not read the full struct
+    assert schema_line.count(":") < 10, schema_line
+
+
+def test_selective_read_broadcasts_id_side(q):
+    plan = plan_of(q("j1_selective_read"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_revenue_join_broadcasts_dimension(q):
+    # nation (25 rows) must broadcast, never shuffle the fact table
+    # against it with a sort-merge join
+    plan = plan_of(q("j2_revenue_by_nation"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregation_is_partial_before_shuffle(q):
+    plan = plan_of(q("a4_pricing_summary"))
+    assert "partial_" in plan, "no map-side combine in the agg plan"
+
+
+def test_text_pipeline_has_no_python_nodes(q):
+    for name in ("t1_token_stats", "t3_quality_fingerprint", "t2_language_id"):
+        plan = plan_of(q(name))
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, f"{name} fell off codegen: {node}"
+
+
+def test_dedup_ladder_never_cartesian(q):
+    for name in ("d3_minhash_lsh", "d5_simhash_pairs", "d6_embedding_neardup"):
+        plan = plan_of(q(name))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_knn_bruteforce_broadcasts_queries_not_corpus(q):
+    plan = plan_of(q("s1_knn_bruteforce"))
+    # the deliberate nested loop must be broadcast-side=queries; the
+    # corpus scan itself must not sit under an Exchange before the join
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_covers_scan_pipelines(q):
+    # non-HOF pipelines must run inside codegen stages ("*(n)" nodes).
+    # Higher-order array lambdas (t1's aggregate/transform) are
+    # interpreted by design — Spark excludes them from codegen — and
+    # a4's percentile forces ObjectHashAggregate, so the contract is
+    # asserted on scalar-expression queries.
+    for name in ("p1_conform_project", "f5_string_functions"):
+        plan = plan_of(q(name), mode="simple")
+        assert "*(" in plan, f"{name} has no codegen stage:\n{plan[:800]}"
