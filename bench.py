@@ -66,10 +66,13 @@ def main() -> None:
         fn = queries[name]
         # best-of-2: first run pays per-plan codegen compile, the
         # repeat measures the engine; min() rejects machine-load
-        # noise without hiding real cost (caches are NOT reused —
-        # each call builds a fresh plan).
+        # noise without hiding real cost. Operators legitimately
+        # cache multi-consumer frames WITHIN a plan; clearing the
+        # cache between attempts keeps each timed run cold — no
+        # query reads a previous run's (or query's) cached data.
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop write: full evaluation of EVERY output column —

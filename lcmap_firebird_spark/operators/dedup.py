@@ -29,7 +29,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import gram_array, tokens
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -69,14 +69,14 @@ def perm_params(p: int) -> tuple[int, int]:
 
 
 def shingles(col: str | Column = "text", k: int = 3) -> Column:
-    """Distinct k-token shingles ('w1 w2 w3' strings)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    parts = lambda i: [F.element_at(toks, i + j) for j in range(k)]  # noqa: E731
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
-    return F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct k-token shingles ('w1 w2 w3' strings).
+
+    Built via text.gram_array (shifted-slice zip_with) — the earlier
+    element_at(tokens(col), i+j)-inside-a-lambda form re-ran the
+    regex tokenizer per gram position (HOF lambdas inline and
+    re-evaluate outer expressions per element), making shingling
+    O(tokens²) splits per row."""
+    return F.array_distinct(gram_array(tokens(col), k))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -14,6 +14,8 @@ cluster sizes (and hash-match the DuckDB oracle).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -121,45 +123,101 @@ def quality_features(
     )
 
 
+def gram_array(toks: Column, n: int) -> Column:
+    """All n-token grams ('w1 … wn' strings), in document order, from
+    an already-built token array.
+
+    Built by zip_with over n shifted slices so every lambda body
+    touches ONLY lambda variables. Referencing an outer expression
+    (e.g. element_at(tokens(col), i)) inside a higher-order-function
+    lambda re-evaluates that expression PER ELEMENT — HOFs are
+    interpreted (CodegenFallback) and get no subexpression
+    elimination, so an inlined tokenizer turns O(n) gram-building
+    into O(n²) regex splits per row. The slice form evaluates the
+    token array a constant number of times per row instead.
+    """
+    if n == 1:
+        return toks
+    width = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, k + 1, width) for k in range(n)]
+    grams = reduce(
+        lambda g, p: F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b)),
+        parts[1:],
+        parts[0],
+    )
+    return F.when(width > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
 def ngram_list(col: str | Column = "text", n: int = 2) -> Column:
     """ALL n-token grams in order (not distinct — repetition signals
     need multiplicities; `operators.dedup.shingles` is the distinct
-    variant for set similarity)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    variant for set similarity).
+
+    When several signals consume the same grams, materialize this as
+    a real column in a prior select (see queries/text.py t3) and pass
+    the attribute to `repeated_fraction_of`/`top_fraction_of` —
+    Catalyst's CollapseProject keeps a multiply-referenced non-cheap
+    projection output in its own stage, so the grams build runs once
+    per row instead of once per consumer."""
+    return gram_array(tokens(col), n)
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array —
+    i.e. the max multiplicity — in one O(n) fold (vs the quadratic
+    count-each-distinct formulation)."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
     )
+    return F.aggregate(
+        sorted_arr,
+        # tokens are non-empty, so "" never matches a real gram
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+
+
+def repeated_fraction_of(grams: Column) -> Column:
+    """1 − distinct/total over a grams column (pass a materialized
+    attribute when sharing the grams — see ngram_list docstring)."""
+    return F.when(
+        F.size(grams) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def top_fraction_of(grams: Column) -> Column:
+    """Fraction of grams claimed by the single most frequent one:
+    max multiplicity = longest equal run after array_sort, O(n log n)
+    doc-local work, never a shuffle."""
+    return F.when(
+        F.size(grams) > 0,
+        _max_run_length(F.array_sort(grams)).cast("double")
+        / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
 
 
 def repeated_ngram_fraction(col: str | Column = "text", n: int = 2) -> Column:
     """Gopher-style repetition signal: fraction of n-grams that are
     repeats of an earlier one (1 − distinct/total). Exact-integer
     inputs, one double division — engine-portable."""
-    g = ngram_list(col, n)
-    return F.when(
-        F.size(g) > 0,
-        F.lit(1.0)
-        - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast("double"),
-    ).otherwise(F.lit(0.0))
+    return repeated_fraction_of(ngram_list(col, n))
 
 
 def top_ngram_fraction(col: str | Column = "text", n: int = 2) -> Column:
     """Fraction of n-grams claimed by the single most frequent one
-    (Gopher's top-n-gram dominance filter). The per-document count
-    loop is doc-local HOF work (O(distinct·total) on a ~10²-token
-    doc), never a shuffle."""
-    g = ngram_list(col, n)
-    counts = F.transform(
-        F.array_distinct(g),
-        lambda d: F.size(F.filter(g, lambda x: x == d)),
-    )
-    return F.when(
-        F.size(g) > 0,
-        F.array_max(counts).cast("double") / F.size(g).cast("double"),
-    ).otherwise(F.lit(0.0))
+    (Gopher's top-n-gram dominance filter)."""
+    return top_fraction_of(ngram_list(col, n))
 
 
 def dup_line_fraction(col: str | Column = "text") -> Column:

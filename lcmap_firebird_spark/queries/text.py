@@ -60,12 +60,17 @@ def t3_quality_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Quality heuristics + Gopher repetition signals + 60-bit content
     fingerprint in one scan (folds old t4)."""
     docs = read_table(spark, "documents", sf)
+    # Materialize the grams ONCE per row: both fractions reference the
+    # `_g2` attribute, and CollapseProject keeps a multiply-referenced
+    # non-cheap projection output in its own stage (re-inlining the
+    # gram build per consumer is what made the first cut ~50× slower).
+    staged = docs.select("doc_id", "text", T.ngram_list("text", 2).alias("_g2"))
     return T.quality_features(
-        docs,
+        staged,
         "text",
         extra_cols={
-            "rep_2gram_frac": F.round(T.repeated_ngram_fraction("text", 2), 6),
-            "top_2gram_frac": F.round(T.top_ngram_fraction("text", 2), 6),
+            "rep_2gram_frac": F.round(T.repeated_fraction_of(F.col("_g2")), 6),
+            "top_2gram_frac": F.round(T.top_fraction_of(F.col("_g2")), 6),
             "fp": T.fingerprint("text"),
         },
     )
