@@ -93,6 +93,7 @@ def incremental_pairs(
     bands: int = 4,
     rows: int = 4,
     k: int = 3,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING the batch: batch×store ∪ batch×batch.
 
@@ -110,8 +111,13 @@ def incremental_pairs(
     (new batch) — the union over successive batches reproduces the
     one-shot pipeline exactly (deterministic signatures ⇒ identical
     candidacy and scores). Tested in tests/test_incremental_dedup.py.
+
+    `batch_sigs` passes a precomputed (cached) signature table for the
+    batch so callers that also MERGE it into the store — the streaming
+    runner in streaming/dedup_stream.py — compute signatures once.
     """
-    batch_sigs = signature_table(batch, num_perm, k).cache()
+    if batch_sigs is None:
+        batch_sigs = signature_table(batch, num_perm, k).cache()
     merged = merge_batch(store, batch_sigs)
     sig_cols = [f"h{p}" for p in range(num_perm)]
     merged_sigs = merged.filter(F.col(sig_cols[0]).isNotNull()).select(
