@@ -203,33 +203,72 @@ def derive_num_cells(
     return max(lo, min(hi, math.ceil(n / target_cell)))
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    num_cells: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """MLlib KMeans coarse quantizer → (seed_id, seed_vec) centroid
+    frame for `ivf_assign(centroids=...)`.
+
+    Training is the offline leg of standing IVF: distributed
+    Lloyd-iteration fit over the corpus (seeded, so re-trains are
+    reproducible given the same data/partitioning), then the
+    `num_cells × dim` centers — a few KB — come back to the driver
+    and are re-emitted as the broadcastable centroid frame, already
+    quantized so assignment arithmetic stays exact-integer. Same
+    pipeline machinery as plans/classification.py (M1-M3): ml.Vector
+    in, model params out.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=num_cells, seed=seed, maxIter=max_iter).fit(feat)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = embeddings.sparkSession.createDataFrame(
+        rows, "seed_id bigint, center array<double>"
+    )
+    return cdf.select("seed_id", quantize("center").alias("seed_vec"))
+
+
 def ivf_assign(
     embeddings: DataFrame,
     num_cells: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign each vector to its nearest seed
     centroid (exact quantized L2, ties → smallest seed id).
 
-    Seeds are the `num_cells` lowest-id vectors — a deterministic
-    stand-in for k-means centroids (swap in MLlib KMeans offline for
-    production; the assignment plan is identical). The seed set is
-    broadcast, so assignment is one map-side pass over the corpus —
-    the IVF property that makes standing ANN cheap at 100 TB: search
-    joins on `cell` and scans N/num_cells vectors.
+    Default seeds are the `num_cells` lowest-id vectors — a
+    deterministic stand-in that keeps the oracle portable; pass
+    `centroids` (from `train_ivf_centroids`, schema seed_id/seed_vec)
+    for KMeans-trained cells with the identical assignment plan. The
+    seed set is broadcast, so assignment is one map-side pass over
+    the corpus — the IVF property that makes standing ANN cheap at
+    100 TB: search joins on `cell` and scans N/num_cells vectors.
 
     `num_cells=None` derives the cell count from the corpus size so
     expected occupancy stays ~64 at any scale (`derive_num_cells`).
     """
     from .dedup import spread
 
-    if num_cells is None:
-        num_cells = derive_num_cells(embeddings.count())
-
-    seeds = embeddings.filter(F.col(id_col) < num_cells).select(
-        F.col(id_col).alias("seed_id"), quantize(vec_col).alias("seed_vec")
-    )
+    if centroids is not None:
+        seeds = centroids.select("seed_id", "seed_vec")
+    else:
+        if num_cells is None:
+            num_cells = derive_num_cells(embeddings.count())
+        seeds = embeddings.filter(F.col(id_col) < num_cells).select(
+            F.col(id_col).alias("seed_id"), quantize(vec_col).alias("seed_vec")
+        )
     corpus = spread(embeddings, id_col).select(
         F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
     )
@@ -254,12 +293,14 @@ def knn_ivf(
     num_cells: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN: top-k within the query's IVF cell (nprobe=1; union more
     cells for recall). Same bucketed-join shape as knn_lsh, with a
     learned-ish coarse quantizer instead of random hyperplanes.
-    `num_cells=None` sizes cells from the corpus count."""
-    cells = ivf_assign(embeddings, num_cells, id_col, vec_col)
+    `num_cells=None` sizes cells from the corpus count; `centroids`
+    plugs in KMeans-trained cells (`train_ivf_centroids`)."""
+    cells = ivf_assign(embeddings, num_cells, id_col, vec_col, centroids)
     e = (
         embeddings.select(
             F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")

@@ -101,3 +101,40 @@ def test_lsh_buckets_colocate_identical_vectors(spark):
     ).withColumn("embedding", F.col("embedding").cast("array<float>"))
     out = {r.vec_id: r.bucket for r in S.lsh_buckets(emb).collect()}
     assert out[1] == out[2]
+
+
+def test_ivf_kmeans_centroids(spark, sf_dir):
+    """KMeans-trained IVF: every vector lands on its exact-nearest
+    trained centroid, and knn_ivf runs the same plan shape over the
+    learned cells (rows-only evidence: MLlib fit has no SQL twin)."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "embeddings", sf_dir).limit(200).cache()
+    cents = S.train_ivf_centroids(emb, num_cells=4, seed=7).cache()
+    assert cents.count() == 4
+    assigned = S.ivf_assign(emb, centroids=cents)
+    assert assigned.count() == emb.count()
+    # brute-force check: assigned cell == argmin quantized L2 (ties -> min id)
+    qv = emb.select(F.col("vec_id"), S.quantize("embedding").alias("v"))
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("seed_vec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+    best = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("vec_id", "seed_id", dist.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "seed_id")).alias("b"))
+        .select("vec_id", F.col("b.seed_id").alias("want_cell"))
+    )
+    diff = (
+        assigned.join(best, "vec_id")
+        .filter(F.col("cell") != F.col("want_cell"))
+        .count()
+    )
+    assert diff == 0
+    knn = S.knn_ivf(emb, top_k=1, centroids=cents)
+    assert knn.filter(F.col("rank") == 1).count() > 0

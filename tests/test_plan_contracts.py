@@ -110,3 +110,13 @@ def test_whole_stage_codegen_covers_scan_pipelines(q):
     for name in ("p1_conform_project", "f5_string_functions"):
         plan = plan_of(q(name), mode="simple")
         assert "*(" in plan, f"{name} has no codegen stage:\n{plan[:800]}"
+
+
+def test_t3_gram_column_not_reinlined(q):
+    """The staged `_g2` gram array must survive CollapseProject as its
+    own projection: if Catalyst re-inlines it into every consumer, the
+    gram build (and its tokenizer) re-evaluates once per signal per
+    row (the 433s-at-sf0.1 regression this stage exists to prevent —
+    PLANS.md rule 14)."""
+    plan = plan_of(q("t3_quality_fingerprint"))
+    assert "AS _g2" in plan, plan
