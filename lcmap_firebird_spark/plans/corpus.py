@@ -1,0 +1,113 @@
+"""Training-corpus preparation — the end-to-end LLM-data pipeline.
+
+Composes the package's text / dedup / sampling operators into the
+standard corpus-prep ladder (the C4/Gopher data-preparation shape),
+each stage a DataFrame plan:
+
+  1. quality gate   codegen'd signals in ONE scan: token count,
+                    lexical diversity, repetition fractions
+  2. language gate  stopword-profile language ID (operators/text)
+  3. exact dedup    60-bit fingerprint groups, keep min doc_id
+  4. near dedup     MinHash/LSH pair graph → connected components →
+                    keep each cluster's minimum
+  5. split          deterministic hash split (train/val/test)
+  6. write          parquet partitioned by split
+
+Ordering is the scale-critical part: the cheap codegen gates (1-2)
+run first and drop rows before anything shuffles; exact dedup (3)
+collapses byte-identical copies so the LSH machinery sees one
+representative per content (the exact-first rung — because stage 3
+already deduped, stage 4 runs `minhash_dedup(exact_first=False)`
+and skips a redundant fingerprint pass); candidates-before-
+quadratics inside stage 4 keeps verification linear in the near-dup
+graph, not the corpus. Every stage is a pure function of document
+content — re-running the pipeline on the same corpus reproduces the
+same kept set and the same split assignment on any engine or cluster
+layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..operators.dedup import dedup_clusters, exact_groups, minhash_dedup
+from ..operators.sampling import train_val_test
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_diversity: float = 0.2,
+    max_rep_2gram: float = 0.5,
+    max_top_2gram: float = 0.5,
+) -> DataFrame:
+    """Gopher-style quality filter as one codegen'd scan: drop too-
+    short, low-diversity, or repetition-dominated documents. The gram
+    array is staged once per row (PLANS.md rule 14)."""
+    staged = docs.withColumn("_g2", T.ngram_list(text_col, 2))
+    n_tok = T.token_count(text_col)
+    keep = (
+        (n_tok >= min_tokens)
+        & (
+            T.distinct_token_count(text_col).cast("double")
+            / n_tok.cast("double")
+            >= min_diversity
+        )
+        & (T.repeated_fraction_of(F.col("_g2")) <= max_rep_2gram)
+        & (T.top_fraction_of(F.col("_g2")) <= max_top_2gram)
+    )
+    return staged.filter(keep).drop("_g2")
+
+
+def language_gate(
+    docs: DataFrame, languages: tuple[str, ...] = ("en",), text_col: str = "text"
+) -> DataFrame:
+    """Keep documents whose PREDICTED language is in `languages`
+    (metadata lang tags lie at corpus scale; the content-derived
+    profile is the filter)."""
+    return docs.filter(T.language_id(text_col).isin(*languages))
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    languages: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.5,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    **gate_kwargs,
+) -> DataFrame:
+    """Full ladder → the input columns + a 'split' column, one row per
+    kept document. `docs` follows the documents-table contract
+    (doc_id, text, ...). Deterministic end to end: gates are
+    row-local expressions, dedup winners are group minima, and the
+    split is a hash of the id (operators/sampling) — the same corpus
+    always yields the same training set."""
+    gated = language_gate(quality_gate(docs, **gate_kwargs), languages)
+    # exact rung: one representative per byte-identical content group
+    grp = exact_groups(gated)
+    reps = grp.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    kept = gated.join(reps, ["doc_id"], "left_semi")
+    # near rung: pair graph → components → cluster minimum survives
+    pairs = minhash_dedup(kept, threshold=jaccard_threshold, exact_first=False)
+    clusters = dedup_clusters(pairs, all_ids=kept.select("doc_id"))
+    keepers = clusters.filter(F.col("is_keeper")).select("doc_id")
+    survivors = kept.join(keepers, ["doc_id"], "left_semi")
+    return train_val_test(survivors, "doc_id", weights)
+
+
+def write_corpus(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Partitioned-by-split sink: downstream training jobs scan only
+    their split's directory (partition pruning), and each split's
+    files are self-contained for export."""
+    df.write.mode(mode).partitionBy("split").parquet(path)
+
+
+# plan composes worker-shipped operators; keep the foreign-cwd
+# pickling contract uniform (CLAUDE.md invariant 2)
+import sys  # noqa: E402
+
+import pyspark  # noqa: E402
+
+pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])

@@ -1,0 +1,75 @@
+"""End-to-end corpus-preparation plan: gates hold, both dedup rungs
+hold (no surviving exact or near duplicates), the split is disjoint/
+exhaustive/deterministic, and the partitioned write round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lcmap_firebird_spark.catalog import read_table
+from lcmap_firebird_spark.operators import text as T
+from lcmap_firebird_spark.operators.dedup import minhash_dedup
+from lcmap_firebird_spark.plans import corpus as C
+
+THRESH = 0.3
+LANGS = ("en", "fr")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, "documents", sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def prepared(docs):
+    return C.prepare_corpus(
+        docs, languages=LANGS, jaccard_threshold=THRESH
+    ).cache()
+
+
+def test_gates_hold(docs, prepared):
+    assert 0 < prepared.count() < docs.count()
+    # every survivor satisfies the gates (re-derive the signals)
+    bad = prepared.filter(
+        (T.token_count("text") < 5)
+        | ~T.language_id("text").isin(*LANGS)
+        | (T.repeated_ngram_fraction("text", 2) > 0.5)
+    )
+    assert bad.count() == 0
+
+
+def test_no_surviving_duplicates(prepared):
+    # exact rung: fingerprints unique among survivors
+    n = prepared.count()
+    assert prepared.select(T.fingerprint("text").alias("fp")).distinct().count() == n
+    # near rung: re-running near-dup detection on the output finds nothing
+    assert minhash_dedup(prepared, threshold=THRESH, exact_first=False).count() == 0
+
+
+def test_split_disjoint_exhaustive_deterministic(docs, prepared):
+    counts = {r["split"]: r["n"] for r in
+              prepared.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == prepared.count()
+    assert counts.get("train", 0) > counts.get("val", 0)
+    # deterministic: a fresh run assigns every doc the same split
+    again = C.prepare_corpus(docs, languages=LANGS, jaccard_threshold=THRESH)
+    diff = (
+        prepared.select("doc_id", "split")
+        .join(again.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .filter(F.col("split") != F.col("s2"))
+    )
+    assert diff.count() == 0
+
+
+def test_partitioned_write_roundtrip(spark, prepared, tmp_path):
+    path = str(tmp_path / "corpus")
+    C.write_corpus(prepared, path)
+    back = spark.read.parquet(path)
+    assert back.count() == prepared.count()
+    # split is a partition column -> scanning one split prunes to its dir
+    assert (
+        back.filter(F.col("split") == "train").count()
+        == prepared.filter(F.col("split") == "train").count()
+    )
