@@ -259,6 +259,38 @@ def ivf_assign(
     `num_cells=None` derives the cell count from the corpus size so
     expected occupancy stays ~64 at any scale (`derive_num_cells`).
     """
+    return _ivf_ranked(embeddings, num_cells, id_col, vec_col, centroids).filter(
+        F.col("rn") == 1
+    ).select("vec_id", F.col("seed_id").alias("cell"), "dist")
+
+
+def ivf_probe_cells(
+    embeddings: DataFrame,
+    num_cells: int | None = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The `nprobe` nearest cells per vector — the IVF recall lever:
+    searching the union of several near cells recovers neighbors that
+    fell just across a cell boundary (classic IVF nprobe). Same
+    ranked broadcast-assignment plan as `ivf_assign`, keeping rows
+    with rank ≤ nprobe instead of only the winner."""
+    return _ivf_ranked(embeddings, num_cells, id_col, vec_col, centroids).filter(
+        F.col("rn") <= nprobe
+    ).select("vec_id", F.col("seed_id").alias("cell"), F.col("rn").alias("probe_rank"))
+
+
+def _ivf_ranked(
+    embeddings: DataFrame,
+    num_cells: int | None,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame | None,
+) -> DataFrame:
+    """Shared core: every (vector, seed) distance, rank-windowed per
+    vector (exact quantized L2, ties → smallest seed id)."""
     from .dedup import spread
 
     if centroids is not None:
@@ -280,11 +312,7 @@ def ivf_assign(
     )
     scored = corpus.join(F.broadcast(seeds)).withColumn("dist", dist)
     w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("seed_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cell"), "dist")
-    )
+    return scored.withColumn("rn", F.row_number().over(w))
 
 
 def knn_ivf(
@@ -294,12 +322,15 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN: top-k within the query's IVF cell (nprobe=1; union more
-    cells for recall). Same bucketed-join shape as knn_lsh, with a
-    learned-ish coarse quantizer instead of random hyperplanes.
-    `num_cells=None` sizes cells from the corpus count; `centroids`
-    plugs in KMeans-trained cells (`train_ivf_centroids`)."""
+    """ANN: top-k within the query's `nprobe` nearest IVF cells.
+    Same bucketed-join shape as knn_lsh, with a learned-ish coarse
+    quantizer instead of random hyperplanes. `num_cells=None` sizes
+    cells from the corpus count; `centroids` plugs in KMeans-trained
+    cells (`train_ivf_centroids`); `nprobe>1` unions candidates from
+    several near cells for recall (a (q,n) pair can't duplicate:
+    membership is unique per n, probed cells distinct per q)."""
     cells = ivf_assign(embeddings, num_cells, id_col, vec_col, centroids)
     e = (
         embeddings.select(
@@ -307,11 +338,21 @@ def knn_ivf(
         )
         .withColumn("nrm", norm_q(F.col("qv")))
         .join(cells.select("vec_id", "cell"), "vec_id")
-        # both sides of the per-cell self-join read this frame — cache
-        # it so the assignment window pipeline runs once
+        # both sides of the per-cell join read this frame — cache it
+        # so the assignment window pipeline runs once
         .cache()
     )
-    a = e.alias("a")
+    if nprobe > 1:
+        probes = ivf_probe_cells(
+            embeddings, num_cells, nprobe, id_col, vec_col, centroids
+        )
+        a = (
+            e.drop("cell")
+            .join(probes.select("vec_id", "cell"), "vec_id")
+            .alias("a")
+        )
+    else:
+        a = e.alias("a")
     c = e.alias("c")
     scored = a.join(
         c,

@@ -138,3 +138,34 @@ def test_ivf_kmeans_centroids(spark, sf_dir):
     assert diff == 0
     knn = S.knn_ivf(emb, top_k=1, centroids=cents)
     assert knn.filter(F.col("rank") == 1).count() > 0
+
+
+def test_ivf_nprobe_recall(spark, sf_dir):
+    """nprobe>1 probes the q nearest cells: candidate coverage (and so
+    recall vs brute force) is monotone in nprobe, pairs never
+    duplicate, and nprobe=1 results are a subset of nprobe=2's
+    candidate universe ranked identically."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "embeddings", sf_dir).limit(300).cache()
+
+    truth = {
+        (r["q_id"], r["n_id"])
+        for r in S.knn_bruteforce(emb, emb, top_k=3).filter("rank <= 3").collect()
+    }
+
+    def recall(nprobe):
+        got = S.knn_ivf(emb, top_k=3, num_cells=8, nprobe=nprobe)
+        rows = got.collect()
+        pairs = [(r["q_id"], r["n_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))  # no duplicate (q,n)
+        return len(set(pairs) & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    # probing 2 cells must widen the candidate universe on this corpus
+    p1 = S.ivf_probe_cells(emb, 8, nprobe=1).count()
+    p2 = S.ivf_probe_cells(emb, 8, nprobe=2).count()
+    assert p2 > p1
