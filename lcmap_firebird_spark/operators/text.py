@@ -148,6 +148,21 @@ def gram_array(toks: Column, n: int) -> Column:
     return F.when(width > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
+def bind_once(expr: Column, pred) -> Column:
+    """Bind an expensive array expression ONCE inside a predicate:
+    wrap it as the single element of an array and apply `pred` via
+    exists(), so the lambda VARIABLE — a bound value — is what the
+    predicate references repeatedly, not the expression tree.
+
+    Why not a staged column + filter: PushDownPredicates substitutes
+    projection aliases into filter conditions unconditionally, so a
+    `_g2` staged for a FILTER gets re-inlined once per reference
+    (CollapseProject's multi-reference cost check only protects
+    projection consumers — see PLANS.md rule 14). An exists-bound
+    lambda survives every rewrite because it IS the predicate."""
+    return F.exists(F.array(expr), pred)
+
+
 def ngram_list(col: str | Column = "text", n: int = 2) -> Column:
     """ALL n-token grams in order (not distinct — repetition signals
     need multiplicities; `operators.dedup.shingles` is the distinct

@@ -44,22 +44,25 @@ def quality_gate(
     max_rep_2gram: float = 0.5,
     max_top_2gram: float = 0.5,
 ) -> DataFrame:
-    """Gopher-style quality filter as one codegen'd scan: drop too-
-    short, low-diversity, or repetition-dominated documents. The gram
-    array is staged once per row (PLANS.md rule 14)."""
-    staged = docs.withColumn("_g2", T.ngram_list(text_col, 2))
-    n_tok = T.token_count(text_col)
-    keep = (
-        (n_tok >= min_tokens)
+    """Gopher-style quality filter as one scan with ONE tokenization
+    and ONE gram build per row: both are exists-bound inside the
+    predicate (`text.bind_once`) because PushDownPredicates would
+    re-inline a staged column into the filter condition once per
+    reference (PLANS.md rule 14)."""
+    keep = T.bind_once(
+        T.tokens(text_col),
+        lambda t: (F.size(t) >= min_tokens)
         & (
-            T.distinct_token_count(text_col).cast("double")
-            / n_tok.cast("double")
+            F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
             >= min_diversity
         )
-        & (T.repeated_fraction_of(F.col("_g2")) <= max_rep_2gram)
-        & (T.top_fraction_of(F.col("_g2")) <= max_top_2gram)
+        & T.bind_once(
+            T.gram_array(t, 2),
+            lambda g: (T.repeated_fraction_of(g) <= max_rep_2gram)
+            & (T.top_fraction_of(g) <= max_top_2gram),
+        ),
     )
-    return staged.filter(keep).drop("_g2")
+    return docs.filter(keep)
 
 
 def language_gate(

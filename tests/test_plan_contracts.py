@@ -120,3 +120,18 @@ def test_t3_gram_column_not_reinlined(q):
     PLANS.md rule 14)."""
     plan = plan_of(q("t3_quality_fingerprint"))
     assert "AS _g2" in plan, plan
+
+
+def test_quality_gate_binds_expensive_arrays_once(spark, sf_dir):
+    """The corpus quality gate must evaluate the tokenizer and the
+    gram build exactly once per row: exists-bound lambda variables
+    (text.bind_once) instead of staged columns, because
+    PushDownPredicates re-inlines projection aliases into filter
+    conditions once per reference (PLANS.md rule 14)."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.plans.corpus import quality_gate
+
+    df = quality_gate(read_table(spark, "documents", sf_dir))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(text") == 1, plan
+    assert plan.count("zip_with") == 1, plan
