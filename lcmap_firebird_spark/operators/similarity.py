@@ -170,8 +170,16 @@ def lsh_buckets(
 
     if num_planes is None:
         num_planes = derive_num_planes(embeddings.count())
-    embeddings = spread(embeddings, id_col)
-    qv = quantize(vec_col)
+    # stage the quantized vector as a real column: the bucket
+    # expression references it once per plane, and CollapseProject
+    # keeps a multiply-referenced non-cheap projection output in its
+    # own stage — without this the per-plane terms each re-inline
+    # quantize(), costing num_planes array passes per corpus row on
+    # the scan path (PLANS.md rule 14d)
+    staged = spread(embeddings, id_col).select(
+        F.col(id_col).alias("vec_id"), quantize(vec_col).alias("_qv")
+    )
+    qv = F.col("_qv")
     bucket = F.lit(0).cast("bigint")
     for j in range(num_planes):
         w = F.array(
@@ -188,7 +196,7 @@ def lsh_buckets(
         bucket = bucket + F.when(proj >= 0, F.lit(2**j).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+    return staged.select("vec_id", bucket.alias("bucket"))
 
 
 def derive_num_cells(
