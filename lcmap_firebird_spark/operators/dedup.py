@@ -468,11 +468,19 @@ def simhash(
     every engine. One explode + one groupBy with `bits` conditional
     sums — still a single shuffle.
     """
-    tok = spread(df, id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+    # stage the md5-derived hash as a column: all `bits` per-bit agg
+    # expressions reference the attribute, not the md5 expression —
+    # one hash per token row by construction instead of trusting
+    # codegen subexpression elimination (PLANS.md rule 14d)
+    tok = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+        )
+        .select("doc_id", hash60(F.col("t")).alias("_h"))
     )
-    h = hash60(F.col("t"))
+    h = F.col("_h")
     aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
