@@ -37,10 +37,34 @@ def read_table(spark: SparkSession, name: str, base: str | None = None) -> DataF
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) columns arrive as long under nanosAsLong;
-    # truncate to µs exactly as DuckDB does (integer div, not double).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Normalize events.ts to TIMESTAMP_NTZ regardless of how the
+    # driver generated the parquet this round:
+    #   - TIMESTAMP(NANOS) → bigint under nanosAsLong (round 1/2 data)
+    #   - timestamp[us] no-tz → TIMESTAMP_NTZ natively (round 3 data)
+    #   - timestamp[us] adjusted-to-UTC → TIMESTAMP (LTZ)
+    # DuckDB reads the same naive µs values, so epoch semantics match
+    # by construction. Magnitude sniff distinguishes ns from µs longs:
+    # 1e17 µs ≈ year 5138, 1e17 ns ≈ 1973.
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_add(MICROSECOND, "
+                    "CASE WHEN abs(ts) >= 100000000000000000 "
+                    "THEN ts div 1000 ELSE ts END, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif dt == "timestamp":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_add(MICROSECOND, unix_micros(ts), "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 

@@ -17,6 +17,29 @@ from pyspark.sql import functions as F
 # ordinal of 1970-01-01; bridges python ordinals ↔ epoch days
 EPOCH_ORDINAL = 719_163
 
+# Naive epoch literal for TIMESTAMP_NTZ arithmetic. The testdata
+# parquet stores `ts` as timestamp[us] with no timezone, which Spark
+# reads as TIMESTAMP_NTZ; DuckDB's epoch_us() reads the same naive
+# value as UTC. timestamp_diff against this literal reproduces that
+# exactly and never consults the session timezone (verified under
+# TZ=Asia/Tokyo).
+EPOCH_NTZ_SQL = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def micros(col: str | Column) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ column (DuckDB
+    epoch_us parity). Use instead of F.unix_micros, which rejects
+    TIMESTAMP_NTZ input."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff("MICROSECOND", F.expr(EPOCH_NTZ_SQL), c)
+
+
+def ntz_from_micros(col: str | Column) -> Column:
+    """Inverse of `micros`: epoch µs (bigint) → TIMESTAMP_NTZ,
+    timezone-proof (timestamp_add on NTZ is pure naive arithmetic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_add("MICROSECOND", c, F.expr(EPOCH_NTZ_SQL))
+
 
 def ordinal_to_date(col: str | Column) -> Column:
     """Ordinal day int → DateType (ccdc/pyccd.py:113-115 done

@@ -64,7 +64,17 @@ def sessionize(
     """
     order = [ts_col, *order_cols]
     w = Window.partitionBy(*keys).orderBy(*order)
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    # unix_micros rejects TIMESTAMP_NTZ (what the testdata parquet now
+    # reads as); dispatch on the column's actual type. Numeric ts
+    # columns (already-epoch µs) pass through unchanged.
+    dt = dict(df.dtypes).get(ts_col, "")
+    if dt == "timestamp":
+        to_us = F.unix_micros
+    elif dt == "timestamp_ntz":
+        from ..functions.dates import micros as to_us
+    else:
+        to_us = lambda c: c  # noqa: E731 — numeric epoch column
+    gap_us = to_us(F.col(ts_col)) - to_us(F.lag(ts_col).over(w))
     new_session = F.when(
         gap_us.isNull() | (gap_us > gap_minutes * 60_000_000), 1
     ).otherwise(0)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import read_table, register_views
+from ..functions.dates import micros
 from ..functions.exact import dsum, sql_dsum
 from ..operators.asof import asof_join_backward
 
@@ -107,7 +108,7 @@ def j7_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     tiebreak on the right side — duplicate signup timestamps resolve
     identically in Spark and the oracle."""
     ev = read_table(spark, "events", sf).withColumn(
-        "t_us", F.unix_micros("ts")
+        "t_us", micros("ts")
     )
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "t_us"

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import read_table, register_views
+from ..functions.dates import micros
 from ..functions.exact import dec, dsum, sql_dsum
 from ..operators import relational as R
 
@@ -271,7 +272,7 @@ def w2_window_frames(spark: SparkSession, sf: str) -> DataFrame:
     frame in one pass over events (folds old w2/w3/w4). The first two
     windows share one (user_id, ts, event_id) sort; the RANGE frame
     orders by the same instant in µs so no extra exchange is needed."""
-    ev = read_table(spark, "events", sf).withColumn("t_us", F.unix_micros("ts"))
+    ev = read_table(spark, "events", sf).withColumn("t_us", micros("ts"))
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_rows = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hour_us = 3_600_000_000

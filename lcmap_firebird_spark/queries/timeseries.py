@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
+from ..functions.dates import micros
 from ..operators.segmentation import ccd_segments, sessionize, threshold_segments
 from ..operators.timeseries import assemble
 
@@ -36,8 +37,8 @@ def u3_sessionize_threshold(spark: SparkSession, sf: str) -> DataFrame:
         s.groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_obs"),
-            F.unix_micros(F.min("ts")).alias("start_us"),
-            F.unix_micros(F.max("ts")).alias("end_us"),
+            micros(F.min("ts")).alias("start_us"),
+            micros(F.max("ts")).alias("end_us"),
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("metric"),
@@ -52,7 +53,7 @@ def u3_sessionize_threshold(spark: SparkSession, sf: str) -> DataFrame:
             "metric",
         )
     )
-    ev_us = ev.withColumn("t_us", F.unix_micros("ts"))
+    ev_us = ev.withColumn("t_us", micros("ts"))
     segments = threshold_segments(
         ev_us, ["user_id"], "t_us", "value", LEVEL_T, order_cols=["event_id"]
     ).select(
@@ -72,7 +73,7 @@ def u5_ccd_segments(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_table(spark, "events", sf).select(
         "user_id",
         (
-            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+            (micros("ts") / F.lit(86_400_000_000)).cast("bigint")
             + F.lit(EPOCH_ORDINAL)
         ).alias("t"),
         F.col("value"),
@@ -89,7 +90,7 @@ def x2_assemble_series(spark: SparkSession, sf: str) -> DataFrame:
     posexplode so position i provably holds the i-th (ts, value) in
     sorted order — scalar output for the driver's canonicalizer."""
     ev = read_table(spark, "events", sf).select(
-        "user_id", F.unix_micros("ts").alias("t_us"), "value"
+        "user_id", micros("ts").alias("t_us"), "value"
     )
     wide = assemble(ev, ["user_id"], "t_us", ["value"])
     return wide.select(

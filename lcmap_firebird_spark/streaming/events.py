@@ -32,7 +32,9 @@ from pyspark.sql.types import (
 
 def events_schema() -> StructType:
     """Static schema for the stream source (streams can't infer).
-    ts arrives as TIMESTAMP(NANOS) → long under nanosAsLong."""
+    ts is declared long so the reader hands back the raw int64
+    regardless of the parquet logical annotation (NANOS in the
+    round-1/2 testdata, MICROS-no-tz in round 3)."""
     return StructType(
         [
             StructField("event_id", LongType(), True),
@@ -62,7 +64,18 @@ def stream_events(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Raw int64 may be nanos (legacy testdata) or micros (current);
+    # magnitude sniff (1e17 µs ≈ year 5138, 1e17 ns ≈ 1973) picks the
+    # right truncation. timestamp_micros yields TIMESTAMP (LTZ), whose
+    # internal value IS epoch µs — window() alignment and
+    # unix_micros() on window bounds are timezone-free.
+    return df.withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 "
+            "THEN ts div 1000 ELSE ts END)"
+        ),
+    )
 
 
 def tumbling_counts(

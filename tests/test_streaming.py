@@ -85,9 +85,10 @@ def test_append_mode_withholds_open_windows(spark, sf_dir, mode, expect_all):
     stream = ST.stream_events(spark, sf_dir)
     agg = ST.tumbling_counts(stream, "1 hour", watermark="2 hours")
     got = ST.run_available_now(agg, spark, mode=mode).count()
+    from lcmap_firebird_spark.catalog import read_table
+
     full = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        read_table(spark, "events", sf_dir)
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .count()
         .count()
