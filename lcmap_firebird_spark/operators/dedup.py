@@ -120,8 +120,16 @@ def jaccard_pairs(
     quadratic per hot shingle; fine below ~10M docs with a k large
     enough to keep buckets small).
     """
+    # Eager localCheckpoint, not cache(): the shingle frame feeds
+    # three consumers (sizes, both sides of the self-join) whose
+    # stages the scheduler runs CONCURRENTLY — with a lazy cache each
+    # concurrent first-reader recomputes the explode instead of
+    # waiting (block-level cache fills don't lock across stages), so
+    # the most expensive subtree runs up to 3×. One eager job
+    # materializes it exactly once; at cluster scale swap for
+    # reliable checkpoint() or accept the same trade.
     sh = (sh_precomputed if sh_precomputed is not None
-          else shingle_sets(df, id_col, text_col, k).cache())
+          else shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pair_src = sh
     if candidates is not None:
@@ -278,29 +286,36 @@ def minhash_dedup(
     consumer pattern, ccdc/core.py:68-72, applied to dedup; the
     distinct-before-heavy-work ordering mirrors
     /root/reference/ccdc/randomforest.py:67)."""
+    # Multi-consumer frames are materialized with EAGER localCheckpoint
+    # rather than cache(): their consumers sit in independent stages
+    # the DAG scheduler launches concurrently, and a lazy cache does
+    # not serialize concurrent first-readers — each recomputes the
+    # subtree (measured ~2× on the cold d3 plan). Eager checkpoint
+    # runs one job per frame, in dependency order, exactly once.
     if not exact_first:
-        sh = shingle_sets(df, k=k).cache()
+        sh = shingle_sets(df, k=k).localCheckpoint(eager=True)
         sig = minhash_signature(df, num_perm=num_perm, k=k, sh_precomputed=sh)
         # verification consumes the candidate set twice (doc-restriction
-        # semi-join + pair semi-join) — cache it so the signature + band
-        # self-join pipeline runs once; the set is tiny (near-dup pairs)
-        cand = lsh_candidates(sig, bands=bands, rows=rows).cache()
+        # semi-join + pair semi-join); the set is tiny (near-dup pairs)
+        cand = lsh_candidates(sig, bands=bands, rows=rows).localCheckpoint(
+            eager=True
+        )
         return jaccard_pairs(
             df, threshold, k=k, candidates=cand, sh_precomputed=sh
         )
 
     # the membership map is read five times (rep semi-join, intra-group
-    # pair expansion ×2, cross-group expansion ×2) — cache it so the
-    # fingerprint pass over the corpus runs once, not five times
-    grp = exact_groups(df).cache()
+    # pair expansion ×2, cross-group expansion ×2) — one fingerprint
+    # pass over the corpus, not five
+    grp = exact_groups(df).localCheckpoint(eager=True)
     reps_df = df.join(
         grp.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id",
         "left_semi",
     )
-    sh = shingle_sets(reps_df, k=k).cache()
+    sh = shingle_sets(reps_df, k=k).localCheckpoint(eager=True)
     sig = minhash_signature(reps_df, num_perm=num_perm, k=k, sh_precomputed=sh)
-    cand = lsh_candidates(sig, bands=bands, rows=rows).cache()
+    cand = lsh_candidates(sig, bands=bands, rows=rows).localCheckpoint(eager=True)
     rep_pairs = jaccard_pairs(
         reps_df, threshold, k=k, candidates=cand, sh_precomputed=sh
     )
