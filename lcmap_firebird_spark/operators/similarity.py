@@ -339,24 +339,30 @@ def knn_ivf(
     cells (`train_ivf_centroids`); `nprobe>1` unions candidates from
     several near cells for recall (a (q,n) pair can't duplicate:
     membership is unique per n, probed cells distinct per q)."""
-    cells = ivf_assign(embeddings, num_cells, id_col, vec_col, centroids)
+    # One corpus×seeds ranking pass serves BOTH the cell assignment
+    # (rn == 1) and the nprobe probe set (rn <= nprobe) — calling
+    # ivf_assign + ivf_probe_cells separately would score every
+    # (vector, seed) pair twice. Eager localCheckpoint (not cache):
+    # the two sides of the per-cell self-join sit in concurrently
+    # launched stages, and a lazy cache lets both recompute the
+    # ranking pipeline instead of one waiting for the other.
+    ranked = _ivf_ranked(embeddings, num_cells, id_col, vec_col, centroids)
+    ranked = ranked.filter(F.col("rn") <= max(1, nprobe)).select(
+        "vec_id", F.col("seed_id").alias("cell"), "rn"
+    ).localCheckpoint(eager=True)
+    cells = ranked.filter(F.col("rn") == 1)
     e = (
         embeddings.select(
             F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
         )
         .withColumn("nrm", norm_q(F.col("qv")))
         .join(cells.select("vec_id", "cell"), "vec_id")
-        # both sides of the per-cell join read this frame — cache it
-        # so the assignment window pipeline runs once
-        .cache()
+        .localCheckpoint(eager=True)
     )
     if nprobe > 1:
-        probes = ivf_probe_cells(
-            embeddings, num_cells, nprobe, id_col, vec_col, centroids
-        )
         a = (
             e.drop("cell")
-            .join(probes.select("vec_id", "cell"), "vec_id")
+            .join(ranked.select("vec_id", "cell"), "vec_id")
             .alias("a")
         )
     else:
@@ -396,7 +402,12 @@ def _bucket_pairs(
     False emits a_id < b_id once (dedup pairs)."""
     pairs: DataFrame | None = None
     for t in range(num_tables):
-        b = lsh_buckets(embeddings, num_planes, dim, id_col, vec_col, table=t)
+        # the bucket frame is self-joined; eager materialization keeps
+        # the num_planes×dim projection arithmetic to one pass per
+        # vector (concurrent scan stages would each recompute it)
+        b = lsh_buckets(
+            embeddings, num_planes, dim, id_col, vec_col, table=t
+        ).localCheckpoint(eager=True)
         a = b.alias("a")
         c = b.alias("c")
         ident = (
@@ -432,9 +443,10 @@ def embedding_neardup_pairs(
     cand = _bucket_pairs(
         embeddings, num_planes, dim, id_col, vec_col, num_tables, symmetric=False
     )
+    # both the a_id and b_id attach joins read this frame
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
-    ).withColumn("nrm", norm_q(F.col("qv")))
+    ).withColumn("nrm", norm_q(F.col("qv"))).localCheckpoint(eager=True)
     return (
         cand.join(
             e.select(
@@ -483,9 +495,10 @@ def knn_lsh(
     cand = _bucket_pairs(
         embeddings, num_planes, dim, id_col, vec_col, num_tables, symmetric=True
     )
+    # both the a_id and b_id attach joins read this frame
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
-    ).withColumn("nrm", norm_q(F.col("qv")))
+    ).withColumn("nrm", norm_q(F.col("qv"))).localCheckpoint(eager=True)
     scored = (
         cand.join(
             e.select(
