@@ -1,0 +1,192 @@
+"""Streaming incremental rollup — a continuous time-bucket aggregate
+(the "hypertable rollup" shape) maintained by foreachBatch.
+
+The watermarked window aggregations in streaming/events.py answer
+"what closed recently": state is evicted once the watermark passes, so
+an event older than the delay can never revise a bucket. A rollup
+TABLE has the opposite contract — it is a long-lived queryable
+aggregate over all history where arbitrarily late data must still
+land in its (old) bucket. That contract can't live in Spark's state
+store (private to one query, watermark-bounded, sized for per-key
+scalars), so the right primitive is `foreachBatch` merging partial
+aggregates into a persisted store — the same reasoning as the
+incremental-dedup runner (streaming/dedup_stream.py).
+
+Scale design:
+- Each micro-batch computes its OWN partial aggregate first (count +
+  decimal-exact sum per bucket) — a map-side-combinable groupBy whose
+  output cardinality is buckets×types, not rows. Only those partials
+  shuffle into the merge.
+- The merge is `store ∪ partial → groupBy keys → sum` — count and
+  decimal sums are associative+commutative, so merging partials is
+  exact (no mean-of-means trap; derive averages at read time as
+  sum/n). Store cost per trigger is one scan of the rollup table,
+  which is aggregate-sized, not corpus-sized; partition the store by
+  bucket date in production and the scan prunes to touched dates.
+- Exactly-once without Delta: snapshots are written to directories
+  derived from `batch_id` (`v{batch_id+1}`, reading `v{batch_id}`)
+  with mode("overwrite"), so a crash-replayed batch deterministically
+  rewrites the same bytes instead of double-counting — and no
+  directory is rewritten while a lazy plan reads it. Swap the
+  parquet snapshot dirs for a Delta/Iceberg MERGE in production.
+
+Invariant (tests/test_streaming_rollup.py): streaming the events in
+N file-chunks produces a final rollup identical to the one-shot batch
+GROUP BY, including across a stop + new-files + resume cycle, and
+late out-of-order chunks revise old buckets.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DecimalType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.errors import AnalysisException
+
+from .events import stream_events
+
+
+def rollup_schema() -> StructType:
+    """Schema of the rollup store: time bucket × event_type partial
+    aggregates. Sums are DECIMAL so merges are exact (associative,
+    order-independent) — the same decimal-exact recipe as
+    functions/exact.py."""
+    return StructType(
+        [
+            StructField("win_start_us", LongType(), True),
+            StructField("event_type", StringType(), True),
+            StructField("n", LongType(), True),
+            StructField("sum_value", DecimalType(28, 2), True),
+        ]
+    )
+
+
+def partial_rollup(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """One batch's partial aggregate: (bucket, event_type) → count +
+    exact decimal sum. Map-side combinable; output is
+    aggregate-cardinality."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def merge_rollup(store: DataFrame, partial: DataFrame) -> DataFrame:
+    """store ∪ partial, re-aggregated — exact because count and
+    decimal sums are associative and commutative. NULL-sum groups
+    (all values null in some partial) stay correct: sum skips nulls
+    on both levels."""
+    return (
+        store.unionByName(partial)
+        .groupBy("win_start_us", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").cast("decimal(28,2)").alias("sum_value"),
+        )
+    )
+
+
+def _snapshot_path(work_dir: str, version: int) -> str:
+    return f"{work_dir}/rollup/v{version:06d}"
+
+
+def _read_snapshot(
+    spark: SparkSession, work_dir: str, version: int
+) -> DataFrame:
+    """Snapshot `version`, or the empty rollup for version 0 / a
+    replay racing ahead of a crashed predecessor's unfinished write."""
+    if version > 0:
+        try:
+            return spark.read.parquet(_snapshot_path(work_dir, version))
+        except AnalysisException:
+            pass
+    return spark.createDataFrame([], rollup_schema())
+
+
+def latest_version(work_dir: str) -> int:
+    """Highest committed snapshot version (0 = empty store). Local-fs
+    listing; a cluster deployment reads the table version from
+    Delta/Iceberg metadata instead."""
+    root = f"{work_dir}/rollup"
+    if not os.path.isdir(root):
+        return 0
+    versions = [
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    return max(versions, default=0)
+
+
+def read_rollup(spark: SparkSession, work_dir: str) -> DataFrame:
+    """The current rollup table (latest committed snapshot), with the
+    decimal sum rendered as double at the read edge (sum_value) and
+    the exact mean derivable as sum/n."""
+    snap = _read_snapshot(spark, work_dir, latest_version(work_dir))
+    return snap.select(
+        "win_start_us",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+def continuous_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    width: str = "1 hour",
+    max_files_per_trigger: int | None = 1,
+):
+    """Start (available-now) the streaming rollup maintenance query.
+
+    Returns the StreamingQuery; callers awaitTermination(). Restarts
+    with the same `work_dir` resume from the checkpoint — seen files
+    are not reprocessed and snapshots advance idempotently by
+    batch_id.
+    """
+    events = stream_events(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger,
+        glob="*.parquet",
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        store = _read_snapshot(spark, work_dir, batch_id)
+        partial = partial_rollup(batch_df, width)
+        merge_rollup(store, partial).write.mode("overwrite").parquet(
+            _snapshot_path(work_dir, batch_id + 1)
+        )
+
+    return (
+        events.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{work_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# driver-side foreachBatch closures reference this module; keep the
+# foreign-cwd pickling contract uniform (CLAUDE.md invariant 2)
+import pyspark  # noqa: E402
+
+pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])
