@@ -1,0 +1,88 @@
+"""Bloom semi-join pruning: exact equivalence to the plain semi-join,
+no false negatives, bounded false-positive rate, and a shuffle-free
+probe stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lcmap_firebird_spark.catalog import read_table
+from lcmap_firebird_spark.operators import bloom as B
+
+
+def _ids(spark, sf_dir):
+    """A runtime-built id set: customers with an open order — the
+    shape the optimizer's own runtime filter can't always see."""
+    return (
+        read_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark, sf_dir):
+    cust = read_table(spark, "customer", sf_dir)
+    ids = _ids(spark, sf_dir)
+    got = sorted(
+        r.c_custkey
+        for r in B.bloom_semi_join(cust, ids, ["c_custkey"]).collect()
+    )
+    want = sorted(
+        r.c_custkey for r in cust.join(ids, "c_custkey", "left_semi").collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_no_false_negatives_and_bounded_false_positives(spark, sf_dir):
+    li = read_table(spark, "lineitem", sf_dir)
+    ids = (
+        read_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice") > 200_000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+    )
+    bitmap, m, k = B.bloom_build(ids, ["l_orderkey"], fpp=0.01)
+    pruned = B.bloom_prune(li, bitmap, ["l_orderkey"], m, k)
+
+    members = li.join(ids, "l_orderkey", "left_semi")
+    n_rows, n_members = li.count(), members.count()
+    n_pruned = pruned.count()
+    # no false negatives: every member row survives the prune
+    assert members.join(pruned, li.columns, "left_anti").count() == 0
+    # false positives bounded: survivors beyond the members are at
+    # most ~5x the 1% target of the non-member population (slack for
+    # hash clustering at small m)
+    assert n_pruned - n_members <= max(50, 0.05 * (n_rows - n_members))
+
+
+def test_multi_column_key(spark, sf_dir):
+    ps = read_table(spark, "part", sf_dir).select("p_partkey").limit(200)
+    li = read_table(spark, "lineitem", sf_dir)
+    ids = li.join(ps, li.l_partkey == ps.p_partkey, "left_semi").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    got = B.bloom_semi_join(li, ids, ["l_orderkey", "l_partkey"]).count()
+    want = li.join(ids, ["l_orderkey", "l_partkey"], "left_semi").count()
+    assert got == want > 0
+
+
+def test_probe_stage_is_shuffle_free(spark, sf_dir):
+    """The pruned scan must not shuffle the big side: the only
+    exchange below the probe filter is the 1-row bitmap broadcast."""
+    li = read_table(spark, "lineitem", sf_dir)
+    ids = _ids(spark, sf_dir).select(F.col("c_custkey").alias("l_orderkey"))
+    bitmap, m, k = B.bloom_build(ids, ["l_orderkey"], fpp=0.01)
+    bitmap = bitmap.localCheckpoint(eager=True)  # isolate the probe plan
+    plan = (
+        B.bloom_prune(li, bitmap, ["l_orderkey"], m, k)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    shuffles = [
+        ln for ln in plan.splitlines() if re.search(r"Exchange (hash|range)", ln)
+    ]
+    assert shuffles == [], shuffles
