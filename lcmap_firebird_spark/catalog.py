@@ -73,11 +73,18 @@ def tables(spark: SparkSession, base: str | None = None) -> dict[str, DataFrame]
     return {t: read_table(spark, t, base) for t in TABLES}
 
 
-def register_views(spark: SparkSession, base: str | None = None) -> None:
-    """Register every table as a temp view so `spark.sql` works over
-    the same names DuckDB pre-registers."""
-    for name, df in tables(spark, base).items():
-        df.createOrReplaceTempView(name)
+def register_views(
+    spark: SparkSession,
+    base: str | None = None,
+    only: tuple[str, ...] | None = None,
+) -> None:
+    """Register tables as temp views so `spark.sql` works over the
+    same names DuckDB pre-registers. `only` restricts registration to
+    the tables a query actually references — each registration opens
+    the parquet footer for schema, so registering all 10 tables costs
+    ~10 metadata reads per call."""
+    for name in only or TABLES:
+        read_table(spark, name, base).createOrReplaceTempView(name)
 
 
 def write_partitioned(

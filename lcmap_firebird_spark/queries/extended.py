@@ -244,7 +244,7 @@ def sql2_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
     """Correlated scalar subquery — Catalyst decorrelates it into a
     join+aggregate (§4 'join reordering / subquery decorrelation'
     row); the oracle runs the identical correlated form."""
-    register_views(spark, sf)
+    register_views(spark, sf, only=("customer", "orders"))
     return spark.sql(
         """
         SELECT c_custkey,
@@ -280,7 +280,7 @@ def sql1_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     """The raw-SQL front door: TPC-H Q3 (shipping priority) through
     spark.sql over the registered views — same text the oracle runs,
     modulo the decimal-exact revenue recipe."""
-    register_views(spark, sf)
+    register_views(spark, sf, only=("customer", "orders", "lineitem"))
     return spark.sql(
         """
         SELECT l_orderkey,

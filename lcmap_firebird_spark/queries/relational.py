@@ -231,7 +231,7 @@ def a6_multidim_agg(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("double").alias("sum_qty"),
         )
     )
-    register_views(spark, sf)
+    register_views(spark, sf, only=("lineitem",))
     gs = spark.sql(
         """
         SELECT 'gs' AS op,
