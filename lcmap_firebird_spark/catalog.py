@@ -25,11 +25,31 @@ def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+# Source-frame memo per SparkSession: the testdata tables are
+# immutable, and `spark.read.parquet` pays a fresh file listing +
+# footer/schema read per call — a query touching 4 tables repeated
+# that metadata work 4×, and every SQL-front-door view registration
+# again. Caching the (immutable) DataFrame *plan* per (session, path)
+# is the catalog-layer relation cache production engines keep (Spark
+# itself does this for catalog tables via the file-source relation
+# cache; plain path reads bypass it). WeakKey so a stopped session
+# frees its entries.
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_FRAMES: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def read_table(spark: SparkSession, name: str, base: str | None = None) -> DataFrame:
     """Read one named table (analog of cassandra.read,
     ccdc/cassandra.py:30-42). Plain `spark.read.parquet` so Catalyst
-    gets pushdown + pruning for free."""
+    gets pushdown + pruning for free; the resulting plan is memoized
+    per (session, path) — DataFrames are immutable, so reuse is
+    safe."""
     base = base or sf_dir()
+    cache = _FRAMES.setdefault(spark, {})
+    key = (base, name)
+    if key in cache:
+        return cache[key]
     try:
         # session conf; settable at runtime. Needed when the caller
         # (e.g. the driver harness) built the session without it.
@@ -65,6 +85,7 @@ def read_table(spark: SparkSession, name: str, base: str | None = None) -> DataF
                     "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
+    cache[key] = df
     return df
 
 
