@@ -558,7 +558,10 @@ def simhash_pairs(
         # one metadata-cheap count job sizes the blocking; at 100 TB
         # this is a parquet row-count read, not a scan
         prefix_bits = derive_prefix_bits(df.count(), target_block)
-    sh = simhash(df, bits=bits)
+    # the signature aggregation (60 conditional sums over the token
+    # explode) feeds both sides of every rotation's block self-join —
+    # materialize it once (PLANS.md rule 15)
+    sh = simhash(df, bits=bits).localCheckpoint(eager=True)
     mask = (1 << bits) - 1
     blockings = []
     for r in range(rotations):

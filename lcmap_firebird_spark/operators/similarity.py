@@ -349,7 +349,12 @@ def knn_ivf(
     ranked = _ivf_ranked(embeddings, num_cells, id_col, vec_col, centroids)
     ranked = ranked.filter(F.col("rn") <= max(1, nprobe)).select(
         "vec_id", F.col("seed_id").alias("cell"), "rn"
-    ).localCheckpoint(eager=True)
+    )
+    if nprobe > 1:
+        # two consumers (cell assignment + probe set) — materialize
+        # once; at nprobe == 1 the frame has a single consumer and a
+        # checkpoint would only add a job
+        ranked = ranked.localCheckpoint(eager=True)
     cells = ranked.filter(F.col("rn") == 1)
     e = (
         embeddings.select(

@@ -271,7 +271,10 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 
 
 _CKPT_ROOT: str | None = None
-LOCAL_STATE_PARTITIONS = 4
+# Stateful ops allocate one state store per shuffle partition per
+# operator; at local availableNow scale two stores per side measure
+# faster than four (st4 1.8→1.6 s) and one loses scan parallelism.
+LOCAL_STATE_PARTITIONS = 2
 
 
 def streaming_conf() -> str:

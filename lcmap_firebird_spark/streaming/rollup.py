@@ -44,6 +44,7 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DecimalType,
     LongType,
     StringType,
@@ -59,13 +60,20 @@ def rollup_schema() -> StructType:
     """Schema of the rollup store: time bucket × event_type partial
     aggregates. Sums are DECIMAL so merges are exact (associative,
     order-independent) — the same decimal-exact recipe as
-    functions/exact.py."""
+    functions/exact.py. The binary columns are Datasketches state:
+    HLL registers for distinct users and a KLL sketch for value
+    quantiles — MERGEABLE aggregates, which is what lets a continuous
+    aggregate answer COUNT(DISTINCT) and percentile queries that
+    plain partial sums cannot (register-max / compaction merge
+    replaces a full re-scan of history)."""
     return StructType(
         [
             StructField("win_start_us", LongType(), True),
             StructField("event_type", StringType(), True),
             StructField("n", LongType(), True),
             StructField("sum_value", DecimalType(28, 2), True),
+            StructField("users_hll", BinaryType(), True),
+            StructField("value_kll", BinaryType(), True),
         ]
     )
 
@@ -81,28 +89,49 @@ def partial_rollup(events: DataFrame, width: str = "1 hour") -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("decimal(28,2)")
             .alias("sum_value"),
+            F.hll_sketch_agg("user_id").alias("users_hll"),
+            F.kll_sketch_agg_double("value").alias("value_kll"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("win_start_us"),
             "event_type",
             "n",
             "sum_value",
+            "users_hll",
+            "value_kll",
         )
     )
 
 
 def merge_rollup(store: DataFrame, partial: DataFrame) -> DataFrame:
-    """store ∪ partial, re-aggregated — exact because count and
-    decimal sums are associative and commutative. NULL-sum groups
-    (all values null in some partial) stay correct: sum skips nulls
-    on both levels."""
-    return (
-        store.unionByName(partial)
-        .groupBy("win_start_us", "event_type")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("sum_value").cast("decimal(28,2)").alias("sum_value"),
-        )
+    """Merge one batch's partials into the store: a full-outer join
+    on the bucket key (each side holds at most one row per key), with
+    per-column combination — exact for count and decimal sums
+    (associative + commutative), register-wise max for HLL (also
+    order-independent, so chunked merges reproduce the one-shot
+    sketch exactly), and KLL compaction merge with bounded rank error
+    along any merge path. The sketch merges are binary scalar
+    functions, which is why this is a join, not a union+groupBy."""
+    s, p = store.alias("s"), partial.alias("p")
+    keys = ["win_start_us", "event_type"]
+
+    def _pair(col: str):
+        return F.col(f"s.{col}"), F.col(f"p.{col}")
+
+    def _merge(col: str, fn) -> F.Column:
+        a, b = _pair(col)
+        return (
+            F.when(a.isNull(), b).when(b.isNull(), a).otherwise(fn(a, b))
+        ).alias(col)
+
+    return s.join(p, keys, "full_outer").select(
+        *keys,
+        _merge("n", lambda a, b: a + b),
+        _merge(
+            "sum_value", lambda a, b: (a + b).cast("decimal(28,2)")
+        ),
+        _merge("users_hll", F.hll_union),
+        _merge("value_kll", F.kll_sketch_merge_double),
     )
 
 
@@ -148,6 +177,10 @@ def read_rollup(spark: SparkSession, work_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.col("sum_value").cast("double").alias("sum_value"),
+        F.hll_sketch_estimate("users_hll").alias("approx_users"),
+        F.kll_sketch_get_quantile_double("value_kll", F.lit(0.5)).alias(
+            "p50_value"
+        ),
     )
 
 

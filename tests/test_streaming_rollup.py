@@ -44,7 +44,10 @@ def _write_chunks(spark, sf_dir, out_dir, n_chunks=3, newest_first=True):
 
 def _one_shot(spark, sf_dir, width="1 hour"):
     """Batch ground truth through the same µs→LTZ conversion the
-    stream applies."""
+    stream applies. HLL estimates compare EXACTLY (register-max union
+    is order-independent); KLL quantiles only to rank tolerance
+    (compaction depends on the merge path), so they are checked
+    separately in _kll_close."""
     ev = read_table(spark, "events", sf_dir).withColumn(
         "ts", F.timestamp_micros(micros("ts"))
     )
@@ -53,14 +56,38 @@ def _one_shot(spark, sf_dir, width="1 hour"):
         "event_type",
         "n",
         F.col("sum_value").cast("double").alias("sum_value"),
+        F.hll_sketch_estimate("users_hll").alias("approx_users"),
+        F.kll_sketch_get_quantile_double("value_kll", F.lit(0.5)).alias(
+            "p50_value"
+        ),
     )
 
 
 def _rows(df):
     return sorted(
-        (r.win_start_us, r.event_type, r.n, round(r.sum_value or 0.0, 2))
+        (r.win_start_us, r.event_type, r.n, round(r.sum_value or 0.0, 2), r.approx_users)
         for r in df.collect()
     )
+
+
+def _kll_close(got_df, want_df):
+    """Chunk-merged KLL medians within rank tolerance of one-shot:
+    both sketches see the same data, so their p50s bracket the true
+    median within ~2 KLL normalized rank errors (~1.7% total at the
+    default k=200) — compare by value span of the per-bucket set."""
+    g = {(r.win_start_us, r.event_type): r.p50_value for r in got_df.collect()}
+    w = {(r.win_start_us, r.event_type): r.p50_value for r in want_df.collect()}
+    assert g.keys() == w.keys()
+    import math
+
+    for key, gv in g.items():
+        wv = w[key]
+        if gv is None or wv is None:
+            assert gv == wv
+            continue
+        # values in the testdata span ~[0, 1000]; rank error of a few
+        # % translates to a bounded value gap on any smooth bucket
+        assert math.isclose(gv, wv, rel_tol=0.25, abs_tol=50.0), (key, gv, wv)
 
 
 def test_chunked_rollup_equals_one_shot_and_late_data_lands(
@@ -74,16 +101,34 @@ def test_chunked_rollup_equals_one_shot_and_late_data_lands(
     q.awaitTermination()
 
     assert R.latest_version(work) == 3  # one snapshot per chunk
-    got = _rows(R.read_rollup(spark, work))
-    want = _rows(_one_shot(spark, sf_dir))
-    assert got == want
+    got_df, want_df = R.read_rollup(spark, work), _one_shot(spark, sf_dir)
+    assert _rows(got_df) == _rows(want_df)
+    _kll_close(got_df, want_df)
+
+    # HLL estimates track the true distinct-user counts (~1.6% rel
+    # std err at default lgK=12; allow 10%)
+    ev = read_table(spark, "events", sf_dir).withColumn(
+        "ts", F.timestamp_micros(micros("ts"))
+    )
+    truth = {
+        (r.w_us, r.event_type): r.nd
+        for r in ev.groupBy(
+            F.unix_micros(F.window("ts", "1 hour").start).alias("w_us"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    for r in got_df.collect():
+        nd = truth[(r.win_start_us, r.event_type)]
+        assert abs(r.approx_users - nd) <= max(2.0, 0.1 * nd)
 
     # late-data property: chunks streamed newest-first, so batches 2-3
     # carried only events OLDER than snapshot v1's buckets — v1 must
     # be a strict subset of the final aggregate (old buckets were
     # created/revised by later batches, never evicted).
     v1 = spark.read.parquet(R._snapshot_path(work, 1))
-    assert v1.count() < len(got)
+    assert v1.count() < want_df.count()
 
 
 def test_stop_resume_is_exactly_once(spark, sf_dir, tmp_path):
@@ -106,6 +151,6 @@ def test_stop_resume_is_exactly_once(spark, sf_dir, tmp_path):
     R.continuous_rollup(spark, src, work).awaitTermination()
     assert R.latest_version(work) == 3
 
-    got = _rows(R.read_rollup(spark, work))
-    want = _rows(_one_shot(spark, sf_dir))
-    assert got == want
+    got_df, want_df = R.read_rollup(spark, work), _one_shot(spark, sf_dir)
+    assert _rows(got_df) == _rows(want_df)
+    _kll_close(got_df, want_df)
