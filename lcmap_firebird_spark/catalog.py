@@ -67,24 +67,20 @@ def read_table(spark: SparkSession, name: str, base: str | None = None) -> DataF
     # 1e17 µs ≈ year 5138, 1e17 ns ≈ 1973.
     if name == "events":
         dt = dict(df.dtypes).get("ts")
+        from .functions.dates import ntz_from_micros
+
         if dt == "bigint":
             df = df.withColumn(
                 "ts",
-                F.expr(
-                    "timestamp_add(MICROSECOND, "
-                    "CASE WHEN abs(ts) >= 100000000000000000 "
-                    "THEN ts div 1000 ELSE ts END, "
-                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ntz_from_micros(
+                    F.expr(
+                        "CASE WHEN abs(ts) >= 100000000000000000 "
+                        "THEN ts div 1000 ELSE ts END"
+                    )
                 ),
             )
         elif dt == "timestamp":
-            df = df.withColumn(
-                "ts",
-                F.expr(
-                    "timestamp_add(MICROSECOND, unix_micros(ts), "
-                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-                ),
-            )
+            df = df.withColumn("ts", ntz_from_micros(F.unix_micros("ts")))
     cache[key] = df
     return df
 
