@@ -408,9 +408,19 @@ def dedup_clusters(
     # iterate ONLY over vertices that touch an edge; isolated docs
     # (the overwhelming majority of a deduped corpus) are attached as
     # singleton clusters with one anti-join AFTER convergence instead
-    # of riding every propagation round
-    verts = sym.select(F.col("src").alias("doc_id")).distinct()
-    labels = verts.select("doc_id", F.col("doc_id").alias("label"))
+    # of riding every propagation round. Initial labels fold the
+    # first neighbor-min step into the same aggregation that
+    # enumerates the vertices (label₀ = min(self, neighbors)) — for
+    # the clique-shaped components near-dup graphs produce, that IS
+    # the fixpoint, so the loop only pays one confirmation round.
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("_nbr")).alias("label"),
+        )
+    )
     labels = labels.localCheckpoint(eager=True)
 
     def checksum(frame: DataFrame) -> int:
