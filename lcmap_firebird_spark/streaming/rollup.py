@@ -74,6 +74,7 @@ def rollup_schema() -> StructType:
             StructField("sum_value", DecimalType(28, 2), True),
             StructField("users_hll", BinaryType(), True),
             StructField("value_kll", BinaryType(), True),
+            StructField("users_theta", BinaryType(), True),
         ]
     )
 
@@ -91,6 +92,10 @@ def partial_rollup(events: DataFrame, width: str = "1 hour") -> DataFrame:
             .alias("sum_value"),
             F.hll_sketch_agg("user_id").alias("users_hll"),
             F.kll_sketch_agg_double("value").alias("value_kll"),
+            # theta costs a little more than HLL but supports set
+            # ALGEBRA (intersection/difference) — what powers the
+            # new/returning/churned retention read below
+            F.theta_sketch_agg("user_id").alias("users_theta"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("win_start_us"),
@@ -99,6 +104,7 @@ def partial_rollup(events: DataFrame, width: str = "1 hour") -> DataFrame:
             "sum_value",
             "users_hll",
             "value_kll",
+            "users_theta",
         )
     )
 
@@ -132,6 +138,7 @@ def merge_rollup(store: DataFrame, partial: DataFrame) -> DataFrame:
         ),
         _merge("users_hll", F.hll_union),
         _merge("value_kll", F.kll_sketch_merge_double),
+        _merge("users_theta", F.theta_union),
     )
 
 
@@ -181,6 +188,36 @@ def read_rollup(spark: SparkSession, work_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double("value_kll", F.lit(0.5)).alias(
             "p50_value"
         ),
+    )
+
+
+def bucket_retention(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Per-bucket user retention from the theta sketches: for each
+    (event_type, bucket) vs the PREVIOUS bucket of the same type,
+    estimate returning (intersection), new (difference current−prev)
+    and churned (difference prev−current) users — set algebra no
+    plain aggregate or HLL sketch can answer without re-scanning raw
+    history. One window lag over the aggregate-sized store; theta
+    estimates are exact while sketches stay in exact mode (distinct
+    users per bucket below the nominal 4096 entries)."""
+    from pyspark.sql.window import Window
+
+    snap = _read_snapshot(spark, work_dir, latest_version(work_dir))
+    w = Window.partitionBy("event_type").orderBy("win_start_us")
+    cur, prev = F.col("users_theta"), F.lag("users_theta").over(w)
+    return snap.select(
+        "win_start_us",
+        "event_type",
+        F.theta_sketch_estimate("users_theta").alias("users"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.theta_sketch_estimate(F.theta_intersection(cur, prev)))
+        .alias("returning"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.theta_sketch_estimate(F.theta_difference(cur, prev)))
+        .alias("new_users"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.theta_sketch_estimate(F.theta_difference(prev, cur)))
+        .alias("churned"),
     )
 
 

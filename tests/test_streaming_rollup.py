@@ -131,6 +131,45 @@ def test_chunked_rollup_equals_one_shot_and_late_data_lands(
     assert v1.count() < want_df.count()
 
 
+def test_bucket_retention_matches_exact_set_algebra(spark, sf_dir, tmp_path):
+    """Theta-sketch retention vs exact per-bucket user sets: sketches
+    stay in exact mode at these cardinalities, so the estimates equal
+    the true intersection/difference sizes."""
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    _write_chunks(spark, sf_dir, src, n_chunks=2, newest_first=False)
+    R.continuous_rollup(spark, src, work, width="1 hour").awaitTermination()
+
+    got = {
+        (r.win_start_us, r.event_type): (r.returning, r.new_users, r.churned)
+        for r in R.bucket_retention(spark, work).collect()
+        if r.returning is not None
+    }
+    assert got  # at least one bucket has a predecessor
+
+    ev = read_table(spark, "events", sf_dir).withColumn(
+        "ts", F.timestamp_micros(micros("ts"))
+    )
+    sets: dict = {}
+    for r in ev.select(
+        F.unix_micros(F.window("ts", "1 hour").start).alias("w_us"),
+        "event_type",
+        "user_id",
+    ).collect():
+        sets.setdefault((r.event_type, r.w_us), set()).add(r.user_id)
+    for et_w, (ret, new, churn) in got.items():
+        w_us, et = et_w
+        prev_w = max(
+            (w for (t, w) in sets if t == et and w < w_us), default=None
+        )
+        cur_s, prev_s = sets[(et, w_us)], sets[(et, prev_w)]
+        assert (ret, new, churn) == (
+            float(len(cur_s & prev_s)),
+            float(len(cur_s - prev_s)),
+            float(len(prev_s - cur_s)),
+        ), et_w
+
+
 def test_stop_resume_is_exactly_once(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src")
     work = str(tmp_path / "work")
