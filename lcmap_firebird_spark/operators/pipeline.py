@@ -1,0 +1,179 @@
+"""Training-corpus preparation operators beyond dedup/quality:
+document chunking, PII redaction, and benchmark-contamination
+detection. All pure DataFrame plans — column expressions stay in
+whole-stage codegen, the only shuffles are the explicitly keyed ones.
+
+No reference analog (the reference is a raster pipeline); these are
+the text-side operators a 100 TB training-data pipeline needs next
+to the dedup ladder (operators/dedup.py) and quality gates
+(operators/text.py, plans/corpus.py).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+# --- document chunking ------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token windows with optional overlap
+    — the context-window shaping step before tokenization at scale.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk) — chunk_id is the
+    0-based window index, windows start every (chunk_tokens − overlap)
+    tokens, the final window keeps the tail (may be short). One
+    map-side pass per row: tokenize once (staged column), build the
+    window starts with `sequence`, slice per start, posexplode. No
+    shuffle at all — chunking is embarrassingly parallel, and at
+    100 TB the plan is scan → project → explode with the original
+    file parallelism.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        # last window start: largest multiple of stride < n_tokens
+        # (empty docs get a single empty chunk via greatest(0, ...))
+        F.greatest(
+            F.lit(0),
+            ((F.size("_toks") - 1) / F.lit(stride)).cast("int") * F.lit(stride),
+        ),
+        F.lit(stride),
+    )
+    return staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.slice("_toks", s + 1, chunk_tokens)
+            )
+        ).alias("chunk_id", "_ctoks"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.size("_ctoks").alias("n_tokens"),
+        F.array_join("_ctoks", " ").alias("chunk"),
+    )
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# Order matters: longer/more-specific patterns first so e.g. an email
+# isn't partially eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"(\+?\d{1,2}[\s.-])?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("cc", r"\b\d{4}[\s-]\d{4}[\s-]\d{4}[\s-]\d{4}\b"),
+)
+
+
+def redact_pii(
+    col: str | Column = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> Column:
+    """Replace PII spans with `[TYPE]` sentinels — a chained
+    `regexp_replace`, fully codegen (zero Python in the scan). The
+    default patterns cover emails, SSNs, phones, IPv4s and spaced
+    credit-card numbers; callers extend/override per policy."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat in patterns:
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return c
+
+
+def pii_counts(
+    col: str | Column = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> Column:
+    """map<type, hits> of PII matches per document — the audit
+    column written next to redacted text so policy reviews don't
+    re-scan the corpus."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.map_from_arrays(
+        F.array(*[F.lit(n) for n, _ in patterns]),
+        F.array(*[F.size(F.regexp_extract_all(c, F.lit(p), 0)) for _, p in patterns]),
+    )
+
+
+# --- benchmark contamination ------------------------------------------------
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination report: corpus documents sharing ≥
+    `min_hits` distinct n-gram shingles with any benchmark item.
+
+    Plan: the BENCHMARK side (small — eval sets are thousands of
+    items) explodes to distinct shingles and broadcasts; the corpus
+    explodes map-side and hash-joins against it, then one groupBy
+    counts hits per (doc, benchmark item). The corpus is scanned
+    once, never shuffled on raw text — only matching (doc_id,
+    bench_id, shingle-hit) triples reach the aggregation, which at a
+    sane n (8-13 tokens) is a vanishing fraction of the corpus.
+    Decontamination = left_anti join the report back on doc_id.
+    """
+    from .dedup import shingles, spread
+
+    bench = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(shingles(bench_text_col, n)).alias("s"),
+    ).distinct()
+    corp = spread(corpus, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, n)).alias("s"),
+    )
+    return (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_hits)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus minus contaminated documents (left_anti on the
+    contamination report)."""
+    hits = contamination(
+        corpus, benchmark, n=n, min_hits=min_hits,
+        id_col=id_col, text_col=text_col,
+    ).select("doc_id").distinct()
+    return corpus.join(hits, corpus[id_col] == hits["doc_id"], "left_anti")
+
+
+# keep the foreign-cwd pickling contract uniform (CLAUDE.md inv. 2)
+import pyspark  # noqa: E402
+
+pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])

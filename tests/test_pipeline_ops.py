@@ -1,0 +1,114 @@
+"""Chunking, PII redaction, and contamination-detection invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lcmap_firebird_spark.catalog import read_table
+from lcmap_firebird_spark.operators import pipeline as P
+from lcmap_firebird_spark.operators.text import tokens
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """No overlap: concatenating a doc's chunks in chunk_id order
+    reproduces its token stream exactly; every chunk except the last
+    is full-size."""
+    docs = read_table(spark, "documents", sf_dir)
+    chunks = P.chunk_documents(docs, chunk_tokens=32, overlap=0)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_id", "chunk"))
+                        ),
+                        lambda s: F.split(s["chunk"], " "),
+                    )
+                ),
+                " ",
+            ).alias("joined"),
+            F.max("chunk_id").alias("last_id"),
+            F.count("*").alias("n_chunks"),
+        )
+    )
+    orig = docs.select(
+        "doc_id", F.array_join(tokens("text"), " ").alias("orig")
+    )
+    diff = rebuilt.join(orig, "doc_id").filter(
+        F.col("joined") != F.col("orig")
+    )
+    assert diff.count() == 0
+    assert rebuilt.filter(F.col("n_chunks") != F.col("last_id") + 1).count() == 0
+    # all non-final chunks are exactly chunk_tokens long
+    bad = (
+        chunks.join(rebuilt.select("doc_id", "last_id"), "doc_id")
+        .filter(
+            (F.col("chunk_id") < F.col("last_id"))
+            & (F.col("n_tokens") != 32)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_chunking_overlap_windows(spark, sf_dir):
+    """With overlap o, window k starts at k*(size-o): consecutive
+    chunks share exactly o tokens (until the tail)."""
+    docs = read_table(spark, "documents", sf_dir).limit(50)
+    chunks = P.chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk.split(" ")
+    shared = 0
+    for parts in by_doc.values():
+        for k in range(len(parts) - 1):
+            if len(parts[k]) == 16 and len(parts[k + 1]) >= 4:
+                assert parts[k][-4:] == parts[k + 1][:4]
+                shared += 1
+    assert shared > 0
+
+
+def test_pii_redaction_and_counts(spark):
+    rows = [
+        (1, "mail me at alice@example.com or call 555-123-4567 now"),
+        (2, "ssn 123-45-6789 ip 10.0.0.1 card 4111 1111 1111 1111"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        P.redact_pii("text").alias("clean"),
+        P.pii_counts("text").alias("hits"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert "[EMAIL]" in by_id[1].clean and "alice@" not in by_id[1].clean
+    assert "[PHONE]" in by_id[1].clean
+    assert "[SSN]" in by_id[2].clean and "[IPV4]" in by_id[2].clean
+    assert "[CC]" in by_id[2].clean
+    assert by_id[3].clean == "nothing sensitive here"
+    assert by_id[1].hits["email"] == 1 and by_id[2].hits["ssn"] == 1
+    assert sum(by_id[3].hits.values()) == 0
+
+
+def test_contamination_detects_verbatim_inclusion(spark, sf_dir):
+    """A benchmark item copied verbatim from a corpus doc is flagged;
+    decontaminate removes exactly the flagged docs."""
+    docs = read_table(spark, "documents", sf_dir)
+    # benchmark: verbatim texts of 5 corpus docs + 1 novel item
+    bench = docs.filter(F.col("doc_id").isin([3, 7, 11, 19, 23])).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(9999, "completely novel benchmark question nobody wrote " * 3)],
+            "doc_id long, text string",
+        )
+    )
+    report = P.contamination(docs, bench, n=8, min_hits=1)
+    flagged = {r.doc_id for r in report.select("doc_id").distinct().collect()}
+    # the 5 sources are flagged (copies of them may legitimately be too)
+    assert {3, 7, 11, 19, 23} <= flagged
+    clean = P.decontaminate(docs, bench, n=8, min_hits=1)
+    assert clean.count() == docs.count() - len(flagged)
+    assert clean.filter(F.col("doc_id").isin(list(flagged))).count() == 0
