@@ -79,6 +79,8 @@ def prepare_corpus(
     languages: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.5,
     weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    benchmark: DataFrame | None = None,
+    redact: bool = False,
     **gate_kwargs,
 ) -> DataFrame:
     """Full ladder → the input columns + a 'split' column, one row per
@@ -86,7 +88,14 @@ def prepare_corpus(
     (doc_id, text, ...). Deterministic end to end: gates are
     row-local expressions, dedup winners are group minima, and the
     split is a hash of the id (operators/sampling) — the same corpus
-    always yields the same training set."""
+    always yields the same training set.
+
+    `benchmark` adds a decontamination stage (drop docs sharing
+    8-gram shingles with any benchmark item — operators/pipeline)
+    AFTER dedup, so the expensive shingle join runs over survivors
+    only. `redact=True` rewrites text through the PII scrubber as the
+    final projection (post-dedup: fingerprints/signatures key on the
+    ORIGINAL bytes, and redaction must not change dedup decisions)."""
     gated = language_gate(quality_gate(docs, **gate_kwargs), languages)
     # exact rung: one representative per byte-identical content group
     grp = exact_groups(gated)
@@ -97,7 +106,16 @@ def prepare_corpus(
     clusters = dedup_clusters(pairs, all_ids=kept.select("doc_id"))
     keepers = clusters.filter(F.col("is_keeper")).select("doc_id")
     survivors = kept.join(keepers, ["doc_id"], "left_semi")
-    return train_val_test(survivors, "doc_id", weights)
+    if benchmark is not None:
+        from ..operators.pipeline import decontaminate
+
+        survivors = decontaminate(survivors, benchmark, n=8)
+    out = train_val_test(survivors, "doc_id", weights)
+    if redact:
+        from ..operators.pipeline import redact_pii
+
+        out = out.withColumn("text", redact_pii("text"))
+    return out
 
 
 def write_corpus(df: DataFrame, path: str, mode: str = "overwrite") -> None:

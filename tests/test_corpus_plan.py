@@ -73,3 +73,26 @@ def test_partitioned_write_roundtrip(spark, prepared, tmp_path):
         back.filter(F.col("split") == "train").count()
         == prepared.filter(F.col("split") == "train").count()
     )
+
+
+def test_decontamination_and_redaction_stages(spark, docs, prepared):
+    """benchmark= drops exactly the survivor docs sharing 8-grams
+    with a benchmark item; redact=True scrubs PII in the output text
+    without changing which documents survive."""
+    kept_ids = [r.doc_id for r in prepared.select("doc_id").limit(3).collect()]
+    bench = docs.filter(F.col("doc_id").isin(kept_ids)).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    out = C.prepare_corpus(
+        docs, languages=LANGS, jaccard_threshold=THRESH, benchmark=bench
+    )
+    out_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert not (set(kept_ids) & out_ids)
+    assert out_ids < {r.doc_id for r in prepared.select("doc_id").collect()}
+
+    red = C.prepare_corpus(
+        docs, languages=LANGS, jaccard_threshold=THRESH, redact=True
+    )
+    assert {r.doc_id for r in red.select("doc_id").collect()} == {
+        r.doc_id for r in prepared.select("doc_id").collect()
+    }
