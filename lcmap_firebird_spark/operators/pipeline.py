@@ -173,6 +173,91 @@ def decontaminate(
     return corpus.join(hits, corpus[id_col] == hits["doc_id"], "left_anti")
 
 
+# --- sequence packing -------------------------------------------------------
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 2048,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy bin-packing of chunks into fixed-length training
+    sequences ("sample packing"): consecutive chunks accumulate into
+    a pack until the next one would overflow `seq_len`.
+
+    Input follows chunk_documents' contract (doc_id, chunk_id,
+    n_tokens, chunk). Output: (pack_id, n_chunks, n_tokens, members)
+    with members = 'doc:chunk' strings in pack order.
+
+    Packing is inherently sequential, so it runs per partition as an
+    Arrow-batched mapInPandas kernel: rows are hash-distributed by
+    doc_id then sorted within the partition — deterministic given the
+    partition count (pinned, not AQE-coalesced: the assignment is
+    part of the result), and embarrassingly parallel across
+    partitions. pack_id = partition_id·2³² + local index, unique and
+    reproducible. Fill efficiency loses only the per-partition tail
+    vs a global sequential pack — at 100 TB a global pack would
+    serialize the corpus through one task for a <1% fill gain.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if partitions is None:
+        partitions = chunks.sparkSession.sparkContext.defaultParallelism
+    out_schema = StructType(
+        [
+            StructField("pack_id", LongType()),
+            StructField("n_chunks", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("members", ArrayType(StringType())),
+        ]
+    )
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        next_id = pid << 32
+        cur_tok, cur_members = 0, []
+        for pdf in batches:
+            rows_out = []
+            for doc_id, chunk_id, n_tok in zip(
+                pdf["doc_id"], pdf["chunk_id"], pdf["n_tokens"]
+            ):
+                n_tok = int(n_tok)
+                if cur_members and cur_tok + n_tok > seq_len:
+                    rows_out.append(
+                        (next_id, len(cur_members), cur_tok, cur_members)
+                    )
+                    next_id += 1
+                    cur_tok, cur_members = 0, []
+                cur_tok += n_tok
+                cur_members = cur_members + [f"{doc_id}:{chunk_id}"]
+            if rows_out:
+                yield pd.DataFrame(
+                    rows_out,
+                    columns=["pack_id", "n_chunks", "n_tokens", "members"],
+                )
+        if cur_members:
+            yield pd.DataFrame(
+                [(next_id, len(cur_members), cur_tok, cur_members)],
+                columns=["pack_id", "n_chunks", "n_tokens", "members"],
+            )
+
+    return (
+        chunks.select("doc_id", "chunk_id", "n_tokens")
+        .repartition(partitions, "doc_id")
+        .sortWithinPartitions("doc_id", "chunk_id")
+        .mapInPandas(kernel, out_schema)
+    )
+
+
 # keep the foreign-cwd pickling contract uniform (CLAUDE.md inv. 2)
 import pyspark  # noqa: E402
 

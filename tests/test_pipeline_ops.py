@@ -112,3 +112,28 @@ def test_contamination_detects_verbatim_inclusion(spark, sf_dir):
     clean = P.decontaminate(docs, bench, n=8, min_hits=1)
     assert clean.count() == docs.count() - len(flagged)
     assert clean.filter(F.col("doc_id").isin(list(flagged))).count() == 0
+
+def test_sequence_packing_conserves_and_bounds(spark, sf_dir):
+    """Every chunk lands in exactly one pack, no pack exceeds
+    seq_len (chunks are <= chunk_tokens <= seq_len here), fill is
+    efficient, and the assignment is deterministic across runs."""
+    docs = read_table(spark, "documents", sf_dir)
+    chunks = P.chunk_documents(docs, chunk_tokens=32, overlap=0)
+    packs = P.pack_sequences(chunks, seq_len=128, partitions=4)
+
+    rows = packs.collect()
+    total_chunks = chunks.count()
+    total_tokens = chunks.agg(F.sum("n_tokens")).first()[0]
+    assert sum(r.n_chunks for r in rows) == total_chunks
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    assert all(r.n_tokens <= 128 for r in rows)
+    members = [m for r in rows for m in r.members]
+    assert len(members) == len(set(members)) == total_chunks
+    # greedy fill: average pack occupancy well above half
+    assert sum(r.n_tokens for r in rows) / (128 * len(rows)) > 0.5
+    # deterministic: identical assignment on a fresh plan
+    again = sorted(
+        (r.pack_id, tuple(r.members))
+        for r in P.pack_sequences(chunks, seq_len=128, partitions=4).collect()
+    )
+    assert again == sorted((r.pack_id, tuple(r.members)) for r in rows)
