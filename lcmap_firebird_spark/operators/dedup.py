@@ -421,7 +421,13 @@ def dedup_clusters(
             F.least(F.col("src"), F.col("_nbr")).alias("label"),
         )
     )
-    labels = labels.localCheckpoint(eager=True)
+    # LAZY checkpoint: the convergence-checksum action right below is
+    # what materializes it, so each round runs ONE job (truncate +
+    # checksum together), not two. Single consumer until materialized
+    # → no cache-racing concern (PLANS.md rule 15 applies to eager
+    # multi-consumer frames; here the checksum is the sole first
+    # reader and later round joins read the materialized checkpoint).
+    labels = labels.localCheckpoint(eager=False)
 
     def checksum(frame: DataFrame) -> int:
         # labels only ever decrease, so the label sum is a monotone
@@ -459,7 +465,7 @@ def dedup_clusters(
                     F.col("label"), F.coalesce("label2", F.col("label"))
                 ).alias("label"),
             )
-            labels = new_labels.localCheckpoint(eager=True)
+            labels = new_labels.localCheckpoint(eager=False)
             new_sum = checksum(labels)
             if new_sum == prev_sum:
                 break
