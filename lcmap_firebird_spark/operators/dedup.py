@@ -33,15 +33,20 @@ from .text import gram_array, tokens
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Hash-repartition to the session's default parallelism.
+    """Hash-repartition to the session's default parallelism — ONLY
+    when the input is under-parallel.
 
     Compact inputs (a few MB of documents) arrive as ONE parquet
     split, so explode/hash-heavy operators would run on a single
-    core. The row shuffle is tiny relative to the downstream
-    per-shingle work; at 100 TB inputs are already many splits and
-    this becomes a cheap no-op-shaped rebalance.
+    core; the fix-up shuffle is tiny. At 100 TB the scan already has
+    thousands of splits and repartitioning would shuffle the raw
+    corpus (text and all) for nothing — so a well-parallel input
+    passes through untouched (asserted by plan test: no added
+    Exchange). The partition-count probe is plan metadata, no job.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, *[F.col(c) for c in key_cols])
 
 

@@ -135,3 +135,51 @@ def test_quality_gate_binds_expensive_arrays_once(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(text") == 1, plan
     assert plan.count("zip_with") == 1, plan
+
+
+def test_spread_is_noop_for_parallel_inputs(spark, sf_dir):
+    """spread() must not shuffle an input that is already at session
+    parallelism — at scale it would move the raw corpus for nothing."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.dedup import spread
+
+    docs = read_table(spark, "documents", sf_dir)
+    n = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(n + 2)
+    assert spread(wide, "doc_id") is wide  # pass-through, no new plan node
+    # under-parallel input still gets the fix-up repartition
+    narrow = docs.coalesce(1)
+    plan = spread(narrow, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """chunk_documents is scan → project → explode: embarrassingly
+    parallel, no Exchange anywhere in the plan."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.pipeline import chunk_documents
+
+    docs = read_table(spark, "documents", sf_dir)
+    plan = (
+        chunk_documents(docs, 64, 8)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark side must broadcast; the corpus side's only
+    exchange is the aggregation on (doc_id, bench_id) — never a
+    shuffle of raw text before the join."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.pipeline import contamination
+
+    docs = read_table(spark, "documents", sf_dir).repartition(8)
+    bench = docs.limit(20).select("doc_id", "text")
+    plan = (
+        contamination(docs, bench, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
