@@ -71,6 +71,54 @@ def cosine_pre(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot.cast("double") / (norm_a * norm_b)
 
 
+def normalize(col: str | Column = "embedding") -> Column:
+    """L2-normalize an array<float> column — pure codegen (one
+    aggregate for the norm, one transform to scale); rows with zero
+    norm pass through unchanged. After normalization, cosine ==
+    dot product, so downstream ANN can skip the per-pair norm
+    divides entirely."""
+    c = F.col(col) if isinstance(col, str) else col
+    nrm = F.sqrt(
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return F.when(nrm == 0.0, c.cast("array<double>")).otherwise(
+        F.transform(c, lambda x: x.cast("double") / nrm)
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings to `k` principal components — the
+    dimensionality-reduction leg ahead of IVF/LSH when the raw dim
+    makes per-pair arithmetic the bottleneck (classic IVF-PCA ANN).
+
+    MLlib PCA fits the k-basis over the corpus (distributed
+    covariance + local eigendecomposition — the same train-small /
+    broadcast-apply shape as train_ivf_centroids); the projection is
+    then one map-side matrix multiply per row, no shuffle. Output:
+    (vec_id, embedding array<double>[k]) — plug straight back into
+    lsh_buckets / ivf_assign / knn_* (they quantize whatever dim
+    they're given).
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = PCA(k=k, inputCol="features", outputCol="proj").fit(feat)
+    return model.transform(feat).select(
+        "vec_id", vector_to_array("proj").alias(vec_col)
+    )
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -169,3 +169,63 @@ def test_ivf_nprobe_recall(spark, sf_dir):
     p1 = S.ivf_probe_cells(emb, 8, nprobe=1).count()
     p2 = S.ivf_probe_cells(emb, 8, nprobe=2).count()
     assert p2 > p1
+
+
+def test_normalize_embeddings(spark, sf_dir):
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.similarity import normalize
+
+    import pyspark.sql.functions as F
+
+    emb = read_table(spark, "embeddings", sf_dir).limit(100)
+    out = emb.select(
+        F.aggregate(
+            normalize("embedding"), F.lit(0.0), lambda a, x: a + x * x
+        ).alias("sq")
+    ).collect()
+    assert all(abs(r.sq - 1.0) < 1e-9 for r in out)
+    # zero vector passes through
+    z = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    assert z.select(normalize("embedding").alias("e")).first().e == [0.0, 0.0]
+
+
+def test_pca_project_feeds_ann(spark, sf_dir):
+    """PCA output has dim k and plugs into the existing k-NN plans;
+    top-1 neighbors on a 16-dim projection agree with full-dim for
+    most queries (sanity, not a recall guarantee)."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.similarity import (
+        knn_bruteforce,
+        pca_project,
+    )
+
+    import pyspark.sql.functions as F
+
+    emb = read_table(spark, "embeddings", sf_dir).limit(200)
+    proj = pca_project(emb, k=16)
+    first = proj.first()
+    assert len(first.embedding) == 16
+    assert proj.count() == 200
+
+    q_full = emb.filter(F.col("vec_id") < 5)
+    q_proj = proj.filter(F.col("vec_id") < 5)
+    top_full = {
+        r.q_id: r.n_id
+        for r in knn_bruteforce(emb, q_full, top_k=1).collect()
+    }
+    top_proj = {
+        r.q_id: r.n_id
+        for r in knn_bruteforce(proj, q_proj, top_k=1).collect()
+    }
+    # the synthetic embeddings are near-uniform random, so top-1
+    # agreement after 64→16 projection is weak by construction — the
+    # contract here is shape + pluggability + determinism, with at
+    # least some structure surviving
+    assert len(top_proj) == len(top_full) == 5
+    agree = sum(top_full[q] == top_proj.get(q) for q in top_full)
+    assert agree >= 1
+    top_proj2 = {
+        r.q_id: r.n_id
+        for r in knn_bruteforce(proj, q_proj, top_k=1).collect()
+    }
+    assert top_proj2 == top_proj  # deterministic within the session
