@@ -117,7 +117,12 @@ def incremental_pairs(
     runner in streaming/dedup_stream.py — compute signatures once.
     """
     if batch_sigs is None:
-        batch_sigs = signature_table(batch, num_perm, k).cache()
+        # two consumers (store merge + band projection) launch in
+        # concurrent stages; eager materialization runs the shingle +
+        # signature pipeline exactly once (PLANS.md rule 15)
+        batch_sigs = signature_table(batch, num_perm, k).localCheckpoint(
+            eager=True
+        )
     merged = merge_batch(store, batch_sigs)
     sig_cols = [f"h{p}" for p in range(num_perm)]
     merged_sigs = merged.filter(F.col(sig_cols[0]).isNotNull()).select(
@@ -144,7 +149,9 @@ def incremental_pairs(
             F.greatest("n.doc_id", "s.doc_id").alias("doc_b"),
         )
         .distinct()
-        .cache()
+        # verification reads the candidate set twice (doc-restriction
+        # semi-join + pair semi-join) — materialize once, eagerly
+        .localCheckpoint(eager=True)
     )
     return jaccard_pairs(df_all, threshold, k=k, candidates=touching)
 
