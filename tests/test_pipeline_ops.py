@@ -137,3 +137,43 @@ def test_sequence_packing_conserves_and_bounds(spark, sf_dir):
         for r in P.pack_sequences(chunks, seq_len=128, partitions=4).collect()
     )
     assert again == sorted((r.pack_id, tuple(r.members)) for r in rows)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.lists(st.integers(0, 37), min_size=1, max_size=6),
+    chunk_tokens=st.integers(2, 12),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+def test_chunking_matches_python_model(spark, n_tokens, chunk_tokens, overlap_frac):
+    """Random documents: Spark chunking equals the obvious sequential
+    model (windows every chunk_tokens-overlap, last window keeps the
+    tail, empty docs yield one empty chunk)."""
+    overlap = min(int(chunk_tokens * overlap_frac), chunk_tokens - 1)
+    stride = chunk_tokens - overlap
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(n_tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk.split(" ") if r.chunk else []
+        for r in P.chunk_documents(df, chunk_tokens, overlap).collect()
+    }
+    want = {}
+    for i, n in enumerate(n_tokens):
+        toks = [f"w{i}x{j}" for j in range(n)]
+        starts = range(0, max(1, n), stride) if n > 0 else [0]
+        for cid, s in enumerate(starts):
+            if s >= n and n > 0:
+                break
+            want[(i, cid)] = toks[s : s + chunk_tokens]
+    assert got == want
