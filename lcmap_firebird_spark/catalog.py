@@ -39,6 +39,76 @@ from weakref import WeakKeyDictionary  # noqa: E402
 _FRAMES: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
+def ts_unit(path: str, column: str = "ts", glob: str = "*.parquet") -> str:
+    """Decide ONCE PER DATASET whether a raw int64 timestamp column
+    is nanos or micros — from the parquet FOOTER only (logical-type
+    annotation, else row-group min/max statistics); no data scan, no
+    Spark job.
+
+    Returns 'ns', 'us', or 'sniff' (footer carried no stats — caller
+    falls back to the per-row magnitude CASE). The per-row sniff
+    alone would mis-read a ns-generation row before ~1973-03
+    (abs < 1e17 ns) as µs while dividing its neighbors — mixed
+    corruption within one table (round-3 advice); deciding per
+    dataset removes that window.
+    """
+    import glob as _glob
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except Exception:
+        return "sniff"
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(_glob.glob(os.path.join(path, glob)))
+    )
+    if not files:
+        return "sniff"
+    try:
+        f = pq.ParquetFile(files[0])
+        field_idx = f.schema_arrow.get_field_index(column)
+        if field_idx < 0:
+            return "sniff"
+        ftype = f.schema_arrow.field(field_idx).type
+        if pa.types.is_timestamp(ftype):
+            return "ns" if ftype.unit == "ns" else "us"
+        # plain int64 with no logical annotation: footer stats
+        leaf_idx = next(
+            i
+            for i in range(len(f.schema))
+            if f.schema.column(i).name == column
+        )
+        mx = 0
+        md = f.metadata
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(leaf_idx).statistics
+            if st is None or not st.has_min_max:
+                return "sniff"
+            mx = max(mx, abs(st.min), abs(st.max))
+        return "ns" if mx >= 100_000_000_000_000_000 else "us"
+    except Exception:
+        return "sniff"
+
+
+# per-row magnitude fallback, used only when the footer carries no
+# usable annotation or statistics (1e17 µs ≈ year 5138, 1e17 ns ≈ 1973)
+_ROW_SNIFF = (
+    "CASE WHEN abs({c}) >= 100000000000000000 THEN {c} div 1000 ELSE {c} END"
+)
+
+
+def micros_expr(unit: str, col: str = "ts") -> str:
+    """SQL expression rendering a raw int64 ts column as epoch-µs,
+    given the dataset-level unit decision from `ts_unit`."""
+    if unit == "ns":
+        return f"{col} div 1000"
+    if unit == "us":
+        return col
+    return _ROW_SNIFF.format(c=col)
+
+
 def read_table(spark: SparkSession, name: str, base: str | None = None) -> DataFrame:
     """Read one named table (analog of cassandra.read,
     ccdc/cassandra.py:30-42). Plain `spark.read.parquet` so Catalyst
@@ -63,21 +133,17 @@ def read_table(spark: SparkSession, name: str, base: str | None = None) -> DataF
     #   - timestamp[us] no-tz → TIMESTAMP_NTZ natively (round 3 data)
     #   - timestamp[us] adjusted-to-UTC → TIMESTAMP (LTZ)
     # DuckDB reads the same naive µs values, so epoch semantics match
-    # by construction. Magnitude sniff distinguishes ns from µs longs:
-    # 1e17 µs ≈ year 5138, 1e17 ns ≈ 1973.
+    # by construction. The ns-vs-µs decision for raw longs is made
+    # once per dataset from the parquet footer (`ts_unit`), not per
+    # row.
     if name == "events":
         dt = dict(df.dtypes).get("ts")
         from .functions.dates import ntz_from_micros
 
         if dt == "bigint":
+            unit = ts_unit(os.path.join(base, f"{name}.parquet"))
             df = df.withColumn(
-                "ts",
-                ntz_from_micros(
-                    F.expr(
-                        "CASE WHEN abs(ts) >= 100000000000000000 "
-                        "THEN ts div 1000 ELSE ts END"
-                    )
-                ),
+                "ts", ntz_from_micros(F.expr(micros_expr(unit)))
             )
         elif dt == "timestamp":
             df = df.withColumn("ts", ntz_from_micros(F.unix_micros("ts")))

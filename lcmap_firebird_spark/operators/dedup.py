@@ -32,9 +32,52 @@ from pyspark.sql import functions as F
 from .text import gram_array, tokens
 
 
+# Logical nodes that never induce an Exchange: converting such a
+# plan to an RDD creates no AQE query stages, so probing its
+# partition count is free. Anything else (Aggregate/Join/Window/...)
+# is treated as NOT probe-able — see spread().
+_NARROW_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRDD",
+        "LocalRelation",
+        "Project",
+        "Filter",
+        "Generate",
+        "SubqueryAlias",
+        "View",
+        "LocalLimit",
+        "ResolvedHint",
+        "UnresolvedHint",
+        "Sample",
+    }
+)
+
+
+def _is_narrow_scan(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan contains only narrow,
+    scan-side nodes (no shuffle-inducing operator anywhere). Plan
+    STRING inspection only — never touches the physical plan, so no
+    job and no AQE stage materialization."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        # lines look like "+- Project [...]" / ":  +- Filter (...)"
+        stripped = line.lstrip(" +-:*")
+        name = stripped.split(" ", 1)[0].split("(", 1)[0]
+        if name == "Repartition":
+            # "Repartition N, false" is coalesce() — narrow;
+            # "Repartition N, true" is a shuffle repartition
+            if stripped.rstrip().endswith("false"):
+                continue
+            return False
+        if name and name not in _NARROW_NODES:
+            return False
+    return True
+
+
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """Hash-repartition to the session's default parallelism — ONLY
-    when the input is under-parallel.
+    when the input is a provably under-parallel bare scan.
 
     Compact inputs (a few MB of documents) arrive as ONE parquet
     split, so explode/hash-heavy operators would run on a single
@@ -42,8 +85,20 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     thousands of splits and repartitioning would shuffle the raw
     corpus (text and all) for nothing — so a well-parallel input
     passes through untouched (asserted by plan test: no added
-    Exchange). The partition-count probe is plan metadata, no job.
+    Exchange).
+
+    Probe-cost caveat (round-3 advice): `df.rdd.getNumPartitions()`
+    is NOT free under AQE when the plan bears a shuffle — the
+    RDD conversion materializes every upstream query stage, running
+    the pipeline eagerly at plan-construction time. So the probe is
+    gated on `_is_narrow_scan`: shuffle-bearing inputs (e.g.
+    contamination() over the dedup-ladder output) pass through
+    untouched, which is also semantically right — their output
+    parallelism is already governed by the shuffle partition count,
+    so they are never the one-split pathology spread() exists for.
     """
+    if not _is_narrow_scan(df):
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df

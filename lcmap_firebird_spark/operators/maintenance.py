@@ -87,6 +87,15 @@ def compact(
     (Delta/Iceberg) replaces the swap with a rewrite-files commit.
     """
     tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    # Crash hygiene (round-3 advice): a stale .__old__ from a previous
+    # failed run would make the swap's os.rename raise; a stale
+    # .__compact__ would make the overwrite-write racy with leftover
+    # files. Clean both at entry — .__old__ only ever holds data the
+    # previous run already replaced.
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     try:
         spark.conf.set(
@@ -107,10 +116,29 @@ def compact(
         spark.conf.set(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev
         )
-    old = path.rstrip("/") + ".__old__"
+    # Swap. The unavoidable local-fs exposure is the instant between
+    # the two renames (no atomic dir-exchange in portable Python); a
+    # crash there leaves `path` absent but BOTH `.__old__` (complete
+    # old data) and `.__compact__` (complete, _SUCCESS-committed new
+    # data) intact, so recovery is a rename — never data loss. The
+    # entry cleanup above makes the next compact() run self-heal.
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    # Invalidate any memoized catalog plan for this path: the cached
+    # DataFrame references the pre-compaction files, which no longer
+    # exist.
+    from .. import catalog
+
+    target = os.path.abspath(path.rstrip("/"))
+    for cache in catalog._FRAMES.values():
+        for key in [
+            (base, name)
+            for base, name in cache
+            if os.path.abspath(os.path.join(base, f"{name}.parquet"))
+            == target
+        ]:
+            del cache[key]
     return len(dataset_files(path))
 
 

@@ -69,6 +69,16 @@ def u3_sessionize_threshold(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def u5_ccd_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """CCD segments with a SCALAR-ONLY projection.
+
+    The driver canonicalizes every query's output (rows-only entries
+    included) with ``pandas.sort_values``, which dies on list cells —
+    rounds 2 and 3 both lost the driver row to u5's ``coef:
+    array<double>``. The kernel emits a 1-element coef today, so the
+    registry projection replaces the array with ``element_at(coef, 1)
+    AS c0``; the operator itself keeps its pyccd-shaped array schema
+    (reference ccdc/pyccd.py:39-81) for in-plan consumers.
+    """
     # epoch-day ordinals so ISO rendering is meaningful
     ev = read_table(spark, "events", sf).select(
         "user_id",
@@ -81,7 +91,21 @@ def u5_ccd_segments(spark: SparkSession, sf: str) -> DataFrame:
     daily = ev.groupBy("user_id", "t").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v")
     )
-    return ccd_segments(daily, ["user_id"], "t", "v", min_obs=6, chi=3.0)
+    seg = ccd_segments(daily, ["user_id"], "t", "v", min_obs=6, chi=3.0)
+    return seg.select(
+        "user_id",
+        "sday",
+        "eday",
+        "bday",
+        "sdate",
+        "edate",
+        "chprob",
+        F.element_at("coef", 1).alias("c0"),
+        "intercept",
+        "rmse",
+        "magnitude",
+        "n_obs",
+    )
 
 
 def x2_assemble_series(spark: SparkSession, sf: str) -> DataFrame:

@@ -65,17 +65,15 @@ def stream_events(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
     # Raw int64 may be nanos (legacy testdata) or micros (current);
-    # magnitude sniff (1e17 µs ≈ year 5138, 1e17 ns ≈ 1973) picks the
-    # right truncation. timestamp_micros yields TIMESTAMP (LTZ), whose
-    # internal value IS epoch µs — window() alignment and
-    # unix_micros() on window bounds are timezone-free.
-    return df.withColumn(
-        "ts",
-        F.expr(
-            "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 "
-            "THEN ts div 1000 ELSE ts END)"
-        ),
-    )
+    # decided once per dataset from the parquet footer of the first
+    # matching file (catalog.ts_unit), with the per-row magnitude
+    # sniff only as a no-stats fallback. timestamp_micros yields
+    # TIMESTAMP (LTZ), whose internal value IS epoch µs — window()
+    # alignment and unix_micros() on window bounds are timezone-free.
+    from ..catalog import micros_expr, ts_unit
+
+    unit = ts_unit(sf_dir, glob=glob)
+    return df.withColumn("ts", F.expr(f"timestamp_micros({micros_expr(unit)})"))
 
 
 def tumbling_counts(

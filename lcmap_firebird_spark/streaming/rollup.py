@@ -146,16 +146,42 @@ def _snapshot_path(work_dir: str, version: int) -> str:
     return f"{work_dir}/rollup/v{version:06d}"
 
 
+def _committed_versions(work_dir: str) -> list[int]:
+    """Snapshot versions whose write COMMITTED (directory carries the
+    `_SUCCESS` marker Spark's file committer writes last). Spark
+    creates the version directory before any data lands, so a bare
+    `v*` listing would count an in-flight or crashed write as a
+    snapshot (round-3 advice) — the marker is the commit record."""
+    root = f"{work_dir}/rollup"
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    )
+
+
 def _read_snapshot(
     spark: SparkSession, work_dir: str, version: int
 ) -> DataFrame:
-    """Snapshot `version`, or the empty rollup for version 0 / a
-    replay racing ahead of a crashed predecessor's unfinished write."""
-    if version > 0:
-        try:
-            return spark.read.parquet(_snapshot_path(work_dir, version))
-        except AnalysisException:
-            pass
+    """Highest COMMITTED snapshot ≤ `version`, or the empty rollup.
+
+    Readers pass `latest_version()` (committed by construction);
+    foreachBatch replay passes its exact batch_id, which is always
+    committed under the protocol (version N is written and committed
+    by batch N-1 before Spark ever delivers batch N). Stepping down
+    to the previous committed version — instead of silently returning
+    the EMPTY store — is the recovery behavior for a corrupted or
+    concurrently-written store."""
+    for v in reversed(_committed_versions(work_dir)):
+        if v <= version:
+            try:
+                return spark.read.parquet(_snapshot_path(work_dir, v))
+            except AnalysisException:
+                continue
     return spark.createDataFrame([], rollup_schema())
 
 
@@ -163,15 +189,7 @@ def latest_version(work_dir: str) -> int:
     """Highest committed snapshot version (0 = empty store). Local-fs
     listing; a cluster deployment reads the table version from
     Delta/Iceberg metadata instead."""
-    root = f"{work_dir}/rollup"
-    if not os.path.isdir(root):
-        return 0
-    versions = [
-        int(d[1:])
-        for d in os.listdir(root)
-        if d.startswith("v") and d[1:].isdigit()
-    ]
-    return max(versions, default=0)
+    return max(_committed_versions(work_dir), default=0)
 
 
 def read_rollup(spark: SparkSession, work_dir: str) -> DataFrame:

@@ -18,6 +18,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def plan_of(df, mode: str = "formatted") -> str:
@@ -151,6 +152,27 @@ def test_spread_is_noop_for_parallel_inputs(spark, sf_dir):
     narrow = docs.coalesce(1)
     plan = spread(narrow, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan
+
+
+def test_spread_never_probes_shuffle_bearing_plans(spark, sf_dir):
+    """Round-3 advice: df.rdd.getNumPartitions() under AQE
+    materializes every upstream query stage of a shuffle-bearing
+    plan, so spread() must pass such inputs through WITHOUT probing
+    (their parallelism is governed by the shuffle partition count
+    anyway). Identity return proves no probe happened."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.dedup import _is_narrow_scan, spread
+
+    docs = read_table(spark, "documents", sf_dir)
+    agg = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    for df in (agg, joined, docs.repartition(2)):
+        assert not _is_narrow_scan(df)
+        assert spread(df, "lang") is df
+    # narrow shapes stay probe-able
+    for df in (docs, docs.coalesce(1), docs.select("doc_id"),
+               docs.filter(F.col("n_chars") > 0)):
+        assert _is_narrow_scan(df)
 
 
 def test_chunking_is_shuffle_free(spark, sf_dir):

@@ -193,3 +193,30 @@ def test_stop_resume_is_exactly_once(spark, sf_dir, tmp_path):
     got_df, want_df = R.read_rollup(spark, work), _one_shot(spark, sf_dir)
     assert _rows(got_df) == _rows(want_df)
     _kll_close(got_df, want_df)
+
+
+def test_uncommitted_snapshot_is_invisible(spark, sf_dir, tmp_path):
+    """Round-3 advice: Spark creates the snapshot dir before commit,
+    so an in-flight/crashed write (no _SUCCESS) must be invisible to
+    latest_version()/read_rollup(), which instead serve the previous
+    COMMITTED snapshot — never the empty store."""
+    import os
+
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    _write_chunks(spark, sf_dir, src, n_chunks=2, newest_first=False)
+    R.continuous_rollup(spark, src, work).awaitTermination()
+    committed = R.latest_version(work)
+    assert committed == 2
+    n_committed = R.read_rollup(spark, work).count()
+    assert n_committed > 0
+
+    # simulate a crash mid-write of the NEXT snapshot: dir exists,
+    # maybe partial data, no _SUCCESS marker
+    crashed = f"{work}/rollup/v{committed + 1:06d}"
+    os.makedirs(crashed)
+    with open(f"{crashed}/part-00000.parquet", "wb") as fh:
+        fh.write(b"not parquet")
+
+    assert R.latest_version(work) == committed
+    assert R.read_rollup(spark, work).count() == n_committed

@@ -1,6 +1,14 @@
 """Simulate the driver: vanilla SparkSession (none of our session.py
 config), run entry() + every queries() entry at sf0.01, compare with
-oracle_sql() via duckdb exactly like CORRECTNESS does."""
+oracle_sql() via duckdb exactly like CORRECTNESS does.
+
+Canonicalization deliberately mirrors the driver's: EVERY query's
+pandas output — rows-only entries included — is sorted with
+``pandas.sort_values`` over the RAW cells. List/array/struct cells
+make that crash (``TypeError: unhashable type: 'list'``) exactly like
+the real driver (rounds 1/2/3 tracebacks in CORRECTNESS_r*.json), so
+a list-typed registry output can never pass here and fail there.
+"""
 import sys, math
 sys.path.insert(0, "/root/repo")
 import duckdb
@@ -25,6 +33,18 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: sort columns by name, then
+    sort_values over the raw cells (NO normalization first — the
+    driver doesn't normalize either, and raw-cell sorting is what
+    crashes on list cells)."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
 def norm(v):
     if v is None or v is pd.NaT: return None
     if isinstance(v, np.integer): return int(v)
@@ -37,10 +57,15 @@ def norm(v):
 qs, os_ = e.queries(), e.oracle_sql()
 fails = []
 for name in sorted(qs):
-    got = qs[name](spark, sf).toPandas()
+    try:
+        got = canon(qs[name](spark, sf).toPandas())
+    except Exception as ex:
+        print(f"{name}: CRASH ({type(ex).__name__}: {ex})")
+        fails.append(name)
+        continue
     if name not in os_:
         print(f"{name}: rows-only ({len(got)} rows)"); continue
-    want = con.execute(os_[name]).fetchdf()
+    want = canon(con.execute(os_[name]).fetchdf())
     cols_ok = sorted(got.columns) == sorted(want.columns)
     n_ok = len(got) == len(want)
     g = sorted((tuple(norm(r[c]) for c in sorted(got.columns)) for _, r in got.iterrows()), key=repr)
