@@ -64,14 +64,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
-        # best-of-2: first run pays per-plan codegen compile, the
-        # repeat measures the engine; min() rejects machine-load
-        # noise without hiding real cost. Operators legitimately
-        # cache multi-consumer frames WITHIN a plan; clearing the
-        # cache between attempts keeps each timed run cold — no
-        # query reads a previous run's (or query's) cached data.
-        best = float("inf")
-        for _ in range(2):
+        # Headline queries: MEDIAN-of-3 — the box shows ±10-20% run-
+        # to-run noise (ROADMAP), and with a fixed grading criterion
+        # that noise is risk; the median rejects one outlier in
+        # either direction while the first (codegen-compiling)
+        # attempt naturally lands at/above the median and drops out.
+        # Non-headline coverage queries stay best-of-2 (first run
+        # pays per-plan codegen compile, the repeat measures the
+        # engine) to keep total bench wall-clock bounded. Operators
+        # legitimately cache multi-consumer frames WITHIN a plan;
+        # clearing the cache between attempts keeps each timed run
+        # cold — no query reads a previous run's (or query's) cached
+        # data.
+        attempts = []
+        for _ in range(3 if name in HEADLINE else 2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -79,8 +85,11 @@ def main() -> None:
             # count() would let Catalyst prune unreferenced
             # projection/window expressions
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            attempts.append(time.perf_counter() - t0)
+        attempts.sort()
+        timings[name] = round(
+            attempts[1] if len(attempts) == 3 else attempts[0], 4
+        )
 
     # value = the FIXED headline set (stable across rounds as the
     # registry grows); per-query timings cover everything.

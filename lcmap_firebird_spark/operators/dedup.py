@@ -315,6 +315,92 @@ def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return fpd.join(reps, "fp").select("doc_id", "rep")
 
 
+def _rep_ladder(
+    df: DataFrame,
+    threshold: float,
+    num_perm: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    k: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the exact-first MinHash ladder: exact-dedup
+    groups → per-REP shingles/signatures/candidates → verified
+    rep-level pairs. Returns (grp, sh, rep_pairs), grp and sh eagerly
+    materialized (multi-consumer). Both minhash_dedup (membership
+    re-expansion) and minhash_clusters (rep-level connected
+    components) build on this, so the expensive part of the pipeline
+    exists exactly once."""
+    # the membership map is read five times (rep semi-join, intra-group
+    # pair expansion ×2, cross-group expansion ×2) — one fingerprint
+    # pass over the corpus, not five
+    grp = exact_groups(df).localCheckpoint(eager=True)
+    reps_df = df.join(
+        grp.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    sh = shingle_sets(reps_df, k=k).localCheckpoint(eager=True)
+    sig = minhash_signature(reps_df, num_perm=num_perm, k=k, sh_precomputed=sh)
+    cand = lsh_candidates(sig, bands=bands, rows=rows).localCheckpoint(eager=True)
+    rep_pairs = jaccard_pairs(
+        reps_df, threshold, k=k, candidates=cand, sh_precomputed=sh
+    )
+    return grp, sh, rep_pairs
+
+
+def minhash_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    k: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Production dedup clusters DIRECTLY from the corpus — row-
+    identical to `dedup_clusters(minhash_dedup(df), all_ids=df)` but
+    without ever materializing the expanded member-level pair set.
+
+    Connected components run on the REP graph only (one vertex per
+    distinct content, pairs already verified); member clusters follow
+    from the exact-group membership map, because rep = min(doc_id) of
+    its group, so the component's min rep IS the component's min
+    member. Shingle-less groups (text shorter than k tokens) never
+    pair — each member stays its own singleton, matching the
+    expanded pipeline where such docs never appear in any pair.
+
+    At 100 TB this is the shape that matters: the CC loop iterates
+    over distinct-content vertices (not the dup-inflated corpus), and
+    the quadratic intra-group pair expansion (10^5-copy boilerplate
+    group → 10^10 pairs) never happens at all.
+    """
+    grp, sh, rep_pairs = _rep_ladder(
+        df, threshold, num_perm=num_perm, bands=bands, rows=rows, k=k
+    )
+    rep_cc = dedup_clusters(rep_pairs, max_iter=max_iter).select(
+        F.col("doc_id").alias("rep"), F.col("cluster_id").alias("_cc")
+    )
+    # reps with shingles: only their groups can merge; shingle-less
+    # groups fall through to per-member singletons
+    shingled_reps = sh.select(F.col("doc_id").alias("rep")).distinct()
+    merged = (
+        grp.join(shingled_reps, "rep", "left_semi")
+        .join(rep_cc, "rep", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_cc"), F.col("rep")).alias("cluster_id"),
+        )
+    )
+    singles = grp.join(shingled_reps, "rep", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return merged.unionByName(singles).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     threshold: float = 0.5,
@@ -364,20 +450,8 @@ def minhash_dedup(
             df, threshold, k=k, candidates=cand, sh_precomputed=sh
         )
 
-    # the membership map is read five times (rep semi-join, intra-group
-    # pair expansion ×2, cross-group expansion ×2) — one fingerprint
-    # pass over the corpus, not five
-    grp = exact_groups(df).localCheckpoint(eager=True)
-    reps_df = df.join(
-        grp.filter(F.col("doc_id") == F.col("rep")).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
-    sh = shingle_sets(reps_df, k=k).localCheckpoint(eager=True)
-    sig = minhash_signature(reps_df, num_perm=num_perm, k=k, sh_precomputed=sh)
-    cand = lsh_candidates(sig, bands=bands, rows=rows).localCheckpoint(eager=True)
-    rep_pairs = jaccard_pairs(
-        reps_df, threshold, k=k, candidates=cand, sh_precomputed=sh
+    grp, sh, rep_pairs = _rep_ladder(
+        df, threshold, num_perm=num_perm, bands=bands, rows=rows, k=k
     )
     # --- re-expand membership -------------------------------------
     # intra-group pairs: identical shingle sets → n_common = n_sh,
@@ -457,14 +531,6 @@ def dedup_clusters(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     spark = sym.sparkSession
-    # Pin the loop's shuffle width to the EDGE count, not the session
-    # default (PLANS.md: pin parallelism where the byte heuristic
-    # mis-sizes): near-dup graphs are tiny relative to the corpus, and
-    # 32-way shuffles of a few hundred rows cost more in task setup
-    # than the join itself. ~100k edges per partition; grows with the
-    # graph on a real cluster.
-    n_edges = sym.count()
-    parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
     # iterate ONLY over vertices that touch an edge; isolated docs
     # (the overwhelming majority of a deduped corpus) are attached as
     # singleton clusters with one anti-join AFTER convergence instead
@@ -497,7 +563,25 @@ def dedup_clusters(
         ).collect()[0][0]
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_sum = checksum(labels)
+    # ONE job seeds the loop: materialize labels₀ (lazy checkpoint)
+    # and read both the convergence checksum and the vertex count —
+    # the count sizes the loop's shuffle width (PLANS.md: pin
+    # parallelism where the byte heuristic mis-sizes; near-dup graphs
+    # are tiny relative to the corpus, and 32-way shuffles of a few
+    # hundred rows cost more in task setup than the join itself).
+    # ~100k vertices per partition; grows with the graph on a real
+    # cluster. Vertex count ~ edge count on near-dup graphs, so this
+    # replaces the former separate sym.count() sizing job.
+    prev_sum, n_vertices = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")), F.count(F.lit(1))
+    ).collect()[0]
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            (n_vertices or 0) // 100_000 + 1,
+        ),
+    )
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         for _ in range(max_iter):

@@ -63,3 +63,29 @@ def stratified_sample(
     """Per-stratum Bernoulli sampling (Spark sampleBy). Seeded but
     partition-layout dependent — NOT for reproducible splits."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    fractions: dict,
+    salt: str = "strata",
+) -> DataFrame:
+    """Deterministic twin of `stratified_sample`: per-stratum
+    fractions, but membership is a pure function of (key, salt) —
+    row r is kept iff split_bucket(key) < fraction[stratum]·MOD.
+
+    Same statistical intent as seeded sampleBy (independent ~p_s
+    Bernoulli per stratum s; the md5-derived bucket is uniform), but
+    reproducible across runs, engines, partition layouts, and cluster
+    sizes — the production path at 100 TB, and exactly expressible in
+    SQL for the oracle. Strata absent from `fractions` are dropped
+    (sampleBy semantics)."""
+    case = None
+    c = F.col(strata_col)
+    for stratum, frac in fractions.items():
+        t = int(frac * SAMPLE_MOD)
+        case = F.when(c == stratum, t) if case is None else case.when(c == stratum, t)
+    thresholds = case.otherwise(0) if case is not None else F.lit(0)
+    return df.filter(split_bucket(key, salt) < thresholds)

@@ -64,13 +64,23 @@ def d6_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 def d7_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Production dedup output: connected components over the MinHash
-    near-dup pairs → (doc_id, cluster_id, is_keeper) for EVERY
+    near-dup graph → (doc_id, cluster_id, is_keeper) for EVERY
     document (singletons keep themselves). Iterative min-label
     propagation with pointer jumping on DataFrames; the oracle is a
-    recursive CTE computing the same component minima."""
-    docs = read_table(spark, "documents", sf)
-    pairs = d3_minhash_lsh(spark, sf)
-    return D.dedup_clusters(pairs, all_ids=docs.select("doc_id"))
+    recursive CTE computing the same component minima.
+
+    Runs `minhash_clusters` — CC over the REP graph plus the exact-
+    group membership map — which is row-identical to clustering the
+    expanded d3 pair set (asserted by test_dedup_unit) without ever
+    materializing member-level pairs."""
+    return D.minhash_clusters(
+        read_table(spark, "documents", sf),
+        threshold=JACCARD_T,
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        rows=ROWS,
+        k=K,
+    )
 
 
 QUERIES = {

@@ -187,13 +187,23 @@ def x3_hash_sample_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+X4_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
+
+
 def x4_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    # seeded Bernoulli is partition-layout dependent → rows-only check
-    from ..operators.sampling import stratified_sample
+    """Per-stratum sampling with DIFFERENT fractions per language.
+
+    Registered over `stratified_hash_sample` (membership = pure
+    function of doc_id) so the DuckDB oracle is exact; the seeded
+    `sampleBy` twin remains in operators/sampling.py as the
+    documented exploration path (partition-layout dependent, so it
+    can never earn an oracle)."""
+    from ..operators.sampling import stratified_hash_sample
 
     docs = read_table(spark, "documents", sf)
-    fr = {lang: 0.5 for lang in ["en", "de", "es", "fr", "zh"]}
-    return stratified_sample(docs, "lang", fr).select("doc_id", "lang")
+    return stratified_hash_sample(docs, "lang", "doc_id", X4_FRACTIONS).select(
+        "doc_id", "lang"
+    )
 
 
 def j9_parts_suppliers(spark: SparkSession, sf: str) -> DataFrame:
@@ -317,8 +327,18 @@ QUERIES = {
     "z1_zorder": z1_zorder,
 }
 
+_X4_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(f * 10_000)}" for s, f in X4_FRACTIONS.items()
+)
+
 ORACLES = {
-    # x4_stratified_sample: seeded RNG sampling — rows-only by design.
+    "x4_stratified_sample": f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE CAST(('0x' || substr(md5('strata' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 10000
+              < CASE lang {_X4_CASE} ELSE 0 END
+    """,
     "j9_parts_suppliers": f"""
         SELECT p_brand, s_name,
                COUNT(*) AS n_items,

@@ -229,3 +229,25 @@ def test_pca_project_feeds_ann(spark, sf_dir):
         for r in knn_bruteforce(proj, q_proj, top_k=1).collect()
     }
     assert top_proj2 == top_proj  # deterministic within the session
+
+
+def test_minhash_clusters_equals_expanded_pipeline(spark, sf_dir):
+    """minhash_clusters (rep-graph CC + membership map) must be
+    row-identical to the expanded composition it replaces:
+    dedup_clusters(minhash_dedup(df), all_ids=df)."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_clusters,
+        minhash_dedup,
+    )
+
+    docs = read_table(spark, "documents", sf_dir)
+    kw = dict(threshold=0.3, num_perm=16, bands=4, rows=4, k=3)
+    fast = minhash_clusters(docs, **kw)
+    slow = dedup_clusters(
+        minhash_dedup(docs, **kw), all_ids=docs.select("doc_id")
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )

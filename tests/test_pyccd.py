@@ -168,3 +168,103 @@ def test_robust_refit_screens_outliers():
     assert rmse_r < rmse_n / 5  # outlier no longer inflates rmse
     assert beta_r[1] == pytest.approx(1.0, abs=0.05)
     assert rmse_r < 10.0
+
+
+# --- coefficient-level goldens (round-3 verdict item 3) -------------------
+
+
+def _soft_threshold_slope(t: np.ndarray, y: np.ndarray, alpha: float = 1.0):
+    """Independent closed form for single-feature Lasso (harmonics=0):
+    with one centered feature, coordinate descent's fixed point is
+    slope = S(cov(t,y)/n, alpha) / var(t), intercept = ym − tm·slope
+    (sklearn objective (1/2n)||y−Xb||² + α|b|)."""
+    tm, ym = t.mean(), y.mean()
+    tz, yz = t - tm, y - ym
+    n = len(t)
+    z = float((tz * tz).sum() / n)
+    rho = float((tz @ yz) / n)
+    slope = np.sign(rho) * max(abs(rho) - alpha, 0.0) / z
+    return float(slope), float(ym - tm * slope)
+
+
+def test_lasso_matches_closed_form_soft_threshold():
+    """The coordinate-descent Lasso must hit the analytical solution
+    exactly on the single-feature (trend-only) basis — a KNOWN Lasso
+    solution, not a snapshot."""
+    t = np.arange(0.0, 40.0)
+    y = 3.0 + 0.9 * t
+    beta, rmse = pyccd._fit(t, y, harmonics=0, robust=False)
+    slope, intercept = _soft_threshold_slope(t, y)
+    assert beta[1] == pytest.approx(slope, abs=1e-12)
+    assert beta[0] == pytest.approx(intercept, abs=1e-12)
+    # rmse from the shrunken fit, n−p dof
+    resid = y - (beta[0] + beta[1] * t)
+    assert rmse == pytest.approx(
+        float(np.sqrt((resid**2).sum() / (len(t) - 2))), abs=1e-12
+    )
+
+
+def test_ols_path_is_exact_on_noise_free_line():
+    t = np.arange(0.0, 40.0)
+    y = 3.0 + 0.9 * t
+    beta, rmse = pyccd._fit(t, y, harmonics=0, alpha=0.0, robust=False)
+    assert beta[0] == pytest.approx(3.0, abs=1e-9)
+    assert beta[1] == pytest.approx(0.9, abs=1e-9)
+    assert rmse == pytest.approx(0.0, abs=1e-9)
+
+
+def test_seasonal_fit_coefficient_golden():
+    """Frozen numeric golden locking the full harmonic Lasso+robust
+    path: any change to the basis, the CD sweep, the dof rule, or the
+    robust screen moves these numbers."""
+    ts = np.arange(0.0, 730.0, 16.0)
+    vs = (
+        500.0
+        + 0.12 * ts
+        + 250.0 * np.sin(2 * np.pi * ts / 365.25)
+        + 40.0 * np.cos(2 * np.pi * ts / 365.25)
+    )
+    beta, rmse = pyccd._fit(ts, vs, harmonics=1, robust=True)
+    golden = [501.209755742, 0.1166769958, 247.5967191385, 37.9769197291]
+    assert [float(b) for b in beta] == pytest.approx(golden, abs=1e-6)
+    assert float(rmse) == pytest.approx(2.2026254384, abs=1e-6)
+
+
+def test_detect_multiband_coefficients_match_closed_form(spark):
+    """End-to-end through the mapInPandas kernel: a noise-free linear
+    pixel (no breaks) must emit ONE segment per pixel whose per-band
+    trend coefficient, intercept, and rmse equal the closed-form
+    single-feature Lasso solution — coefficient-level parity for the
+    40-field multi-band path (reference golden shape:
+    /root/reference/test/test_pyccd.py:37-126)."""
+    n = 40
+    dates = [1000 + 16 * i for i in range(n)][::-1]  # DESC delivery
+    t = np.array(sorted(dates), dtype="float64")
+    # slopes of j/2 over even ordinals make slope·d an exact integer,
+    # so each band is EXACTLY linear after the int cast — the robust
+    # screen then provably drops nothing and the closed form applies
+    slopes = {c: 0.5 + 0.5 * j for j, c in enumerate(pyccd.BAND_MAP)}
+    bands = {
+        c: [int(2000 + slopes[c] * d) for d in sorted(dates)][::-1]
+        for c in pyccd.BAND_MAP
+    }
+    row = _ard_row(0, 0, 9, 9, dates, bands, [66] * n)
+    df = spark.createDataFrame(
+        [tuple(row[f.name] for f in schemas.ard_schema().fields)],
+        schemas.ard_schema(),
+    )
+    segs = pyccd.detect(df).collect()
+    assert len(segs) == 1
+    seg = segs[0].asDict()
+    assert seg["chprob"] == 0.0 and seg["curqa"] == n
+    for c, pre in pyccd.BAND_MAP.items():
+        y = np.array(list(reversed(bands[c])), dtype="float64")
+        slope, intercept = _soft_threshold_slope(t, y)
+        # the 40-field schema stores FloatType (reference Cassandra
+        # schema), so parity is exact at float32: the stored value
+        # must BE the float32 cast of the closed-form solution
+        assert seg[f"{pre}coef"][0] == float(np.float32(slope)), c
+        assert seg[f"{pre}int"] == float(np.float32(intercept)), c
+        resid = y - (intercept + slope * t)
+        rmse = float(np.sqrt((resid**2).sum() / (n - 2)))
+        assert seg[f"{pre}rmse"] == pytest.approx(rmse, rel=1e-6), c

@@ -40,3 +40,26 @@ def test_salt_decorrelates_splits(spark, sf_dir):
     n = docs.count()
     overlap = len(s1 & s2) / n
     assert 0.15 < overlap < 0.35  # ~25% for independent 50% samples
+
+
+def test_stratified_hash_sample_deterministic_and_proportional(spark, sf_dir):
+    """Membership is a pure key function (identical row sets across
+    invocations) and per-stratum rates track the requested fractions;
+    unlisted strata are dropped (sampleBy semantics)."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.sampling import stratified_hash_sample
+
+    docs = read_table(spark, "documents", sf_dir)
+    fr = {"en": 0.5, "de": 0.2}
+    a = stratified_hash_sample(docs, "lang", "doc_id", fr)
+    b = stratified_hash_sample(docs, "lang", "doc_id", fr)
+    got = sorted(r.doc_id for r in a.select("doc_id").collect())
+    assert got == sorted(r.doc_id for r in b.select("doc_id").collect())
+
+    totals = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    kept = {r.lang: r.n for r in a.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert set(kept) <= set(fr)  # unlisted strata dropped
+    for lang, frac in fr.items():
+        if totals.get(lang, 0) >= 50:
+            rate = kept.get(lang, 0) / totals[lang]
+            assert abs(rate - frac) < 0.15, (lang, rate, frac)
