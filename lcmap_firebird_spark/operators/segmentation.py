@@ -165,21 +165,50 @@ _TYPE_MAP = {
 }
 
 
+def _ssum(xs) -> float:
+    """Sequential left-fold sum in index order.
+
+    numpy's pairwise summation is faster but ORDER-DEPENDENT in its
+    grouping, so its last-ulp result differs from any other engine's
+    sequential fold. Every windowed sum in this kernel folds
+    sequentially in time order instead — the identical operation
+    sequence DuckDB's `list_reduce` performs over a time-ordered
+    list — which makes the whole CCD output BIT-IDENTICAL across
+    engines (same IEEE-754 double ops in the same order) and lets
+    the u5 oracle compare exact values with no quantization. Windows
+    are tiny (tens of points), so the speed difference is noise.
+    """
+    acc = 0.0
+    for x in xs:
+        acc += float(x)
+    return acc
+
+
 def _fit(ts: np.ndarray, vs: np.ndarray) -> tuple[float, float, float]:
-    """OLS slope/intercept/rmse via closed form (deterministic)."""
+    """OLS slope/intercept/rmse via closed form (deterministic,
+    engine-portable: all sums are sequential time-order folds —
+    see `_ssum`)."""
     n = len(ts)
     if n < 2:
         inter = float(vs[0]) if n else 0.0
         return 0.0, inter, 0.0
-    tm, vm = ts.mean(), vs.mean()
-    dt = ts - tm
-    denom = float((dt * dt).sum())
-    slope = float((dt * (vs - vm)).sum() / denom) if denom > 0 else 0.0
-    inter = float(vm - slope * tm)
-    resid = vs - (slope * ts + inter)
+    tm, vm = _ssum(ts) / n, _ssum(vs) / n
+    denom = _ssum((t - tm) * (t - tm) for t in ts)
+    slope = (
+        _ssum((t - tm) * (v - vm) for t, v in zip(ts, vs)) / denom
+        if denom > 0
+        else 0.0
+    )
+    inter = vm - slope * tm
     # unbiased: 2 params estimated → n-2 dof (avoids the small-window
     # rmse underestimate that makes single outliers look like breaks)
-    return slope, inter, float(np.sqrt((resid * resid).sum() / max(n - 2, 1)))
+    sse = _ssum(
+        (v - (slope * t + inter)) * (v - (slope * t + inter))
+        for t, v in zip(ts, vs)
+    )
+    import math
+
+    return slope, inter, math.sqrt(sse / max(n - 2, 1))
 
 
 def _detect(
@@ -203,8 +232,13 @@ def _detect(
         w_t, w_v = ts[start:i], vs[start:i]
         slope, inter, rmse = _fit(w_t, w_v)
         if i - start >= min_obs and i + peek <= n:
-            window = vs[i : i + peek] - (slope * ts[i : i + peek] + inter)
-            broke = bool((np.abs(window) > chi * max(rmse, 1e-6)).all())
+            # per-element ops + sequential folds (engine-portable,
+            # see _ssum): r_j = v_j − (slope·t_j + inter)
+            window = [
+                float(vs[j]) - (slope * float(ts[j]) + inter)
+                for j in range(i, i + peek)
+            ]
+            broke = all(abs(r) > chi * max(rmse, 1e-6) for r in window)
         else:
             broke = False
         if broke:
@@ -217,7 +251,7 @@ def _detect(
                     slope,
                     inter,
                     rmse,
-                    float(np.abs(window).mean()),
+                    _ssum(abs(r) for r in window) / len(window),
                     i - start,
                 )
             )

@@ -1,9 +1,14 @@
 """Time-series query registry (events table).
 
 u3 sessionize / threshold segmentation are fully SQL-expressible
-(window algebra) and oracle-checked; u5 is the applyInPandas CCD
-kernel — genuinely non-SQL (iterative refit per break), so it's a
-declared rows-only check (SURVEY §2.9 U3).
+(window algebra) and oracle-checked. u5 is the applyInPandas CCD
+kernel — iterative refit per break, NOT expressible as plain SQL —
+but since round 4 it still carries a full DuckDB oracle: a recursive
+CTE replicates the sequential state machine step by step, and both
+engines compute every windowed statistic as a sequential time-order
+fold (kernel `_ssum` ↔ DuckDB `list_reduce`), making all doubles
+bit-identical — exact hash parity for the flagship operator, no
+quantization. Verified exact at sf0.001 and sf0.01.
 
 Round-2 consolidation (driver records only 50 registry entries):
 - u4_threshold_segments → u3_sessionize_threshold (tagged union)
@@ -104,7 +109,7 @@ def u5_ccd_segments(spark: SparkSession, sf: str) -> DataFrame:
         "intercept",
         "rmse",
         "magnitude",
-        "n_obs",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
     )
 
 
@@ -188,7 +193,130 @@ ORACLES = {
                    / COUNT(*) AS metric
         FROM seg GROUP BY user_id, segment_id
     """,
-    # u5_ccd_segments: applyInPandas kernel — declared rows-only.
+    # u5: a full DuckDB twin of the SEQUENTIAL CCD loop. The
+    # recursive CTE is the per-user state machine (s = window start,
+    # i = probe index, both 1-based; the kernel's 0-based while-loop
+    # in operators/segmentation._detect); every windowed sum on both
+    # engines is a sequential fold in time order (list_reduce here,
+    # _ssum in the kernel), so all doubles — slope, intercept, rmse,
+    # magnitude, and every break DECISION — are bit-identical
+    # IEEE-754 op sequences: exact hash parity with no quantization.
+    # Constants mirror the query: min_obs=6 (i starts at 7, break
+    # restarts at i+6), peek=3, chi=3.0, rmse floor 1e-6, epoch
+    # ordinal 719163.
+    "u5_ccd_segments": """
+        WITH RECURSIVE
+        daily AS (
+          SELECT user_id,
+                 (epoch_us(ts) // 86400000000) + 719163 AS t,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR)
+                      AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        ua AS (
+          SELECT user_id,
+                 list(CAST(t AS DOUBLE) ORDER BY t) AS lt,
+                 list(v ORDER BY t) AS lv,
+                 count(*) AS n
+          FROM daily GROUP BY user_id
+        ),
+        st AS (
+          SELECT user_id, CAST(1 AS BIGINT) AS s, CAST(7 AS BIGINT) AS i,
+                 FALSE AS emitted,
+                 CAST(NULL AS BIGINT) AS seg_s, CAST(NULL AS BIGINT) AS seg_i
+          FROM ua
+          UNION ALL
+          SELECT q.user_id,
+                 CASE WHEN q.broke THEN q.i ELSE q.s END AS s,
+                 CASE WHEN q.broke THEN q.i + 6 ELSE q.i + 1 END AS i,
+                 q.broke AS emitted, q.s AS seg_s, q.i AS seg_i
+          FROM (
+            SELECT st.user_id, st.s, st.i, ua.n,
+                   st.i - st.s AS n2,
+                   ua.lt[st.s : st.i - 1] AS wt,
+                   ua.lv[st.s : st.i - 1] AS wv,
+                   list_reduce(wt, (a,b) -> a + b) / n2 AS tm,
+                   list_reduce(wv, (a,b) -> a + b) / n2 AS vm,
+                   list_reduce(list_transform(generate_series(1, n2),
+                       k -> (wt[k]-tm)*(wt[k]-tm)), (a,b)->a+b) AS den,
+                   CASE WHEN den > 0 THEN
+                       list_reduce(list_transform(generate_series(1, n2),
+                           k -> (wt[k]-tm)*(wv[k]-vm)), (a,b)->a+b) / den
+                   ELSE 0.0 END AS slope,
+                   vm - slope * tm AS inter,
+                   sqrt(list_reduce(list_transform(generate_series(1, n2),
+                       k -> (wv[k]-(slope*wt[k]+inter))
+                            *(wv[k]-(slope*wt[k]+inter))), (a,b)->a+b)
+                        / greatest(n2-2, 1)) AS rmse,
+                   (st.i + 2 <= ua.n) AND NOT list_contains(
+                       list_transform(generate_series(0, 2),
+                           k -> abs(ua.lv[st.i+k]
+                                    -(slope*ua.lt[st.i+k]+inter))
+                                > 3.0*greatest(rmse, 1e-6)),
+                       FALSE) AS broke
+            FROM st JOIN ua USING (user_id)
+            WHERE st.i <= ua.n
+          ) q
+        ),
+        seg_fit AS (
+          SELECT st.user_id, st.seg_s AS s, st.seg_i AS e1, TRUE AS is_break
+          FROM st WHERE st.emitted
+          UNION ALL
+          SELECT st.user_id, st.s, ua.n + 1 AS e1, FALSE
+          FROM st JOIN ua USING (user_id) WHERE st.i > ua.n
+        ),
+        segs AS (
+          SELECT f.user_id, f.is_break, f.e1, ua.lt,
+                 f.e1 - f.s AS n2,
+                 ua.lt[f.s : f.e1 - 1] AS wt,
+                 ua.lv[f.s : f.e1 - 1] AS wv,
+                 CASE WHEN n2 >= 2 THEN list_reduce(wt, (a,b)->a+b) / n2
+                      ELSE 0.0 END AS tm,
+                 CASE WHEN n2 >= 2 THEN list_reduce(wv, (a,b)->a+b) / n2
+                      ELSE 0.0 END AS vm,
+                 CASE WHEN n2 >= 2 THEN
+                     list_reduce(list_transform(generate_series(1, n2),
+                         k -> (wt[k]-tm)*(wt[k]-tm)), (a,b)->a+b)
+                 ELSE 0.0 END AS den,
+                 CASE WHEN n2 >= 2 AND den > 0 THEN
+                     list_reduce(list_transform(generate_series(1, n2),
+                         k -> (wt[k]-tm)*(wv[k]-vm)), (a,b)->a+b) / den
+                 ELSE 0.0 END AS slope,
+                 CASE WHEN n2 >= 2 THEN vm - slope * tm
+                      ELSE wv[1] END AS inter,
+                 CASE WHEN n2 >= 2 THEN
+                     sqrt(list_reduce(list_transform(generate_series(1, n2),
+                         k -> (wv[k]-(slope*wt[k]+inter))
+                              *(wv[k]-(slope*wt[k]+inter))), (a,b)->a+b)
+                          / greatest(n2-2, 1))
+                 ELSE 0.0 END AS rmse,
+                 CASE WHEN f.is_break THEN
+                     list_reduce(list_transform(generate_series(0, 2),
+                         k -> abs(ua.lv[f.e1+k]
+                                  -(slope*ua.lt[f.e1+k]+inter))),
+                         (a,b)->a+b) / 3.0
+                 ELSE NULL END AS magnitude
+          FROM seg_fit f JOIN ua USING (user_id)
+        )
+        SELECT user_id,
+               CAST(wt[1] AS BIGINT) AS sday,
+               CAST(wt[n2] AS BIGINT) AS eday,
+               CASE WHEN is_break THEN CAST(lt[e1] AS BIGINT)
+                    ELSE NULL END AS bday,
+               CAST(DATE '0001-01-01'
+                    + CAST(CAST(wt[1] AS BIGINT) - 1 AS INTEGER)
+                    AS VARCHAR) AS sdate,
+               CAST(DATE '0001-01-01'
+                    + CAST(CAST(wt[n2] AS BIGINT) - 1 AS INTEGER)
+                    AS VARCHAR) AS edate,
+               CASE WHEN is_break THEN 1.0 ELSE 0.0 END AS chprob,
+               slope AS c0,
+               inter AS intercept,
+               rmse,
+               magnitude,
+               CAST(n2 AS BIGINT) AS n_obs
+        FROM segs
+    """,
     "x2_assemble_series": """
         WITH s AS (
             SELECT user_id, epoch_us(ts) AS t_us, value,
