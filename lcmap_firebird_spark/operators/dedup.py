@@ -191,29 +191,42 @@ def jaccard_pairs(
     sh = (sh_precomputed if sh_precomputed is not None
           else shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pair_src = sh
     if candidates is not None:
-        # Scale-critical ordering: restrict the shingle table to docs
-        # that appear in ANY candidate pair BEFORE the self-join —
-        # the quadratic enumeration then runs over the (tiny)
-        # candidate universe, not the corpus.
-        docs_in = (
-            candidates.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+        # Candidate-DRIVEN verification: attach each side's shingles
+        # with two equi-joins and count matches per pair. The
+        # candidate frame is consumed exactly ONCE (no checkpoint
+        # needed — round-4; the previous restrict-then-self-join
+        # shape read it twice), and the work is bounded by
+        # |candidates| × shingles-per-doc — the same volume the
+        # restricted self-join produced, without the quadratic
+        # enumeration ever existing as a plan node.
+        common = (
+            candidates.select("doc_a", "doc_b")
+            .join(
+                sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), "s"),
+                ["doc_b", "s"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
         )
-        pair_src = sh.join(F.broadcast(docs_in), "doc_id", "left_semi")
-    a = pair_src.alias("a")
-    b = pair_src.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
         )
-        .agg(F.count("*").alias("n_common"))
-    )
-    if candidates is not None:
-        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     out = (
@@ -341,7 +354,8 @@ def _rep_ladder(
     )
     sh = shingle_sets(reps_df, k=k).localCheckpoint(eager=True)
     sig = minhash_signature(reps_df, num_perm=num_perm, k=k, sh_precomputed=sh)
-    cand = lsh_candidates(sig, bands=bands, rows=rows).localCheckpoint(eager=True)
+    # candidate-driven verification reads this exactly once (round-4)
+    cand = lsh_candidates(sig, bands=bands, rows=rows)
     rep_pairs = jaccard_pairs(
         reps_df, threshold, k=k, candidates=cand, sh_precomputed=sh
     )
@@ -441,11 +455,9 @@ def minhash_dedup(
     if not exact_first:
         sh = shingle_sets(df, k=k).localCheckpoint(eager=True)
         sig = minhash_signature(df, num_perm=num_perm, k=k, sh_precomputed=sh)
-        # verification consumes the candidate set twice (doc-restriction
-        # semi-join + pair semi-join); the set is tiny (near-dup pairs)
-        cand = lsh_candidates(sig, bands=bands, rows=rows).localCheckpoint(
-            eager=True
-        )
+        # candidate-driven verification consumes the candidate frame
+        # exactly once — no materialization needed (round-4)
+        cand = lsh_candidates(sig, bands=bands, rows=rows)
         return jaccard_pairs(
             df, threshold, k=k, candidates=cand, sh_precomputed=sh
         )
