@@ -45,12 +45,14 @@ def ts_unit(path: str, column: str = "ts", glob: str = "*.parquet") -> str:
     annotation, else row-group min/max statistics); no data scan, no
     Spark job.
 
-    Returns 'ns', 'us', or 'sniff' (footer carried no stats — caller
-    falls back to the per-row magnitude CASE). The per-row sniff
-    alone would mis-read a ns-generation row before ~1973-03
-    (abs < 1e17 ns) as µs while dividing its neighbors — mixed
-    corruption within one table (round-3 advice); deciding per
-    dataset removes that window.
+    Returns 'ns' | 'us' | 'ms' | 's', or 'sniff' (footer carried no
+    stats — caller falls back to the per-row magnitude CASE). The
+    per-row sniff alone would mis-read a ns-generation row before
+    ~1973-03 (abs < 1e17 ns) as µs while dividing its neighbors —
+    mixed corruption within one table (round-3 advice); deciding per
+    dataset removes that window. ms/s handling is regen insurance:
+    the driver has already shipped two different physical types for
+    events.ts across rounds.
     """
     import glob as _glob
 
@@ -73,7 +75,7 @@ def ts_unit(path: str, column: str = "ts", glob: str = "*.parquet") -> str:
             return "sniff"
         ftype = f.schema_arrow.field(field_idx).type
         if pa.types.is_timestamp(ftype):
-            return "ns" if ftype.unit == "ns" else "us"
+            return ftype.unit if ftype.unit in ("ns", "us", "ms", "s") else "us"
         # plain int64 with no logical annotation: footer stats
         leaf_idx = next(
             i
@@ -87,7 +89,15 @@ def ts_unit(path: str, column: str = "ts", glob: str = "*.parquet") -> str:
             if st is None or not st.has_min_max:
                 return "sniff"
             mx = max(mx, abs(st.min), abs(st.max))
-        return "ns" if mx >= 100_000_000_000_000_000 else "us"
+        # magnitude bands for plausible modern dates:
+        # ns ~1.7e18, µs ~1.7e15, ms ~1.7e12, s ~1.7e9
+        if mx >= 100_000_000_000_000_000:
+            return "ns"
+        if mx >= 100_000_000_000_000:
+            return "us"
+        if mx >= 100_000_000_000:
+            return "ms"
+        return "s"
     except Exception:
         return "sniff"
 
@@ -106,6 +116,10 @@ def micros_expr(unit: str, col: str = "ts") -> str:
         return f"{col} div 1000"
     if unit == "us":
         return col
+    if unit == "ms":
+        return f"{col} * 1000"
+    if unit == "s":
+        return f"{col} * 1000000"
     return _ROW_SNIFF.format(c=col)
 
 

@@ -69,3 +69,36 @@ def test_stream_source_sniffs_every_generation(spark, tmp_path, gen):
         stream.select(F.unix_micros("ts").alias("us")), spark, mode="append"
     )
     assert [r.us for r in out.collect()] == [US]
+
+
+@pytest.mark.parametrize(
+    "gen,arr",
+    [
+        # hypothetical future generations — regen insurance
+        ("ms_ntz", lambda: pa.array([US // 1000], pa.timestamp("ms"))),
+        ("s_ntz", lambda: pa.array([US // 1_000_000], pa.timestamp("s"))),
+        ("raw_us", lambda: pa.array([US], pa.int64())),
+        ("raw_ms", lambda: pa.array([US // 1000], pa.int64())),
+        ("raw_s", lambda: pa.array([US // 1_000_000], pa.int64())),
+    ],
+)
+def test_read_table_handles_future_generations(spark, tmp_path, gen, arr):
+    """ms/s logical annotations and UNANNOTATED int64 in any unit:
+    `catalog.ts_unit` decides once per dataset from the footer
+    (annotation, else row-group stats), so a future regen to any of
+    these shapes reads correctly with no code change. Sub-µs detail
+    is truncated by construction for ms/s units."""
+    d = tmp_path / gen
+    d.mkdir()
+    _write_events(str(d / "events.parquet"), arr())
+    df = read_table(spark, "events", str(d))
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    us = df.select(micros("ts").alias("us")).first().us
+    expected = {
+        "ms_ntz": US // 1000 * 1000,
+        "s_ntz": US // 1_000_000 * 1_000_000,
+        "raw_us": US,
+        "raw_ms": US // 1000 * 1000,
+        "raw_s": US // 1_000_000 * 1_000_000,
+    }[gen]
+    assert us == expected
