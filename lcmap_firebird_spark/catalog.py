@@ -68,8 +68,9 @@ def ts_unit(path: str, column: str = "ts", glob: str = "*.parquet") -> str:
     )
     if not files:
         return "sniff"
-    try:
-        f = pq.ParquetFile(files[0])
+
+    def _file_unit(fname: str) -> str:
+        f = pq.ParquetFile(fname)
         field_idx = f.schema_arrow.get_field_index(column)
         if field_idx < 0:
             return "sniff"
@@ -84,11 +85,15 @@ def ts_unit(path: str, column: str = "ts", glob: str = "*.parquet") -> str:
         )
         mx = 0
         md = f.metadata
+        if md.num_row_groups == 0:
+            return "empty"  # no data → no evidence; ignore this file
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(leaf_idx).statistics
             if st is None or not st.has_min_max:
                 return "sniff"
             mx = max(mx, abs(st.min), abs(st.max))
+        if mx == 0:
+            return "empty"  # all-zero stats carry no magnitude signal
         # magnitude bands for plausible modern dates:
         # ns ~1.7e18, µs ~1.7e15, ms ~1.7e12, s ~1.7e9
         if mx >= 100_000_000_000_000_000:
@@ -98,6 +103,18 @@ def ts_unit(path: str, column: str = "ts", glob: str = "*.parquet") -> str:
         if mx >= 100_000_000_000:
             return "ms"
         return "s"
+
+    try:
+        # EVERY file must agree — a directory mixing physical
+        # generations (e.g. a streaming source dir accreting a
+        # legacy ns chunk next to µs chunks) must NOT be read under
+        # one file's unit; disagreement falls back to the per-row
+        # sniff, which handles the ns/µs mix correctly. Empty part
+        # files carry no evidence and are ignored.
+        units = {u for u in (_file_unit(fn) for fn in files) if u != "empty"}
+        if len(units) == 1:
+            return units.pop()
+        return "sniff"
     except Exception:
         return "sniff"
 

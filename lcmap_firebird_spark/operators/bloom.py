@@ -60,18 +60,15 @@ def bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:
 def _positions(cols: list[str], m: int, k: int) -> list:
     """k bit positions per row (double hashing, overflow-safe)."""
     h1 = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(m))
-    # salting with a literal column gives an independent second hash;
-    # | 1 makes the stride odd so probes cover the table. The outer
-    # pmod keeps h2 < m: without it, pmod(h,m)|1 can EQUAL m when m
-    # is odd and the pmod yields m-1, collapsing all k probes onto h1
-    # for that key (effective k=1 → inflated fpp; round-3 advice).
+    # salting with a literal column gives an independent second hash.
+    # Draw the stride from [1, m-1]: a stride ≡ 0 (mod m) would
+    # collapse all k probe positions onto h1 (effective k=1 →
+    # inflated fpp). The earlier `pmod(h,m)|1` form could still
+    # yield m (≡ 0) when m is odd — round-3 advice + round-4 review.
     h2 = F.pmod(
-        F.pmod(
-            F.xxhash64(F.lit("bloom:h2"), *[F.col(c) for c in cols]),
-            F.lit(m),
-        ).bitwiseOR(F.lit(1)),
-        F.lit(m),
-    )
+        F.xxhash64(F.lit("bloom:h2"), *[F.col(c) for c in cols]),
+        F.lit(m - 1),
+    ) + F.lit(1)
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
 
 

@@ -199,9 +199,13 @@ def jaccard_pairs(
         # shape read it twice), and the work is bounded by
         # |candidates| × shingles-per-doc — the same volume the
         # restricted self-join produced, without the quadratic
-        # enumeration ever existing as a plan node.
+        # enumeration ever existing as a plan node. The defensive
+        # distinct() matters for correctness, not just cost: a
+        # duplicated (doc_a, doc_b) row would multiply n_common and
+        # inflate jaccard past its true value (the old left-semi
+        # shape was dup-tolerant; this join is not).
         common = (
-            candidates.select("doc_a", "doc_b")
+            candidates.select("doc_a", "doc_b").distinct()
             .join(
                 sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
             )

@@ -149,9 +149,8 @@ def incremental_pairs(
             F.greatest("n.doc_id", "s.doc_id").alias("doc_b"),
         )
         .distinct()
-        # verification reads the candidate set twice (doc-restriction
-        # semi-join + pair semi-join) — materialize once, eagerly
-        .localCheckpoint(eager=True)
+        # round-4: candidate-driven verification consumes this frame
+        # exactly once — no materialization needed
     )
     return jaccard_pairs(df_all, threshold, k=k, candidates=touching)
 

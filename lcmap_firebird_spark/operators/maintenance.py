@@ -88,11 +88,25 @@ def compact(
     """
     tmp = path.rstrip("/") + ".__compact__"
     old = path.rstrip("/") + ".__old__"
-    # Crash hygiene (round-3 advice): a stale .__old__ from a previous
-    # failed run would make the swap's os.rename raise; a stale
-    # .__compact__ would make the overwrite-write racy with leftover
-    # files. Clean both at entry — .__old__ only ever holds data the
-    # previous run already replaced.
+    # Crash recovery FIRST (round-4 review): if `path` is absent, a
+    # previous run crashed between the two swap renames and the
+    # surviving directories are the ONLY copies of the data — restore
+    # them, never delete. `tmp` at that point always holds a complete
+    # write (the first rename runs strictly after the parquet write
+    # committed), so finishing the swap is preferred; a bare `old`
+    # (crash immediately after the first rename) rolls back.
+    if not os.path.exists(path):
+        if os.path.exists(tmp):
+            os.rename(tmp, path)
+        elif os.path.exists(old):
+            os.rename(old, path)
+        else:
+            raise FileNotFoundError(path)
+    # With `path` present, stale .__compact__/.__old__ are leftovers
+    # of runs that never reached the swap (crash during write) or
+    # never finished deleting — a stale .__old__ would make the swap
+    # rename raise, a stale .__compact__ would make the overwrite
+    # write racy. Safe to clean: `path` holds the live data.
     for stale in (tmp, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)

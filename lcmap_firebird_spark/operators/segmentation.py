@@ -19,6 +19,7 @@ batching amortizes transfer, and the stage scales with executors.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 from datetime import date, timedelta
 
@@ -206,8 +207,6 @@ def _fit(ts: np.ndarray, vs: np.ndarray) -> tuple[float, float, float]:
         (v - (slope * t + inter)) * (v - (slope * t + inter))
         for t, v in zip(ts, vs)
     )
-    import math
-
     return slope, inter, math.sqrt(sse / max(n - 2, 1))
 
 

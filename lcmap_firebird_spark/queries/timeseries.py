@@ -85,6 +85,12 @@ def u5_ccd_segments(spark: SparkSession, sf: str) -> DataFrame:
     (reference ccdc/pyccd.py:39-81) for in-plan consumers.
     """
     # epoch-day ordinals so ISO rendering is meaningful
+    # Epoch-day via TRUNCATION toward zero on both engines: DuckDB's
+    # integer `//` truncates (verified: -5 // 2 = -2, not -3), which
+    # is exactly Spark's double-division + cast('bigint'). Pre-1970
+    # (negative-µs) parity is pinned by the 1969 seed in
+    # tests/test_ccd_cross_engine.py — do NOT "fix" either side to
+    # floor without changing both.
     ev = read_table(spark, "events", sf).select(
         "user_id",
         (

@@ -28,7 +28,10 @@ def _synth_events(seed: int) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     rows = []
     eid = 0
-    base_day = pd.Timestamp("2024-01-01")
+    # seed 1969 exercises NEGATIVE epoch-µs: epoch-day derivation
+    # must be FLOOR division on both engines (Spark F.floor ↔ DuckDB
+    # `//`); cast-truncation would shift pre-1970 days by one
+    base_day = pd.Timestamp("1969-11-15" if seed == 1969 else "2024-01-01")
     for user in range(20):
         n_days = int(rng.integers(1, 60))
         has_break = user % 3 == 0 and n_days > 15
@@ -61,7 +64,7 @@ def _synth_events(seed: int) -> pd.DataFrame:
     return df
 
 
-@pytest.mark.parametrize("seed", [7, 23, 101])
+@pytest.mark.parametrize("seed", [7, 23, 101, 1969])
 def test_u5_oracle_bit_exact_on_synthetic_corpora(spark, tmp_path, seed):
     pdf = _synth_events(seed)
     sf_dir = str(tmp_path / f"sf_synth_{seed}")
