@@ -8,6 +8,7 @@ engines compute the identical md5-derived hashes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import read_table
 from ..operators import dedup as D
@@ -62,6 +63,26 @@ def d6_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SPAN_K = 8
+
+
+def d8_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring dedup: maximal k-token spans duplicated across
+    documents (distributed form of Lee et al. 2022's suffix-array
+    pass — see operators/substring.py). Integer-exact, full oracle."""
+    from ..operators import substring as SUB
+
+    spans = SUB.duplicate_spans(
+        read_table(spark, "documents", sf), k=SPAN_K
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_grams",
+    )
+
+
 def d7_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Production dedup output: connected components over the MinHash
     near-dup graph → (doc_id, cluster_id, is_keeper) for EVERY
@@ -90,6 +111,7 @@ QUERIES = {
     "d5_simhash_pairs": d5_simhash_pairs,
     "d6_embedding_neardup": d6_embedding_neardup,
     "d7_dedup_clusters": d7_dedup_clusters,
+    "d8_substring_spans": d8_substring_spans,
 }
 
 # ---------------------------------------------------------------------------
@@ -217,6 +239,52 @@ def _d6_oracle() -> str:
 
 
 ORACLES["d6_embedding_neardup"] = _d6_oracle()
+
+def _d8_oracle() -> str:
+    """Same k-gram inverted index + island merge, in DuckDB. The two
+    lockstep unnests produce (pos, gram-fingerprint) per token
+    position; all arithmetic is exact integers — no quantization."""
+    k = SPAN_K
+    gram = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(k)) + ")"
+    gfp = _HASH60.format(expr=gram)
+    return f"""
+    WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
+    gp AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - {k - 1}), i -> i - 1)) AS pos,
+               unnest(list_transform(
+                   generate_series(1, len(t) - {k - 1}), i -> {gfp})) AS gfp
+        FROM toks WHERE len(t) >= {k}
+    ),
+    flag AS (SELECT gfp FROM gp GROUP BY gfp
+             HAVING min(doc_id) <> max(doc_id)),
+    dup AS (SELECT doc_id, pos FROM gp
+            WHERE gfp IN (SELECT gfp FROM flag)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + {k}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM dup
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {k} AS span_end,
+           COUNT(*) AS n_grams
+    FROM grp GROUP BY doc_id, island
+    """
+
+
+ORACLES["d8_substring_spans"] = _d8_oracle()
 
 ORACLES["d3_minhash_lsh"] = f"""
     WITH {_SHINGLES_CTE},

@@ -363,7 +363,10 @@ QUERIES = {
     "a4_pricing_summary": a4_pricing_summary,
     "a5_group_having": a5_group_having,
     "a6_multidim_agg": a6_multidim_agg,
-    "a9_approx_distinct": a9_approx_distinct,
+    # a9_approx_distinct deliberately unregistered (round 4): the HLL
+    # sketch can never earn an oracle (engines differ), so its slot
+    # goes to the oracle-paired d8_substring_spans; approx-distinct
+    # coverage lives in tests/test_substring.py::test_approx_distinct.
     "w1_rank_topk_per_group": w1_rank_topk_per_group,
     "w2_window_frames": w2_window_frames,
     "set1_union_intersect_except": set1_union_intersect_except,
@@ -484,7 +487,8 @@ ORACLES = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
-    # a9_approx_distinct: intentionally no oracle (sketches differ by engine).
+    # a9_approx_distinct: unregistered (see QUERIES note) — sketches
+    # differ by engine, so no oracle was ever possible.
     "w1_rank_topk_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
