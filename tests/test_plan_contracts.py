@@ -205,3 +205,66 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# --- registry-wide anti-pattern sweep (round 4) -----------------------------
+
+# Queries whose plans legitimately contain Python evaluation nodes:
+# Arrow-batched pandas kernels (CCD, media decode, external fetch)
+# and the MLlib pipeline. Everything else must stay JVM-side.
+_PYTHON_OK = {
+    "u5_ccd_segments",
+    "m1_media_pipeline",
+    "s4_external_fetch",
+}
+
+# Non-equi joins that broadcast a provably tiny side compile to
+# BroadcastNestedLoopJoin — legitimate ONLY where the small side is
+# bounded by construction (as-of grid, range-join dimension, IVF
+# probe cells, quantized similarity thresholds).
+_BNLJ_OK = {
+    "s1_knn_bruteforce",  # broadcast query set x corpus scan: the
+    # nested loop IS the design (queries are bounded-small)
+}
+
+
+def _registry_plans(spark, sf_dir):
+    from lcmap_firebird_spark.queries import merged
+
+    queries, _ = merged()
+    for name, fn in sorted(queries.items()):
+        if name.startswith("st"):
+            # streaming entries execute a stream and return a memory
+            # sink scan — their stateful plans are asserted in
+            # tests/test_streaming.py, not here
+            continue
+        yield name, plan_of(fn(spark, sf_dir))
+
+
+def test_registry_no_cartesian_products(spark, sf_dir):
+    bad = [
+        name
+        for name, plan in _registry_plans(spark, sf_dir)
+        if "CartesianProduct" in plan
+    ]
+    assert not bad, f"cartesian product in: {bad}"
+
+
+def test_registry_python_nodes_only_where_declared(spark, sf_dir):
+    bad = [
+        name
+        for name, plan in _registry_plans(spark, sf_dir)
+        if name not in _PYTHON_OK
+        and ("EvalPython" in plan or "InPandas" in plan.replace("MapInPandas", "X")
+             or "ArrowEval" in plan or "MapInPandas" in plan)
+    ]
+    assert not bad, f"undeclared Python evaluation in: {bad}"
+
+
+def test_registry_nested_loop_joins_only_where_bounded(spark, sf_dir):
+    bad = [
+        name
+        for name, plan in _registry_plans(spark, sf_dir)
+        if name not in _BNLJ_OK and "BroadcastNestedLoopJoin" in plan
+    ]
+    assert not bad, f"unbounded nested-loop join in: {bad}"
