@@ -80,6 +80,10 @@ def prepare_corpus(
     jaccard_threshold: float = 0.5,
     weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
     benchmark: DataFrame | None = None,
+    substring_k: int | None = None,
+    mixture: dict[str, float] | None = None,
+    mixture_tokens: int | None = None,
+    domain_col: str = "source",
     redact: bool = False,
     **gate_kwargs,
 ) -> DataFrame:
@@ -93,7 +97,14 @@ def prepare_corpus(
     `benchmark` adds a decontamination stage (drop docs sharing
     8-gram shingles with any benchmark item — operators/pipeline)
     AFTER dedup, so the expensive shingle join runs over survivors
-    only. `redact=True` rewrites text through the PII scrubber as the
+    only. `substring_k` (int) inserts the exact-substring pass
+    (operators/substring): duplicated >=k-token spans are cut from
+    every surviving doc — after whole-doc dedup (so spans reflect
+    genuinely distinct docs sharing boilerplate, not byte-copies),
+    before redaction. `mixture`/`mixture_tokens` compose the final
+    per-domain token-budget mix (operators/mixture) as the LAST
+    selection stage — budgets should govern what actually ships.
+    `redact=True` rewrites text through the PII scrubber as the
     final projection (post-dedup: fingerprints/signatures key on the
     ORIGINAL bytes, and redaction must not change dedup decisions)."""
     gated = language_gate(quality_gate(docs, **gate_kwargs), languages)
@@ -110,6 +121,25 @@ def prepare_corpus(
         from ..operators.pipeline import decontaminate
 
         survivors = decontaminate(survivors, benchmark, n=8)
+    if substring_k is not None:
+        from ..operators.substring import remove_duplicate_spans
+
+        cleaned = remove_duplicate_spans(survivors, k=substring_k)
+        survivors = cleaned.select(
+            *[c for c in survivors.columns if c != "text"],
+            F.col("clean_text").alias("text"),
+        )
+    if mixture is not None:
+        from ..operators.mixture import compose_mixture
+
+        # output keeps the epoch column: upsampled repeats are real
+        # rows of the final mix, and epoch is what distinguishes them
+        survivors = compose_mixture(
+            survivors,
+            mixture,
+            int(mixture_tokens),
+            domain_col=domain_col,
+        )
     out = train_val_test(survivors, "doc_id", weights)
     if redact:
         from ..operators.pipeline import redact_pii

@@ -96,3 +96,44 @@ def test_decontamination_and_redaction_stages(spark, docs, prepared):
     assert {r.doc_id for r in red.select("doc_id").collect()} == {
         r.doc_id for r in prepared.select("doc_id").collect()
     }
+
+
+def test_substring_stage_cuts_cross_doc_spans(docs):
+    """With substring_k set, no >=k-token run survives verbatim in
+    two different output documents (the spans were cut)."""
+    from lcmap_firebird_spark.operators.substring import duplicate_spans
+
+    out = C.prepare_corpus(
+        docs, languages=LANGS, jaccard_threshold=THRESH, substring_k=8
+    ).cache()
+    # re-running span detection on the cleaned output finds nothing
+    assert duplicate_spans(out, k=8).count() == 0
+    out.unpersist()
+
+
+def test_mixture_stage_budgets_and_epochs(docs, prepared):
+    toks = {
+        r["source"]: r["t"]
+        for r in prepared.groupBy("source")
+        .agg(F.sum(T.token_count("text")).alias("t"))
+        .collect()
+    }
+    dom = max(toks, key=toks.get)
+    budget = int(toks[dom] * 2.5)  # force upsampling: 2 epochs + rest
+    out = C.prepare_corpus(
+        docs,
+        languages=LANGS,
+        jaccard_threshold=THRESH,
+        mixture={dom: 1.0},
+        mixture_tokens=budget,
+    ).cache()
+    assert "epoch" in out.columns
+    got = out.agg(F.sum(T.token_count("text"))).first()[0]
+    assert got <= budget
+    assert got >= 2 * toks[dom]  # at least the two full epochs
+    # split assignment is constant per doc across epochs
+    per_doc = out.groupBy("doc_id").agg(
+        F.countDistinct("split").alias("ns")
+    )
+    assert per_doc.filter(F.col("ns") > 1).count() == 0
+    out.unpersist()
