@@ -122,3 +122,58 @@ def test_approx_distinct_behavioral(spark, sf_dir):
         F.count_distinct("l_orderkey").alias("e"),
     ).first()
     assert abs(approx - exact) <= max(0.03 * exact, 5)
+
+
+# --- model-based property: spans == pure-Python reference ------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_token = st.sampled_from(["a", "b", "c", "d"])
+_doc = st.lists(_token, min_size=0, max_size=24).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=6)
+
+
+def _spans_py(texts, k):
+    toked = {i: t.split() for i, t in enumerate(texts)}
+    occ = {}
+    for d, toks in toked.items():
+        for p in range(len(toks) - k + 1):
+            occ.setdefault(" ".join(toks[p : p + k]), []).append((d, p))
+    flagged = {
+        g: ps for g, ps in occ.items() if len({d for d, _ in ps}) >= 2
+    }
+    per_doc = {}
+    for ps in flagged.values():
+        for d, p in ps:
+            per_doc.setdefault(d, []).append(p)
+    out = set()
+    for d, positions in per_doc.items():
+        positions.sort()
+        start, end, n = positions[0], positions[0] + k, 1
+        for p in positions[1:]:
+            if p > end:
+                out.add((d, start, end, n))
+                start, end, n = p, p + k, 1
+            else:
+                end, n = max(end, p + k), n + 1
+        out.add((d, start, end, n))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_spans_match_python_model(spark, texts):
+    k = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in SUB.duplicate_spans(docs, k=k).collect()
+    }
+    assert got == _spans_py(texts, k)
