@@ -59,7 +59,15 @@ def gram_positions(
 ) -> DataFrame:
     """(doc_id, pos, gfp): the 60-bit fingerprint of the k-token gram
     starting at 0-based token position ``pos``. Documents shorter
-    than k tokens contribute nothing."""
+    than k tokens contribute nothing.
+
+    `spread` first: a compact corpus arrives as ONE parquet split and
+    the explode+md5 pipeline would run on a single core (measured 3 s
+    of d8's 3.7 s at sf0.1); well-parallel inputs pass through
+    untouched, so at scale nothing reshuffles."""
+    from .dedup import spread
+
+    df = spread(df, id_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(gram_array(tokens(text_col), k)).alias("pos", "g"),
@@ -78,7 +86,12 @@ def duplicated_positions(
     duplicated — across documents (default: min(doc_id)!=max(doc_id),
     exact without a count-distinct) or anywhere (total occurrences
     >= min_count, within-document repeats included)."""
+    # gp feeds the flag aggregate AND the semi-join probe side —
+    # concurrent first readers of a lazy cache would each recompute
+    # the explode+md5 subtree (PLANS.md rule 15), so materialize
+    # exactly once
     gp = gram_positions(df, k=k, id_col=id_col, text_col=text_col)
+    gp = gp.localCheckpoint(eager=True)
     grouped = gp.groupBy("gfp").agg(
         F.min("doc_id").alias("_mn"),
         F.max("doc_id").alias("_mx"),

@@ -148,11 +148,64 @@ def prepare_corpus(
     return out
 
 
-def write_corpus(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def corpus_manifest(
+    df: DataFrame, text_col: str = "text", domain_col: str = "source"
+) -> dict:
+    """Reproducibility manifest: per-(split, domain) doc and token
+    counts plus an order-independent content checksum (bit-XOR of
+    the 60-bit text fingerprints — partition-layout-proof, unlike a
+    sum that depends on overflow wraparound order being benign).
+    One aggregation job over the final corpus."""
+    has_domain = domain_col in df.columns
+    keys = ["split"] + ([domain_col] if has_domain else [])
+    staged = df.select(
+        *keys,
+        T.token_count(text_col).alias("_tc"),
+        T.fingerprint(text_col).alias("_fp"),
+    )
+    rows = (
+        staged.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_tc").alias("n_tokens"),
+            F.expr("bit_xor(_fp)").alias("checksum"),
+        )
+        .collect()
+    )
+    strata = [r.asDict() for r in rows]
+    total_checksum = 0
+    for r in strata:
+        total_checksum ^= int(r["checksum"])
+    return {
+        "strata": sorted(
+            strata, key=lambda r: tuple(str(r[k]) for k in keys)
+        ),
+        "n_docs": sum(r["n_docs"] for r in strata),
+        "n_tokens": sum(r["n_tokens"] for r in strata),
+        "checksum": total_checksum,
+    }
+
+
+def write_corpus(
+    df: DataFrame, path: str, mode: str = "overwrite", manifest: bool = True
+) -> dict | None:
     """Partitioned-by-split sink: downstream training jobs scan only
     their split's directory (partition pruning), and each split's
-    files are self-contained for export."""
+    files are self-contained for export. With `manifest`, a
+    `_MANIFEST.json` lands next to the data (counts + order-
+    independent checksum per stratum) so downstream consumers can
+    verify a re-run reproduced the identical corpus without reading
+    it."""
     df.write.mode(mode).partitionBy("split").parquet(path)
+    if not manifest:
+        return None
+    import json
+    import os
+
+    m = corpus_manifest(df)
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        json.dump(m, f, indent=1, default=str)
+    return m
 
 
 # plan composes worker-shipped operators; keep the foreign-cwd

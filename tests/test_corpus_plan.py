@@ -137,3 +137,24 @@ def test_mixture_stage_budgets_and_epochs(docs, prepared):
     )
     assert per_doc.filter(F.col("ns") > 1).count() == 0
     out.unpersist()
+
+
+def test_manifest_counts_and_checksum(spark, prepared, tmp_path):
+    import json
+    import os
+
+    path = str(tmp_path / "corpus_m")
+    m = C.write_corpus(prepared, path)
+    assert os.path.exists(os.path.join(path, "_MANIFEST.json"))
+    disk = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert disk["n_docs"] == m["n_docs"] == prepared.count()
+    want_tokens = prepared.agg(F.sum(T.token_count("text"))).first()[0]
+    assert m["n_tokens"] == want_tokens
+    # checksum is layout-independent: recompute after a repartition
+    m2 = C.corpus_manifest(prepared.repartition(7))
+    assert m2["checksum"] == m["checksum"]
+    assert m2["n_docs"] == m["n_docs"]
+    # and content-sensitive: dropping one doc changes it
+    one = prepared.limit(1).select("doc_id")
+    m3 = C.corpus_manifest(prepared.join(one, "doc_id", "left_anti"))
+    assert m3["checksum"] != m["checksum"]
