@@ -1,0 +1,143 @@
+"""Model-based quality scoring — hashed linear text classifier.
+
+The heuristic gates (operators/text: length/diversity/repetition)
+catch garbage; production corpus pipelines ALSO filter with a learned
+quality model scored over every document (the public CCNet /
+LLaMA-style "looks like reference text" classifier). This module is
+that stage, Spark-first:
+
+- Features: each token hashes into one of `n_buckets` ids via the
+  same md5-derived `hash60` the dedup family uses — engine-portable,
+  seedless, no vocabulary to ship.
+- Training: closed-form Naive-Bayes log-odds over a labeled sample —
+  w[b] = log P(b|pos) - log P(b|neg) (Laplace-smoothed),
+  bias = log P(pos) - log P(neg). One explode + one groupBy; no
+  MLlib, no iterative solver, bit-deterministic.
+- Scoring: explode tokens -> hash bucket -> broadcast-join the tiny
+  (bucket, w) weight table -> per-doc sum -> sigmoid. The corpus
+  shuffles once on doc_id for the sum; weights are data, not plan
+  literals, so the same plan serves any model size.
+
+The log-odds weights are a linear classifier in the exact same
+family fastText reduces to for this task; swap in externally trained
+weights by passing any (bucket, w) frame + bias to `score_quality`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash60
+from .text import tokens
+
+N_BUCKETS = 4096
+
+
+def token_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(doc_id, bucket) per token occurrence (multiplicity kept —
+    both training counts and scoring sums are per-occurrence)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("_t"),
+    ).select(
+        "doc_id", (hash60(F.col("_t")) % n_buckets).alias("bucket")
+    )
+
+
+def train_log_odds(
+    labeled: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, float]:
+    """Closed-form NB log-odds weights from a labeled sample
+    (label_col: 1 = quality, 0 = not). Returns ((bucket, w), bias).
+
+    The labeled sample is the small side (thousands of docs curated
+    by hand or a seed heuristic); everything here is one explode +
+    one groupBy on the bucket id.
+    """
+    lab = labeled.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(text_col).alias("_text"),
+    )
+    tb = token_buckets(lab, "doc_id", "_text", n_buckets).join(
+        lab.select("doc_id", "_y"), "doc_id"
+    )
+    counts = tb.groupBy("bucket").agg(
+        F.sum("_y").alias("_pos"),
+        F.sum(1 - F.col("_y")).alias("_neg"),
+    )
+    totals = tb.agg(
+        F.sum("_y").alias("tp"), F.sum(1 - F.col("_y")).alias("tn")
+    ).first()
+    tp, tn = int(totals["tp"]), int(totals["tn"])
+    ad = alpha * n_buckets
+    weights = counts.select(
+        "bucket",
+        (
+            F.log((F.col("_pos") + alpha) / (tp + ad))
+            - F.log((F.col("_neg") + alpha) / (tn + ad))
+        ).alias("w"),
+    )
+    docs = lab.groupBy().agg(
+        F.sum("_y").alias("p"), F.sum(1 - F.col("_y")).alias("n")
+    ).first()
+    import math
+
+    bias = math.log((docs["p"] + alpha) / (docs["n"] + alpha))
+    return weights, bias
+
+
+def score_quality(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Input columns + `quality_score` = sigmoid(bias + Σ w[h(t)]).
+
+    Docs with zero tokens (or no bucket hit) score sigmoid(bias).
+    The weight table broadcasts; unseen buckets contribute 0 (their
+    log-odds prior cancels in the smoothed limit and keeping them
+    out keeps the table at observed-vocabulary size)."""
+    tb = token_buckets(df, id_col, text_col, n_buckets)
+    sums = (
+        tb.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("_sw"))
+    )
+    joined = df.join(
+        sums.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    z = F.lit(float(bias)) + F.coalesce(F.col("_sw"), F.lit(0.0))
+    return joined.select(
+        *df.columns,
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("quality_score"),
+    )
+
+
+def quality_gate_model(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """Filter to docs scoring >= threshold (the model-based sibling
+    of plans/corpus.quality_gate)."""
+    scored = score_quality(df, weights, bias, **kwargs)
+    return scored.filter(F.col("quality_score") >= threshold).drop(
+        "quality_score"
+    )
