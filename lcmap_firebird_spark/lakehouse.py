@@ -1,0 +1,391 @@
+"""Native transactional table format — commit log, ACID MERGE, time
+travel, vacuum — on plain parquet.
+
+The reference's storage layer is overwrite-in-place Cassandra writes
+(/root/reference/ccdc/cassandra.py — per-chip upserts with no
+multi-row atomicity); a 100 TB pipeline needs table-format
+semantics: atomic multi-file commits, upsert (MERGE), snapshot
+isolation for readers, and reproducible time travel. Delta/Iceberg
+provide exactly this but neither package is available here, so this
+module implements the same public design (a Delta-style ordered
+commit log over immutable files) natively:
+
+Layout::
+
+    <root>/_txn/00000000000000000042.json   one entry per commit
+    <root>/data/<uuid>.parquet              immutable data files
+
+A commit entry lists files ADDED and files REMOVED plus per-file key
+statistics. The table state at version V = union of adds minus
+removes across entries 0..V — readers never see a partial write
+because the entry file is created atomically (O_EXCL), and data
+files are fully written before the commit that references them.
+
+Concurrency is optimistic: a writer stages data files, then tries to
+create version N+1; if another writer got there first the exclusive
+create fails — `append` (order-independent) retries against the new
+head, `merge`/`delete` (read-dependent) raise ConcurrentWriteError
+for the caller to re-run against the new snapshot. This is the same
+protocol Delta implements over object-store put-if-absent.
+
+Scale design:
+- MERGE is copy-on-write over ONLY the files that can contain a
+  matching key: per-file [min,max] key stats recorded at commit time
+  prune first (no I/O), then an exact `input_file_name` semi-join
+  against the (broadcast) source keys confirms — untouched files are
+  carried forward by reference, never rewritten or even read beyond
+  the pruned candidates.
+- Readers plan one `parquet(paths...)` scan over live files — all of
+  Catalyst's pushdown/pruning applies unchanged.
+- The log is tiny JSON; at real scale you'd checkpoint it like
+  Delta; `history()` reads it driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_TXN = "_txn"
+_DATA = "data"
+_WIDTH = 20
+
+
+class ConcurrentWriteError(RuntimeError):
+    """The log advanced under a read-dependent commit (merge/delete);
+    re-run against the new snapshot."""
+
+
+def _entry_path(root: str, version: int) -> str:
+    return os.path.join(root, _TXN, f"{version:0{_WIDTH}d}.json")
+
+
+def _file_stats(path: str, key_cols: list[str]) -> dict:
+    """Per-file row count + [min,max] per key column from the parquet
+    footer (no data read). Missing stats -> None (file is always a
+    merge candidate)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for c in key_cols:
+        if c not in idx:
+            stats[c] = None
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx[c]).statistics
+            if s is None or not s.has_min_max:
+                mins = []
+                break
+            mins.append(s.min)
+            maxs.append(s.max)
+        stats[c] = [min(mins), max(maxs)] if mins else None
+    return {"rows": md.num_rows, "stats": stats}
+
+
+class LakeTable:
+    """Handle to a committed table. `create` once, then attach with
+    `LakeTable(spark, root)`."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        if not os.path.isdir(os.path.join(root, _TXN)):
+            raise FileNotFoundError(f"no lakehouse table at {root}")
+
+    # -- log ---------------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        d = os.path.join(self.root, _TXN)
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(d)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"empty log at {self.root}")
+        return vs[-1]
+
+    def _entries(self, upto: int | None = None) -> list[dict]:
+        out = []
+        for v in self._versions():
+            if upto is not None and v > upto:
+                break
+            with open(_entry_path(self.root, v)) as f:
+                out.append(json.load(f))
+        return out
+
+    def history(self) -> list[dict]:
+        """Commit metadata, oldest first."""
+        return [
+            {k: e[k] for k in ("version", "operation")}
+            | {
+                "added": len(e.get("add", [])),
+                "removed": len(e.get("remove", [])),
+            }
+            for e in self._entries()
+        ]
+
+    def _live(self, version: int | None = None) -> tuple[list[dict], dict]:
+        """(live add-records, head entry) at `version` (default head)."""
+        entries = self._entries(upto=version)
+        if not entries:
+            raise FileNotFoundError(
+                f"version {version} predates table {self.root}"
+            )
+        live: dict[str, dict] = {}
+        for e in entries:
+            for rec in e.get("add", []):
+                live[rec["path"]] = rec
+            for p in e.get("remove", []):
+                live.pop(p, None)
+        return list(live.values()), entries[0]
+
+    # -- read --------------------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table as of `version` (default: latest). Plain parquet
+        scan over the live files — pushdown/pruning apply as usual."""
+        live, head = self._live(version)
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        if not live:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, r["path"]) for r in live]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # -- write -------------------------------------------------------------
+
+    def _stage_files(self, df: DataFrame) -> list[dict]:
+        """Write df's rows as immutable files in data/, return add
+        records with footer stats. Files are invisible until a commit
+        references them."""
+        head = self._entries()[0]
+        key_cols = head["key_cols"]
+        tmp = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        recs = []
+        os.makedirs(os.path.join(self.root, _DATA), exist_ok=True)
+        for f in sorted(os.listdir(tmp)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{_DATA}/{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.root, name)
+            os.rename(os.path.join(tmp, f), dst)
+            recs.append({"path": name} | _file_stats(dst, key_cols))
+        for leftover in os.listdir(tmp):
+            os.remove(os.path.join(tmp, leftover))
+        os.rmdir(tmp)
+        return recs
+
+    def _commit(
+        self,
+        operation: str,
+        add: list[dict],
+        remove: list[str],
+        expected_head: int | None,
+    ) -> int:
+        """Atomically create the next log entry. `expected_head`
+        non-None = read-dependent commit: raise ConcurrentWriteError
+        if the head moved; None = order-independent (append): retry
+        against whatever head exists."""
+        head_entry = self._entries()[0]
+        while True:
+            head = self.latest_version()
+            if expected_head is not None and head != expected_head:
+                raise ConcurrentWriteError(
+                    f"log advanced to v{head} (expected v{expected_head})"
+                )
+            entry = {
+                "version": head + 1,
+                "operation": operation,
+                "add": add,
+                "remove": remove,
+                "schema": head_entry["schema"],
+                "key_cols": head_entry["key_cols"],
+            }
+            try:
+                with open(_entry_path(self.root, head + 1), "x") as f:
+                    json.dump(entry, f, indent=1)
+                return head + 1
+            except FileExistsError:
+                if expected_head is not None:
+                    raise ConcurrentWriteError(
+                        f"lost the race for v{head + 1}"
+                    ) from None
+                # append: loop and retry on the new head
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        key_cols: list[str],
+    ) -> "LakeTable":
+        """Create a table from df; `key_cols` are the MERGE keys and
+        drive per-file stats pruning."""
+        os.makedirs(os.path.join(root, _TXN), exist_ok=False)
+        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+        entry0 = {
+            "version": 0,
+            "operation": "create",
+            "add": [],
+            "remove": [],
+            "schema": df.schema.json(),
+            "key_cols": key_cols,
+        }
+        with open(_entry_path(root, 0), "x") as f:
+            json.dump(entry0, f, indent=1)
+        t = LakeTable(spark, root)
+        add = t._stage_files(df)
+        t._commit("create", add, [], expected_head=0)
+        return t
+
+    def append(self, df: DataFrame) -> int:
+        """Atomic multi-file append (order-independent: retries
+        transparently if another writer commits first)."""
+        add = self._stage_files(df)
+        return self._commit("append", add, [], expected_head=None)
+
+    def _affected_files(
+        self, live: list[dict], keys: DataFrame, key_cols: list[str]
+    ) -> list[str]:
+        """Files that can contain a source key: footer-stats prune,
+        then exact input_file_name semi-join confirmation."""
+        ranges = keys.agg(
+            *[F.min(c).alias(f"_mn_{c}") for c in key_cols],
+            *[F.max(c).alias(f"_mx_{c}") for c in key_cols],
+        ).first()
+        if any(ranges[f"_mn_{c}"] is None for c in key_cols):
+            return []  # empty source: nothing can match
+        cands = []
+        for rec in live:
+            hit = True
+            for c in key_cols:
+                st = (rec.get("stats") or {}).get(c)
+                if st is None:
+                    continue
+                if st[0] > ranges[f"_mx_{c}"] or st[1] < ranges[f"_mn_{c}"]:
+                    hit = False
+                    break
+            if hit:
+                cands.append(rec["path"])
+        if not cands:
+            return []
+        head = self._entries()[0]
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        scan = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, p) for p in cands]
+        )
+        hits = (
+            scan.withColumn("_f", F.input_file_name())
+            .join(F.broadcast(keys), key_cols, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        hit_names = {os.path.basename(r["_f"]) for r in hits}
+        return [p for p in cands if os.path.basename(p) in hit_names]
+
+    def merge(self, source: DataFrame, dedupe_source: bool = False) -> int:
+        """MERGE (upsert) by the table's key columns: matched target
+        rows are replaced by the source row, unmatched source rows
+        are inserted. Copy-on-write: only files that can contain a
+        matching key are rewritten; everything else is carried by
+        reference. Raises on duplicate source keys (the match would
+        be ambiguous) unless `dedupe_source`.
+
+        Read-dependent: raises ConcurrentWriteError if the log
+        advances between snapshot and commit."""
+        head = self.latest_version()
+        live, head_entry = self._live(head)
+        key_cols = head_entry["key_cols"]
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        source = source.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        if dedupe_source:
+            source = source.dropDuplicates(key_cols)
+        else:
+            dups = (
+                source.groupBy(*key_cols).count().filter(F.col("count") > 1)
+            )
+            if dups.limit(1).count():
+                raise ValueError(
+                    "duplicate keys in merge source; pass "
+                    "dedupe_source=True to keep an arbitrary one"
+                )
+        keys = source.select(*key_cols)
+        affected = self._affected_files(live, keys, key_cols)
+        if affected:
+            scan = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in affected]
+            )
+            survivors = scan.join(
+                F.broadcast(keys), key_cols, "left_anti"
+            )
+            rewritten = survivors.unionByName(source)
+        else:
+            rewritten = source
+        add = self._stage_files(rewritten)
+        return self._commit("merge", add, affected, expected_head=head)
+
+    def delete(self, predicate: str) -> int:
+        """Delete rows matching the SQL predicate (copy-on-write on
+        files containing matches; read-dependent commit)."""
+        head = self.latest_version()
+        live, head_entry = self._live(head)
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        paths = [os.path.join(self.root, r["path"]) for r in live]
+        if not paths:
+            return self._commit("delete", [], [], expected_head=head)
+        scan = self.spark.read.schema(schema).parquet(*paths)
+        hits = (
+            scan.withColumn("_f", F.input_file_name())
+            .filter(predicate)
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        hit_names = {os.path.basename(r["_f"]) for r in hits}
+        affected = [
+            r["path"]
+            for r in live
+            if os.path.basename(r["path"]) in hit_names
+        ]
+        if not affected:
+            return self._commit("delete", [], [], expected_head=head)
+        sub = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, p) for p in affected]
+        )
+        keep = sub.filter(f"NOT ({predicate})")
+        add = self._stage_files(keep)
+        return self._commit("delete", add, affected, expected_head=head)
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Physically delete data files not referenced by any of the
+        last `keep_last` versions. Time travel to vacuumed versions
+        stops working (same contract as Delta VACUUM)."""
+        vs = self._versions()
+        keep_versions = vs[-keep_last:]
+        referenced: set[str] = set()
+        for v in keep_versions:
+            for rec in self._live(v)[0]:
+                referenced.add(rec["path"])
+        removed = []
+        d = os.path.join(self.root, _DATA)
+        for f in os.listdir(d):
+            rel = f"{_DATA}/{f}"
+            if rel not in referenced:
+                os.remove(os.path.join(d, f))
+                removed.append(rel)
+        return removed

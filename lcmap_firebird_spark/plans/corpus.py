@@ -80,6 +80,7 @@ def prepare_corpus(
     jaccard_threshold: float = 0.5,
     weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
     benchmark: DataFrame | None = None,
+    quality_model: tuple[DataFrame, float, float] | None = None,
     substring_k: int | None = None,
     mixture: dict[str, float] | None = None,
     mixture_tokens: int | None = None,
@@ -97,7 +98,9 @@ def prepare_corpus(
     `benchmark` adds a decontamination stage (drop docs sharing
     8-gram shingles with any benchmark item — operators/pipeline)
     AFTER dedup, so the expensive shingle join runs over survivors
-    only. `substring_k` (int) inserts the exact-substring pass
+    only. `quality_model=(weights_df, bias, threshold)` adds the
+    learned quality gate (operators/classifier) after the heuristic
+    gates and before dedup. `substring_k` (int) inserts the exact-substring pass
     (operators/substring): duplicated >=k-token spans are cut from
     every surviving doc — after whole-doc dedup (so spans reflect
     genuinely distinct docs sharing boilerplate, not byte-copies),
@@ -108,6 +111,14 @@ def prepare_corpus(
     final projection (post-dedup: fingerprints/signatures key on the
     ORIGINAL bytes, and redaction must not change dedup decisions)."""
     gated = language_gate(quality_gate(docs, **gate_kwargs), languages)
+    if quality_model is not None:
+        # learned gate AFTER the heuristics (cheap row-local
+        # expressions first; the model costs an explode + broadcast
+        # join) and BEFORE dedup so signatures only cover keepers
+        from ..operators.classifier import quality_gate_model
+
+        qm_weights, qm_bias, qm_threshold = quality_model
+        gated = quality_gate_model(gated, qm_weights, qm_bias, qm_threshold)
     # exact rung: one representative per byte-identical content group
     grp = exact_groups(gated)
     reps = grp.filter(F.col("doc_id") == F.col("rep")).select("doc_id")

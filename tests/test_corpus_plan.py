@@ -158,3 +158,32 @@ def test_manifest_counts_and_checksum(spark, prepared, tmp_path):
     one = prepared.limit(1).select("doc_id")
     m3 = C.corpus_manifest(prepared.join(one, "doc_id", "left_anti"))
     assert m3["checksum"] != m["checksum"]
+
+
+def test_quality_model_stage_filters(spark, docs, prepared):
+    from lcmap_firebird_spark.operators.classifier import (
+        score_quality,
+        train_log_odds,
+    )
+
+    # self-train a throwaway model: long docs positive, short negative
+    labeled = docs.withColumn(
+        "label", (T.token_count("text") >= 40).cast("int")
+    )
+    weights, bias = train_log_odds(labeled, n_buckets=512)
+    out = C.prepare_corpus(
+        docs,
+        languages=LANGS,
+        jaccard_threshold=THRESH,
+        quality_model=(weights, bias, 0.5),
+    )
+    # the stage is a strict filter of the unmodeled pipeline
+    base_ids = {r.doc_id for r in prepared.select("doc_id").collect()}
+    got_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got_ids
+    # every kept doc actually scores >= threshold
+    kept_docs = docs.join(out.select("doc_id"), "doc_id", "left_semi")
+    low = score_quality(kept_docs, weights, bias, n_buckets=512).filter(
+        F.col("quality_score") < 0.5
+    )
+    assert low.count() == 0

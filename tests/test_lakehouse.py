@@ -1,0 +1,186 @@
+"""Native table format (lakehouse.py): atomic commits, MERGE
+semantics vs a DuckDB-computed expectation, copy-on-write file
+pruning, snapshot isolation / time travel, optimistic-concurrency
+conflicts, and vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lcmap_firebird_spark.lakehouse import (
+    ConcurrentWriteError,
+    LakeTable,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(i, f"name{i}", float(i)) for i in range(100)],
+        "id long, name string, val double",
+    ).repartition(4, "id")
+    root = str(tmp_path / "tbl")
+    t = LakeTable.create(spark, root, base, key_cols=["id"])
+    return t
+
+
+def test_create_roundtrip_and_attach(spark, table):
+    got = table.snapshot()
+    assert got.count() == 100
+    again = LakeTable(spark, table.root)
+    assert _rows(again.snapshot()) == _rows(got)
+
+
+def test_append_atomic_multi_file(spark, table):
+    extra = spark.createDataFrame(
+        [(100 + i, f"name{100 + i}", 0.0) for i in range(10)],
+        "id long, name string, val double",
+    ).repartition(3)
+    v = table.append(extra)
+    assert v == table.latest_version()
+    assert table.snapshot().count() == 110
+    # the pre-append snapshot is still readable (time travel)
+    assert table.snapshot(version=v - 1).count() == 100
+
+
+def test_merge_matches_sql_semantics(spark, table, oracle):
+    src = spark.createDataFrame(
+        [(5, "FIVE", -5.0), (42, "FORTYTWO", -42.0), (200, "new", 1.0)],
+        "id long, name string, val double",
+    )
+    before = table.snapshot().toPandas()
+    table.merge(src)
+    got = _rows(table.snapshot())
+    # oracle: DuckDB full-outer upsert over the same inputs
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", before)
+    con.register("s", src.toPandas())
+    want = con.execute(
+        """
+        SELECT s.id, s.name, s.val FROM s
+        UNION ALL
+        SELECT t.id, t.name, t.val FROM t
+        WHERE t.id NOT IN (SELECT id FROM s)
+        """
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+
+
+def test_merge_rewrites_only_affected_files(spark, table):
+    live_before, _ = table._live()
+    # one key -> at most one file (plus carried-forward references)
+    src = spark.createDataFrame(
+        [(7, "seven", 0.0)], "id long, name string, val double"
+    )
+    v = table.merge(src)
+    with open(
+        os.path.join(table.root, "_txn", f"{v:020d}.json")
+    ) as f:
+        entry = json.load(f)
+    # removed at most the files whose [min,max] id-range covers 7
+    covering = [
+        r["path"]
+        for r in live_before
+        if r["stats"]["id"][0] <= 7 <= r["stats"]["id"][1]
+    ]
+    assert set(entry["remove"]) <= set(covering)
+    assert len(entry["remove"]) >= 1
+    # untouched files are carried by reference, not rewritten
+    untouched = {r["path"] for r in live_before} - set(entry["remove"])
+    live_after = {r["path"] for r in table._live()[0]}
+    assert untouched <= live_after
+
+
+def test_merge_duplicate_source_keys_raise(spark, table):
+    src = spark.createDataFrame(
+        [(1, "a", 0.0), (1, "b", 0.0)], "id long, name string, val double"
+    )
+    with pytest.raises(ValueError):
+        table.merge(src)
+    table.merge(src, dedupe_source=True)
+    assert table.snapshot().filter("id = 1").count() == 1
+
+
+def test_delete_predicate_and_time_travel(spark, table):
+    v0 = table.latest_version()
+    table.delete("id >= 90")
+    assert table.snapshot().count() == 90
+    assert table.snapshot().filter("id >= 90").count() == 0
+    # old snapshot unchanged
+    assert table.snapshot(version=v0).count() == 100
+
+
+def test_concurrent_append_retries_merge_raises(spark, table):
+    head = table.latest_version()
+    # another writer lands the next version first
+    fake = {
+        "version": head + 1,
+        "operation": "append",
+        "add": [],
+        "remove": [],
+        "schema": json.load(
+            open(os.path.join(table.root, "_txn", f"{0:020d}.json"))
+        )["schema"],
+        "key_cols": ["id"],
+    }
+    with open(
+        os.path.join(table.root, "_txn", f"{head + 1:020d}.json"), "x"
+    ) as f:
+        json.dump(fake, f)
+    # append is order-independent: retries onto head+2
+    extra = spark.createDataFrame(
+        [(500, "x", 0.0)], "id long, name string, val double"
+    )
+    v = table.append(extra)
+    assert v == head + 2
+    # merge is read-dependent: conflict must raise
+    with open(
+        os.path.join(table.root, "_txn", f"{v + 1:020d}.json"), "x"
+    ) as f:
+        json.dump(fake | {"version": v + 1}, f)
+    with pytest.raises(ConcurrentWriteError):
+        # snapshot head is v+1 now; simulate a stale read by lying
+        table._commit("merge", [], [], expected_head=v)
+
+
+def test_vacuum_removes_only_unreferenced(spark, table):
+    src = spark.createDataFrame(
+        [(3, "three", 0.0)], "id long, name string, val double"
+    )
+    table.merge(src)
+    data_dir = os.path.join(table.root, "data")
+    before = set(os.listdir(data_dir))
+    removed = table.vacuum(keep_last=1)
+    live = {
+        os.path.basename(r["path"]) for r in table._live()[0]
+    }
+    after = set(os.listdir(data_dir))
+    assert after == live  # exactly the referenced files survive
+    assert {os.path.basename(p) for p in removed} == before - live
+    # current snapshot still reads fine
+    assert table.snapshot().count() == 100
+    # vacuumed old version is gone (documented contract)
+    with pytest.raises(Exception):
+        table.snapshot(version=1).collect()
+
+
+def test_history(spark, table):
+    table.append(
+        spark.createDataFrame(
+            [(900, "y", 0.0)], "id long, name string, val double"
+        )
+    )
+    h = table.history()
+    assert [e["operation"] for e in h[:2]] == ["create", "create"]
+    assert h[-1]["operation"] == "append"
+    assert [e["version"] for e in h] == list(range(len(h)))
