@@ -193,6 +193,7 @@ class LakeTable:
         add: list[dict],
         remove: list[str],
         expected_head: int | None,
+        extra: dict | None = None,
     ) -> int:
         """Atomically create the next log entry. `expected_head`
         non-None = read-dependent commit: raise ConcurrentWriteError
@@ -213,6 +214,8 @@ class LakeTable:
                 "schema": head_entry["schema"],
                 "key_cols": head_entry["key_cols"],
             }
+            if extra:
+                entry.update(extra)
             try:
                 with open(_entry_path(self.root, head + 1), "x") as f:
                     json.dump(entry, f, indent=1)
@@ -230,10 +233,14 @@ class LakeTable:
         root: str,
         df: DataFrame,
         key_cols: list[str],
+        extra: dict | None = None,
     ) -> "LakeTable":
         """Create a table from df; `key_cols` are the MERGE keys and
         drive per-file stats pruning."""
-        os.makedirs(os.path.join(root, _TXN), exist_ok=False)
+        # exist_ok: a crashed create may have left the empty dirs
+        # behind; the O_EXCL entry-0 create below is the real guard
+        # against two concurrent creates
+        os.makedirs(os.path.join(root, _TXN), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA), exist_ok=True)
         entry0 = {
             "version": 0,
@@ -247,14 +254,16 @@ class LakeTable:
             json.dump(entry0, f, indent=1)
         t = LakeTable(spark, root)
         add = t._stage_files(df)
-        t._commit("create", add, [], expected_head=0)
+        t._commit("create", add, [], expected_head=0, extra=extra)
         return t
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, extra: dict | None = None) -> int:
         """Atomic multi-file append (order-independent: retries
-        transparently if another writer commits first)."""
+        transparently if another writer commits first). `extra` keys
+        land in the commit entry (e.g. a streaming batch_id for
+        idempotent replay detection) — atomically with the commit."""
         add = self._stage_files(df)
-        return self._commit("append", add, [], expected_head=None)
+        return self._commit("append", add, [], expected_head=None, extra=extra)
 
     def _affected_files(
         self, live: list[dict], keys: DataFrame, key_cols: list[str]
@@ -296,7 +305,12 @@ class LakeTable:
         hit_names = {os.path.basename(r["_f"]) for r in hits}
         return [p for p in cands if os.path.basename(p) in hit_names]
 
-    def merge(self, source: DataFrame, dedupe_source: bool = False) -> int:
+    def merge(
+        self,
+        source: DataFrame,
+        dedupe_source: bool = False,
+        extra: dict | None = None,
+    ) -> int:
         """MERGE (upsert) by the table's key columns: matched target
         rows are replaced by the source row, unmatched source rows
         are inserted. Copy-on-write: only files that can contain a
@@ -337,7 +351,9 @@ class LakeTable:
         else:
             rewritten = source
         add = self._stage_files(rewritten)
-        return self._commit("merge", add, affected, expected_head=head)
+        return self._commit(
+            "merge", add, affected, expected_head=head, extra=extra
+        )
 
     def delete(self, predicate: str) -> int:
         """Delete rows matching the SQL predicate (copy-on-write on

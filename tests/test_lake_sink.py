@@ -1,0 +1,103 @@
+"""Streaming -> lakehouse sink: stream-of-chunks == one-shot batch,
+replayed batches are idempotent, merge mode revises earlier rows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lcmap_firebird_spark.lakehouse import LakeTable
+from lcmap_firebird_spark.streaming.lake_sink import (
+    committed_batch_ids,
+    make_batch_sink,
+    stream_to_lake,
+)
+
+SCHEMA = "k long, v double"
+
+
+def _write_chunk(spark, src_dir, name, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src_dir, name))
+
+
+def _stream(spark, src_dir):
+    return spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir + "/*")
+
+
+def test_stream_append_equals_one_shot(spark, tmp_path):
+    src = str(tmp_path / "src")
+    for i in range(3):
+        _write_chunk(
+            spark, src, f"c{i}", [(10 * i + j, float(j)) for j in range(5)]
+        )
+    root = str(tmp_path / "lake")
+    q = stream_to_lake(
+        _stream(spark, src), root, ["k"], str(tmp_path / "ckpt"), "append"
+    )
+    q.awaitTermination()
+    t = LakeTable(spark, root)
+    got = sorted(tuple(r) for r in t.snapshot().collect())
+    want = sorted(
+        (10 * i + j, float(j)) for i in range(3) for j in range(5)
+    )
+    assert got == want
+    # one commit per micro-batch, each stamped with its batch_id
+    assert len(committed_batch_ids(t)) == 3
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    sink = make_batch_sink(root, ["k"], "append")
+    b0 = spark.createDataFrame([(1, 1.0), (2, 2.0)], SCHEMA)
+    b1 = spark.createDataFrame([(3, 3.0)], SCHEMA)
+    sink(b0, 0)
+    sink(b1, 1)
+    n = LakeTable(spark, root).snapshot().count()
+    # crash-replay of both batches: no duplicates
+    sink(b0, 0)
+    sink(b1, 1)
+    t = LakeTable(spark, root)
+    assert t.snapshot().count() == n == 3
+    assert committed_batch_ids(t) == {0, 1}
+
+
+def test_merge_mode_revises_keys(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    sink = make_batch_sink(root, ["k"], "merge")
+    sink(spark.createDataFrame([(1, 1.0), (2, 2.0)], SCHEMA), 0)
+    # batch 1 revises k=2 and inserts k=9 (late-data revision shape)
+    sink(spark.createDataFrame([(2, 20.0), (9, 9.0)], SCHEMA), 1)
+    got = {
+        r["k"]: r["v"]
+        for r in LakeTable(spark, root).snapshot().collect()
+    }
+    assert got == {1: 1.0, 2: 20.0, 9: 9.0}
+    # replayed revision batch changes nothing
+    sink(spark.createDataFrame([(2, 20.0), (9, 9.0)], SCHEMA), 1)
+    assert LakeTable(spark, root).snapshot().count() == 3
+
+
+def test_stop_resume_processes_only_new_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "lake")
+    _write_chunk(spark, src, "c0", [(1, 1.0)])
+    q = stream_to_lake(_stream(spark, src), root, ["k"], ckpt, "append")
+    q.awaitTermination()
+    v1 = LakeTable(spark, root).latest_version()
+    _write_chunk(spark, src, "c1", [(2, 2.0)])
+    q = stream_to_lake(_stream(spark, src), root, ["k"], ckpt, "append")
+    q.awaitTermination()
+    t = LakeTable(spark, root)
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == [
+        (1, 1.0),
+        (2, 2.0),
+    ]
+    # resume added exactly the new chunk's commit
+    assert t.latest_version() == v1 + 1
