@@ -405,3 +405,120 @@ class LakeTable:
                 os.remove(os.path.join(d, f))
                 removed.append(rel)
         return removed
+
+    def compact(self, target_rows: int = 1_000_000) -> int:
+        """Transactional small-file compaction: rewrite files smaller
+        than target_rows into ~target_rows files, as ONE commit
+        (readers never see a half-compacted table — the non-
+        transactional sibling in operators/maintenance.py needs an
+        atomic directory swap for the same guarantee). Data content
+        is unchanged; only file boundaries move. No-op (and no
+        commit) when nothing qualifies.
+
+        Read-dependent: concurrent commits win, compaction retries
+        belong to the caller (it is maintenance — always safe to
+        re-run)."""
+        head = self.latest_version()
+        live, head_entry = self._live(head)
+        small = [r for r in live if r.get("rows", 0) < target_rows]
+        if len(small) < 2:
+            return head
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        total = sum(r.get("rows", 0) for r in small)
+        n_out = max(1, -(-total // target_rows))
+        scan = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, r["path"]) for r in small]
+        )
+        add = self._stage_files(scan.repartition(n_out))
+        return self._commit(
+            "compact", add, [r["path"] for r in small], expected_head=head
+        )
+
+    # -- clustering + pruned reads -----------------------------------------
+
+    def _clustered(self, df: DataFrame, cluster_by: list[str], bits: int = 12):
+        """Range-partition + sort by the (normalized) z-order of
+        `cluster_by` so each staged file covers a tight key
+        hyper-rectangle — the same recipe as operators/zorder.
+        write_zordered, feeding the commit's per-file stats instead
+        of bare parquet footers."""
+        from .operators.zorder import zvalue
+
+        if len(cluster_by) == 1:
+            key = [F.col(cluster_by[0])]
+            n = df.sparkSession.sparkContext.defaultParallelism
+            return (
+                df.repartitionByRange(n, *key)
+                .sortWithinPartitions(*key)
+            )
+        stats = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cluster_by],
+            *[F.max(c).alias(f"mx_{c}") for c in cluster_by],
+        ).first()
+        top = (1 << bits) - 1
+        scaled = []
+        for c in cluster_by:
+            mn = stats[f"mn_{c}"]
+            span = max(stats[f"mx_{c}"] - mn, 1)
+            scaled.append(
+                ((F.col(c) - F.lit(mn)).cast("double") * top / span)
+                .cast("bigint")
+            )
+        n = df.sparkSession.sparkContext.defaultParallelism
+        return (
+            df.withColumn("_z", zvalue(scaled, bits))
+            .repartitionByRange(n, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+
+    def append_clustered(
+        self, df: DataFrame, cluster_by: list[str] | None = None, **kw
+    ) -> int:
+        """Append with the rows clustered on `cluster_by` (default:
+        the table's key columns) so the committed per-file stats are
+        tight and `scan()` pruning actually bites."""
+        cluster_by = cluster_by or self._entries()[0]["key_cols"]
+        return self.append(self._clustered(df, cluster_by), **kw)
+
+    def pruned_paths(
+        self, ranges: dict, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(live paths whose stats intersect every [lo, hi] range,
+        total live count). Pure log metadata — no file I/O."""
+        live, _ = self._live(version)
+        keep = []
+        for rec in live:
+            hit = True
+            for c, (lo, hi) in ranges.items():
+                st = (rec.get("stats") or {}).get(c)
+                if st is None:
+                    continue
+                if st[0] > hi or st[1] < lo:
+                    hit = False
+                    break
+            if hit:
+                keep.append(rec["path"])
+        return keep, len(live)
+
+    def scan(self, ranges: dict, version: int | None = None) -> DataFrame:
+        """snapshot() restricted to `ranges` ({col: (lo, hi)},
+        inclusive), with FILE-level pruning from the commit log's
+        stats before Spark ever lists or opens a footer — the log is
+        the table's coarse index, exactly Delta/Iceberg's data-
+        skipping read path. Row-level filtering still applies (file
+        stats only bound, they don't partition)."""
+        paths, _ = self.pruned_paths(ranges, version)
+        _, head = self._live(version)
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        if not paths:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in paths]
+            )
+        cond = None
+        for c, (lo, hi) in ranges.items():
+            term = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+            cond = term if cond is None else (cond & term)
+        return df.filter(cond) if cond is not None else df

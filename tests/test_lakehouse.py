@@ -184,3 +184,51 @@ def test_history(spark, table):
     assert [e["operation"] for e in h[:2]] == ["create", "create"]
     assert h[-1]["operation"] == "append"
     assert [e["version"] for e in h] == list(range(len(h)))
+
+
+def test_compact_one_commit_same_rows(spark, table):
+    # several tiny appends -> fragmented table
+    for i in range(3):
+        table.append(
+            spark.createDataFrame(
+                [(1000 + 10 * i + j, "z", 0.0) for j in range(3)],
+                "id long, name string, val double",
+            ).repartition(2)
+        )
+    before = _rows(table.snapshot())
+    n_files_before = len(table._live()[0])
+    v = table.compact(target_rows=1_000_000)
+    assert v == table.latest_version()
+    assert _rows(table.snapshot()) == before
+    n_files_after = len(table._live()[0])
+    assert n_files_after < n_files_before
+    assert table.history()[-1]["operation"] == "compact"
+    # idempotent maintenance: second run is a no-op commit-wise
+    assert table.compact(target_rows=1_000_000) == v
+
+
+def test_clustered_append_and_pruned_scan(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10_000)], "id long, val double"
+    ).repartition(8)  # deliberately scrambled
+    root = str(tmp_path / "ztbl")
+    t = LakeTable.create(
+        spark, root, spark.createDataFrame([], "id long, val double"),
+        key_cols=["id"],
+    )
+    t.append_clustered(df)
+    live = t._live()[0]
+    assert len(live) > 1
+    # clustered files: id ranges are non-overlapping (tight stats)
+    ranges = sorted(r["stats"]["id"] for r in live if r["rows"])
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo
+    # the log prunes most files for a narrow range...
+    paths, total = t.pruned_paths({"id": (100, 120)})
+    # a narrow range hits at most one data file per straddled
+    # boundary plus the stats-less empty create file
+    assert len(paths) < total and len(paths) <= 3
+    # ...and the scan is exactly the filtered snapshot
+    got = _rows(t.scan({"id": (100, 120)}))
+    want = _rows(t.snapshot().filter("id between 100 and 120"))
+    assert got == want and len(got) == 21
