@@ -86,7 +86,15 @@ def _file_stats(path: str, key_cols: list[str]) -> dict:
                 break
             mins.append(s.min)
             maxs.append(s.max)
-        stats[c] = [min(mins), max(maxs)] if mins else None
+        # only JSON-native stat types are recorded; anything else
+        # (timestamps, binary) degrades to "always a candidate"
+        # rather than crashing the commit serialization
+        if mins and all(
+            isinstance(v, (int, float, str, bool)) for v in (mins + maxs)
+        ):
+            stats[c] = [min(mins), max(maxs)]
+        else:
+            stats[c] = None
     return {"rows": md.num_rows, "stats": stats}
 
 
@@ -390,7 +398,13 @@ class LakeTable:
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Physically delete data files not referenced by any of the
         last `keep_last` versions. Time travel to vacuumed versions
-        stops working (same contract as Delta VACUUM)."""
+        stops working (same contract as Delta VACUUM).
+
+        Hazard shared with Delta: files staged by an IN-FLIGHT writer
+        are unreferenced until its commit lands, so vacuum must not
+        run concurrently with writers (production systems solve this
+        with a modification-time retention window; this local format
+        leaves scheduling to the caller)."""
         vs = self._versions()
         keep_versions = vs[-keep_last:]
         referenced: set[str] = set()

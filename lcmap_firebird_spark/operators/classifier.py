@@ -41,7 +41,12 @@ def token_buckets(
     n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
     """(doc_id, bucket) per token occurrence (multiplicity kept —
-    both training counts and scoring sums are per-occurrence)."""
+    both training counts and scoring sums are per-occurrence).
+    `spread` fixes the one-split compact-corpus pathology before the
+    explode (no-op on well-parallel inputs)."""
+    from .dedup import spread
+
+    df = spread(df, id_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(text_col)).alias("_t"),

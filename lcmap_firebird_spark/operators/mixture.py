@@ -146,7 +146,13 @@ def compose_mixture(
         for r in domain_token_counts(df, domain_col, text_col).collect()
         if r["domain"] in budgets
     }
-    epochs = {d: budgets[d] // max(counts.get(d, 1), 1) for d in budgets}
+    # a domain with zero corpus tokens gets zero epochs (otherwise
+    # budget // 1 epochs would explode every zero-token doc
+    # budget-many times)
+    epochs = {
+        d: (budgets[d] // counts[d] if counts.get(d) else 0)
+        for d in budgets
+    }
     remainders = {
         d: budgets[d] - epochs[d] * counts.get(d, 0) for d in budgets
     }

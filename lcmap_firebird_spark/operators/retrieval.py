@@ -83,17 +83,28 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         F.avg(F.size(tokens(text_col))).alias("avgdl"),
     )
-    dfreq = post.groupBy("term").agg(
-        F.count("*").alias("df")
-    )  # one row per (doc, term) => count = doc frequency
 
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(tokens(query_text_col))).alias("term"),
     )
 
+    # restrict the postings to query terms FIRST (broadcast semi-
+    # join), then materialize once: document frequency and scoring
+    # both read this small frame (bounded by the query terms' posting
+    # lists), so the corpus is exploded exactly once and the df
+    # aggregate never shuffles the full postings table (scale fix —
+    # and rule 15: two concurrent consumers of a lazy frame would
+    # each recompute the explode).
+    rel = post.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    ).localCheckpoint(eager=True)
+    dfreq = rel.groupBy("term").agg(
+        F.count("*").alias("df")
+    )  # one row per (doc, term) => count = doc frequency
+
     scored = (
-        post.join(F.broadcast(qterms), "term")
+        rel.join(F.broadcast(qterms), "term")
         .join(dfreq, "term")
         .join(dl, "doc_id")
         .join(F.broadcast(stats))

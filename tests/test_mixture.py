@@ -128,3 +128,21 @@ def test_compose_deterministic_and_zero_udf(spark, corpus):
     assert ka == sorted((r.doc_id, r.epoch) for r in b.collect())
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_zero_token_domain_never_explodes(spark):
+    """A budgeted domain whose docs are all empty must contribute
+    nothing — not budget-many copies of empty docs (round-4 guard)."""
+    df = spark.createDataFrame(
+        [(1, "empty", ""), (2, "web", "a b c d e")],
+        "doc_id long, source string, text string",
+    )
+    out = MIX.compose_mixture(df, {"empty": 1.0, "web": 1.0}, 10)
+    rows = out.collect()
+    # the zero-token doc may ride along once (budget-neutral) but
+    # must NOT replicate budget-many times
+    per_doc = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    assert per_doc.get(1, 0) <= 1
+    assert len(rows) <= 3
