@@ -211,3 +211,44 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, schema)
+
+
+def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Content embedding for binary payloads: L2-normalized byte-value
+    histogram folded to `dim` bins — deterministic, codec-free, and a
+    real (if simple) perceptual signal: payloads differing in a few
+    bytes land at cosine ~1, unrelated payloads decorrelate. The
+    output plugs directly into the ANN/near-dup stack
+    (similarity.embedding_neardup_pairs / knn_* take any
+    (vec_id, embedding array<float>) frame), giving multimodal
+    near-dup detection end to end; swap the kernel for a learned
+    image/audio encoder in production — the Arrow plumbing, schema,
+    and downstream plans are identical.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(
+                    np.float64
+                )
+                n = np.linalg.norm(hist)
+                vecs.append(
+                    (hist / n if n else hist).astype(np.float32).tolist()
+                )
+            yield pd.DataFrame(
+                {"vec_id": pdf["media_id"], "embedding": vecs}
+            )
+
+    return media.mapInPandas(kernel, schema)

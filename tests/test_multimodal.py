@@ -48,3 +48,35 @@ def test_frame_sample_explodes(media):
     assert len(by_id[1]) == 1  # 5 bytes → 1 frame
     assert len(by_id[2]) == 2  # 100 bytes → 2×50
     assert [r.frame_idx for r in sorted(by_id[2], key=lambda r: r.frame_idx)] == [0, 1]
+
+
+def test_embed_media_composes_with_neardup(spark):
+    """Multimodal near-dup end to end: byte-histogram embeddings from
+    the media table feed the SAME embedding near-dup plan the
+    embeddings table uses."""
+    import random
+
+    from lcmap_firebird_spark.operators.multimodal import embed_media
+    from lcmap_firebird_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = random.Random(42)
+    base = rng.randbytes(2048)
+    tweaked = bytearray(base)
+    tweaked[100] ^= 0xFF  # one byte differs
+    rows = [
+        (1, bytearray(base)),
+        (2, tweaked),
+        (3, bytearray(rng.randbytes(2048))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    )
+    emb = embed_media(media)
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    assert all(len(v) == 64 for v in vecs.values())
+    pairs = embedding_neardup_pairs(emb, threshold=0.99).collect()
+    found = {(r.vec_a, r.vec_b) for r in pairs}
+    assert (1, 2) in found
+    assert not any(3 in p for p in found)
