@@ -203,3 +203,31 @@ def test_lsh_knn_derived_planes_occupancy_and_recall(spark):
     match = sum(1 for q, n in bf.items() if got.get(q) == n)
     # measured 50/50 on this deterministic corpus; keep headroom
     assert match / len(bf) >= 0.9
+
+
+def test_substring_spans_at_50k_docs_exact_and_bounded(spark):
+    """The k-gram inverted index at corpus scale: 1,000 of 50,000
+    docs share a verbatim 16-token boilerplate passage (the licence-
+    header shape substring dedup exists for). The flagged positions
+    must be EXACTLY the planted spans — no quadratic pair structure
+    exists anywhere in the plan, so a 20x hotter gram costs 20x rows,
+    not 400x."""
+    from lcmap_firebird_spark.operators.substring import duplicate_spans
+
+    boiler = " ".join(f"lic{j}" for j in range(16))
+    rows = []
+    for i in range(50_000):
+        body = " ".join(f"d{i}w{j}" for j in range(24))
+        if i % 50 == 0:  # 1,000 docs carry the passage at offset 5
+            toks = body.split(" ")
+            text = " ".join(toks[:5]) + " " + boiler + " " + " ".join(toks[5:])
+        else:
+            text = body
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(docs, k=8).collect()
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans}
+    want = {(i, 5, 21) for i in range(0, 50_000, 50)}
+    assert got == want
+    # every span is the single maximal merge (16 tokens, 9 grams)
+    assert {r.n_grams for r in spans} == {9}
