@@ -536,3 +536,28 @@ class LakeTable:
             term = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
             cond = term if cond is None else (cond & term)
         return df.filter(cond) if cond is not None else df
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to `version` AS A NEW COMMIT (history
+        is append-only; nothing is deleted, so the restore itself can
+        be time-traveled past). Data files are re-referenced, not
+        rewritten — restore is metadata-only and O(log size).
+
+        Requires the target version's files to still exist (i.e. not
+        vacuumed)."""
+        head = self.latest_version()
+        old_live, _ = self._live(version)
+        cur_live, _ = self._live(head)
+        for rec in old_live:
+            if not os.path.exists(os.path.join(self.root, rec["path"])):
+                raise FileNotFoundError(
+                    f"{rec['path']} was vacuumed; cannot restore v{version}"
+                )
+        cur_paths = {r["path"] for r in cur_live}
+        old_paths = {r["path"] for r in old_live}
+        add = [r for r in old_live if r["path"] not in cur_paths]
+        remove = sorted(cur_paths - old_paths)
+        return self._commit(
+            "restore", add, remove, expected_head=head,
+            extra={"restored_version": version},
+        )

@@ -232,3 +232,26 @@ def test_clustered_append_and_pruned_scan(spark, tmp_path):
     got = _rows(t.scan({"id": (100, 120)}))
     want = _rows(t.snapshot().filter("id between 100 and 120"))
     assert got == want and len(got) == 21
+
+
+def test_restore_rolls_back_as_new_commit(spark, table):
+    v_good = table.latest_version()
+    before = _rows(table.snapshot())
+    table.delete("id < 50")
+    table.append(
+        spark.createDataFrame(
+            [(9999, "bad", -1.0)], "id long, name string, val double"
+        )
+    )
+    assert _rows(table.snapshot()) != before
+    v = table.restore(v_good)
+    assert v == table.latest_version()
+    assert _rows(table.snapshot()) == before
+    # history is append-only: the bad states remain time-travelable
+    assert table.snapshot(version=v - 1).filter("id = 9999").count() == 1
+    h = table.history()
+    assert h[-1]["operation"] == "restore"
+    # restore after vacuuming the target must refuse
+    table.vacuum(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        table.restore(v - 1)
