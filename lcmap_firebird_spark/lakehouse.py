@@ -49,7 +49,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _TXN = "_txn"
 _DATA = "data"
@@ -145,7 +145,10 @@ class LakeTable:
         ]
 
     def _live(self, version: int | None = None) -> tuple[list[dict], dict]:
-        """(live add-records, head entry) at `version` (default head)."""
+        """(live add-records, LATEST entry at/<= version). The latest
+        entry carries the schema in force at that version — schema
+        evolution (`add_column`) replaces it going forward while old
+        versions keep theirs."""
         entries = self._entries(upto=version)
         if not entries:
             raise FileNotFoundError(
@@ -157,7 +160,7 @@ class LakeTable:
                 live[rec["path"]] = rec
             for p in e.get("remove", []):
                 live.pop(p, None)
-        return list(live.values()), entries[0]
+        return list(live.values()), entries[-1]
 
     # -- read --------------------------------------------------------------
 
@@ -177,7 +180,7 @@ class LakeTable:
         """Write df's rows as immutable files in data/, return add
         records with footer stats. Files are invisible until a commit
         references them."""
-        head = self._entries()[0]
+        head = self._entries()[-1]
         key_cols = head["key_cols"]
         tmp = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
@@ -207,7 +210,7 @@ class LakeTable:
         non-None = read-dependent commit: raise ConcurrentWriteError
         if the head moved; None = order-independent (append): retry
         against whatever head exists."""
-        head_entry = self._entries()[0]
+        head_entry = self._entries()[-1]
         while True:
             head = self.latest_version()
             if expected_head is not None and head != expected_head:
@@ -298,7 +301,7 @@ class LakeTable:
                 cands.append(rec["path"])
         if not cands:
             return []
-        head = self._entries()[0]
+        head = self._entries()[-1]
         schema = StructType.fromJson(json.loads(head["schema"]))
         scan = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, p) for p in cands]
@@ -492,7 +495,7 @@ class LakeTable:
         """Append with the rows clustered on `cluster_by` (default:
         the table's key columns) so the committed per-file stats are
         tight and `scan()` pruning actually bites."""
-        cluster_by = cluster_by or self._entries()[0]["key_cols"]
+        cluster_by = cluster_by or self._entries()[-1]["key_cols"]
         return self.append(self._clustered(df, cluster_by), **kw)
 
     def pruned_paths(
@@ -560,4 +563,29 @@ class LakeTable:
         return self._commit(
             "restore", add, remove, expected_head=head,
             extra={"restored_version": version},
+        )
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """Schema evolution: add a NULLABLE column as a metadata-only
+        commit. Existing files are untouched — the parquet reader
+        null-fills columns absent from a file's footer, so old rows
+        read as NULL under the new schema while time travel to
+        pre-evolution versions still sees the old schema (each commit
+        entry carries the schema in force). Only additive, nullable
+        evolution is supported — exactly the subset that never
+        requires rewriting data (Delta's default rule)."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        head = self.latest_version()
+        _, head_entry = self._live(head)
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column {name!r} already exists")
+        new_schema = StructType(
+            schema.fields
+            + [StructField(name, _parse_datatype_string(dtype), True)]
+        )
+        return self._commit(
+            "add_column", [], [], expected_head=head,
+            extra={"schema": new_schema.json(), "added_column": name},
         )

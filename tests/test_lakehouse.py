@@ -255,3 +255,29 @@ def test_restore_rolls_back_as_new_commit(spark, table):
     table.vacuum(keep_last=1)
     with pytest.raises(FileNotFoundError):
         table.restore(v - 1)
+
+
+def test_schema_evolution_add_column(spark, table):
+    v_before = table.latest_version()
+    v = table.add_column("score", "double")
+    assert v == table.latest_version()
+    # old rows read as NULL under the new schema
+    snap = table.snapshot()
+    assert "score" in snap.columns
+    assert snap.filter("score IS NOT NULL").count() == 0
+    # new appends carry the column through merge-by-key too
+    table.append(
+        spark.createDataFrame(
+            [(7777, "s", 0.0, 0.9)],
+            "id long, name string, val double, score double",
+        )
+    )
+    got = table.snapshot().filter("id = 7777").first()
+    assert got["score"] == 0.9
+    assert table.snapshot().count() == 101
+    # time travel before the evolution: old schema, no column
+    old = table.snapshot(version=v_before)
+    assert "score" not in old.columns
+    # duplicate add refused
+    with pytest.raises(ValueError):
+        table.add_column("score", "double")
