@@ -115,7 +115,7 @@ class LakeTable:
         return sorted(
             int(f.split(".")[0])
             for f in os.listdir(d)
-            if f.endswith(".json")
+            if f.endswith(".json") and f.split(".")[0].isdigit()
         )
 
     def latest_version(self) -> int:
@@ -144,11 +144,12 @@ class LakeTable:
             for e in self._entries()
         ]
 
-    def _live(self, version: int | None = None) -> tuple[list[dict], dict]:
-        """(live add-records, LATEST entry at/<= version). The latest
-        entry carries the schema in force at that version — schema
-        evolution (`add_column`) replaces it going forward while old
-        versions keep theirs."""
+    def _live_full(self, version: int | None = None) -> tuple[list[dict], dict]:
+        """(live add-records, LATEST entry at/<= version) by FULL log
+        replay. The latest entry carries the schema in force at that
+        version — schema evolution (`add_column`) replaces it going
+        forward while old versions keep theirs. Prefer `_live`, which
+        starts from the latest checkpoint when one applies."""
         entries = self._entries(upto=version)
         if not entries:
             raise FileNotFoundError(
@@ -589,3 +590,67 @@ class LakeTable:
             "add_column", [], [], expected_head=head,
             extra={"schema": new_schema.json(), "added_column": name},
         )
+
+    # -- log checkpointing -------------------------------------------------
+
+    def checkpoint_log(self) -> int:
+        """Consolidate the live state at the current head into ONE
+        checkpoint file (_txn/_ckpt.<head>.json). Readers then replay
+        checkpoint + tail instead of the whole history — attach cost
+        stops growing with commit count (Delta writes the same
+        artifact every N commits). Safe concurrent with writers: the
+        checkpoint only summarizes entries <= head, is ignored until
+        fully written (atomic O_EXCL + rename-free single file), and
+        loses nothing if a commit lands meanwhile (the tail replay
+        picks it up)."""
+        head = self.latest_version()
+        live, head_entry = self._live(head)
+        ckpt = {
+            "version": head,
+            "live": live,
+            "schema": head_entry["schema"],
+            "key_cols": head_entry["key_cols"],
+        }
+        path = os.path.join(self.root, _TXN, f"_ckpt.{head:0{_WIDTH}d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ckpt, f, indent=1)
+        os.replace(tmp, path)
+        return head
+
+    def _latest_checkpoint(self) -> dict | None:
+        d = os.path.join(self.root, _TXN)
+        cands = sorted(
+            f for f in os.listdir(d)
+            if f.startswith("_ckpt.") and f.endswith(".json")
+        )
+        if not cands:
+            return None
+        with open(os.path.join(d, cands[-1])) as f:
+            return json.load(f)
+
+    def _live(self, version: int | None = None) -> tuple[list[dict], dict]:
+        """Live state through the latest applicable checkpoint:
+        replay starts from the checkpointed live set and only reads
+        the entry tail, so attach cost is O(tail), not O(history).
+        Falls back to the full replay when no checkpoint applies
+        (older-than-checkpoint time travel included)."""
+        ck = self._latest_checkpoint()
+        if ck is None or (version is not None and version < ck["version"]):
+            return self._live_full(version)
+        live = {rec["path"]: rec for rec in ck["live"]}
+        tail_entries = [
+            e for e in self._entries(upto=version)
+            if e["version"] > ck["version"]
+        ]
+        schema_entry = {
+            "schema": ck["schema"],
+            "key_cols": ck["key_cols"],
+        }
+        for e in tail_entries:
+            for rec in e.get("add", []):
+                live[rec["path"]] = rec
+            for p in e.get("remove", []):
+                live.pop(p, None)
+            schema_entry = e
+        return list(live.values()), schema_entry

@@ -281,3 +281,34 @@ def test_schema_evolution_add_column(spark, table):
     # duplicate add refused
     with pytest.raises(ValueError):
         table.add_column("score", "double")
+
+
+def test_log_checkpoint_replays_identically(spark, table):
+    # build some history
+    table.delete("id >= 95")
+    table.merge(
+        spark.createDataFrame(
+            [(1, "one", 11.0)], "id long, name string, val double"
+        )
+    )
+    v_ck = table.checkpoint_log()
+    # post-checkpoint tail
+    table.append(
+        spark.createDataFrame(
+            [(800, "tail", 0.0)], "id long, name string, val double"
+        )
+    )
+    full_live, full_head = table._live_full()
+    fast_live, fast_head = table._live()
+    assert sorted(r["path"] for r in fast_live) == sorted(
+        r["path"] for r in full_live
+    )
+    assert fast_head["schema"] == full_head["schema"]
+    # time travel OLDER than the checkpoint falls back to full replay
+    old_full, _ = table._live_full(v_ck - 1)
+    old_fast, _ = table._live(v_ck - 1)
+    assert sorted(r["path"] for r in old_fast) == sorted(
+        r["path"] for r in old_full
+    )
+    # _versions ignores the checkpoint artifact
+    assert all(isinstance(v, int) for v in table._versions())
