@@ -312,3 +312,35 @@ def test_log_checkpoint_replays_identically(spark, table):
     )
     # _versions ignores the checkpoint artifact
     assert all(isinstance(v, int) for v in table._versions())
+
+
+def test_real_concurrent_appends_all_land(spark, table):
+    """Eight threads append simultaneously against the same table —
+    the O_EXCL version race plus append's retry must land ALL eight
+    commits with no lost updates and no duplicate versions."""
+    import threading
+
+    head = table.latest_version()
+    errors = []
+
+    def writer(i):
+        try:
+            df = spark.createDataFrame(
+                [(10_000 + i, f"t{i}", float(i))],
+                "id long, name string, val double",
+            )
+            table.append(df)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert table.latest_version() == head + 8
+    got = table.snapshot().filter("id >= 10000").count()
+    assert got == 8
+    vs = table._versions()
+    assert vs == sorted(set(vs))  # no duplicate/missing versions
