@@ -146,3 +146,45 @@ def test_zero_token_domain_never_explodes(spark):
         per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
     assert per_doc.get(1, 0) <= 1
     assert len(rows) <= 3
+
+
+# --- property: budget adherence + monotonicity on random corpora -----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_corpus_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),        # domain
+        st.integers(min_value=0, max_value=30),  # token count
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus_strategy, budget=st.integers(1, 500))
+def test_budget_sample_properties(spark, corpus, budget):
+    rows = [
+        (i, dom, " ".join(f"x{i}y{j}" for j in range(n)))
+        for i, (dom, n) in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    domains = {dom for dom, _ in corpus}
+    budgets = {d: budget for d in domains}
+    out = MIX.token_budget_sample(df, budgets).collect()
+    # 1) achieved tokens never exceed the budget, per domain
+    per_dom = {}
+    for r in out:
+        per_dom[r.source] = per_dom.get(r.source, 0) + len(r.text.split())
+    assert all(v <= budget for v in per_dom.values())
+    # 2) monotone: doubling the budget only adds documents
+    out2 = MIX.token_budget_sample(
+        df, {d: budget * 2 for d in domains}
+    ).collect()
+    assert {r.doc_id for r in out} <= {r.doc_id for r in out2}
