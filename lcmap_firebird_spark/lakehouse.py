@@ -415,6 +415,8 @@ class LakeTable:
         for v in keep_versions:
             for rec in self._live(v)[0]:
                 referenced.add(rec["path"])
+                if rec.get("bloom"):
+                    referenced.add(rec["bloom"]["path"])
         removed = []
         d = os.path.join(self.root, _DATA)
         for f in os.listdir(d):
@@ -654,3 +656,100 @@ class LakeTable:
                 live.pop(p, None)
             schema_entry = e
         return list(live.values()), schema_entry
+
+    # -- bloom sidecar index -----------------------------------------------
+
+    def build_bloom_index(
+        self, bits_per_row: int = 10, n_hashes: int = 7
+    ) -> int:
+        """Per-file bloom filters over the FIRST key column, written
+        as sidecar files (data/<uuid>.bloom) and referenced from a
+        metadata-only commit — the log carries a pointer + params,
+        never the bitset (Delta keeps bloom indexes out of the log
+        the same way). Point lookups then prune files that min/max
+        stats cannot discriminate: interleaved key domains overlap
+        every range but still miss most blooms.
+
+        Hashing is md5-derived double hashing (deterministic,
+        engine-portable — same spirit as operators/bloom's semi-join
+        bitmaps). Sidecars are built driver-side from each file's key
+        column (files are row-group sized); on a cluster you would
+        emit them from the write job itself."""
+        import base64
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        head = self.latest_version()
+        live, head_entry = self._live(head)
+        key = head_entry["key_cols"][0]
+        add = []
+        for rec in live:
+            if rec.get("bloom") or not rec.get("rows"):
+                continue
+            path = os.path.join(self.root, rec["path"])
+            col = pq.read_table(path, columns=[key]).column(key)
+            m = max(64, rec["rows"] * bits_per_row)
+            m += (-m) % 8
+            bits = bytearray(m // 8)
+            for v in col.to_pylist():
+                d = hashlib.md5(str(v).encode()).digest()
+                h1 = int.from_bytes(d[:8], "big")
+                h2 = int.from_bytes(d[8:], "big") | 1
+                for i in range(n_hashes):
+                    pos = (h1 + i * h2) % m
+                    bits[pos // 8] |= 1 << (pos % 8)
+            side = rec["path"] + ".bloom"
+            with open(os.path.join(self.root, side), "wb") as f:
+                f.write(bytes(bits))
+            add.append(
+                rec
+                | {
+                    "bloom": {
+                        "path": side,
+                        "m": m,
+                        "k": n_hashes,
+                        "key": key,
+                    }
+                }
+            )
+        if not add:
+            return head
+        # re-adding a path overwrites its record (same file, now with
+        # a bloom pointer); nothing is removed
+        return self._commit("bloom_index", add, [], expected_head=head)
+
+    def lookup(self, value) -> DataFrame:
+        """Point lookup `key == value` reading only files whose
+        stats AND bloom admit the key."""
+        import hashlib
+
+        live, head_entry = self._live()
+        key = head_entry["key_cols"][0]
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        d = hashlib.md5(str(value).encode()).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        paths = []
+        for rec in live:
+            st = (rec.get("stats") or {}).get(key)
+            if st is not None and (value < st[0] or value > st[1]):
+                continue
+            bl = rec.get("bloom")
+            if bl:
+                with open(os.path.join(self.root, bl["path"]), "rb") as f:
+                    bits = f.read()
+                m, k = bl["m"], bl["k"]
+                if not all(
+                    bits[((h1 + i * h2) % m) // 8]
+                    & (1 << (((h1 + i * h2) % m) % 8))
+                    for i in range(k)
+                ):
+                    continue
+            paths.append(rec["path"])
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, p) for p in paths]
+        )
+        return df.filter(F.col(key) == F.lit(value))

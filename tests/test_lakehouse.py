@@ -344,3 +344,68 @@ def test_real_concurrent_appends_all_land(spark, table):
     assert got == 8
     vs = table._versions()
     assert vs == sorted(set(vs))  # no duplicate/missing versions
+
+
+def test_bloom_index_prunes_interleaved_files(spark, tmp_path):
+    """Even keys in one file, odd in another: min/max stats overlap
+    completely, so only the bloom sidecar can discriminate."""
+    root = str(tmp_path / "btbl")
+    evens = spark.createDataFrame(
+        [(i, "e") for i in range(0, 2000, 2)], "id long, tag string"
+    ).coalesce(1)
+    odds = spark.createDataFrame(
+        [(i, "o") for i in range(1, 2000, 2)], "id long, tag string"
+    ).coalesce(1)
+    t = LakeTable.create(spark, root, evens, key_cols=["id"])
+    t.append(odds)
+    v = t.build_bloom_index()
+    assert t.history()[-1]["operation"] == "bloom_index"
+    # every data file now carries a bloom pointer
+    assert all(r.get("bloom") for r in t._live()[0] if r["rows"])
+    # lookup(42): stats cannot prune (both files span [~0, ~1999]),
+    # bloom must cut the odd file out
+    live = t._live()[0]
+
+    def admitted(val):
+        import hashlib
+
+        d = hashlib.md5(str(val).encode()).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        n = 0
+        for rec in live:
+            bl = rec["bloom"]
+            bits = open(os.path.join(root, bl["path"]), "rb").read()
+            m, k = bl["m"], bl["k"]
+            if all(
+                bits[((h1 + i * h2) % m) // 8]
+                & (1 << (((h1 + i * h2) % m) % 8))
+                for i in range(k)
+            ):
+                n += 1
+        return n
+
+    assert admitted(42) == 1  # the even file only
+    got = t.lookup(42).collect()
+    assert [(r.id, r.tag) for r in got] == [(42, "e")]
+    assert t.lookup(43).first().tag == "o"
+    # absent key: no file admits it (w.h.p.), empty result
+    assert t.lookup(999_999).count() == 0
+    # idempotent: second build is a no-op commit-wise
+    assert t.build_bloom_index() == v
+
+
+def test_vacuum_keeps_live_bloom_sidecars(spark, tmp_path):
+    root = str(tmp_path / "vtbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a")], "id long, tag string").coalesce(1),
+        key_cols=["id"],
+    )
+    t.build_bloom_index()
+    # churn a version so vacuum has something to consider
+    t.append(spark.createDataFrame([(2, "b")], "id long, tag string"))
+    t.vacuum(keep_last=1)
+    # the live file's sidecar survived and lookup still works
+    assert t.lookup(1).first().tag == "a"
