@@ -101,3 +101,40 @@ def test_stop_resume_processes_only_new_files(spark, tmp_path):
     ]
     # resume added exactly the new chunk's commit
     assert t.latest_version() == v1 + 1
+
+
+def test_signature_store_on_lakehouse_merge(spark, tmp_path):
+    """Cross-module integration: the incremental-dedup signature
+    store persisted as a lakehouse table. N transactional merges of
+    per-batch signatures reproduce the one-shot signature table
+    exactly (merge semantics == operators/incremental.merge_batch:
+    re-ingested doc_ids refresh their state), with every batch an
+    atomic, time-travelable commit."""
+    from lcmap_firebird_spark.operators.incremental import signature_table
+
+    docs = [
+        (i, f"doc number {i} body " + " ".join(f"w{i}x{j}" for j in range(8)))
+        for i in range(30)
+    ]
+    batches = [docs[:10], docs[10:20], docs[15:30]]  # overlap re-ingests
+    root = str(tmp_path / "sigstore")
+    t = None
+    for b in batches:
+        bdf = spark.createDataFrame(b, "doc_id long, text string")
+        sigs = signature_table(bdf)
+        if t is None:
+            t = LakeTable.create(spark, root, sigs, key_cols=["doc_id"])
+        else:
+            t.merge(sigs)
+    all_df = spark.createDataFrame(docs, "doc_id long, text string")
+    one_shot = signature_table(all_df)
+    cols = sorted(one_shot.columns)
+    want = sorted(
+        tuple(r[c] for c in cols) for r in one_shot.collect()
+    )
+    got = sorted(
+        tuple(r[c] for c in cols) for r in t.snapshot().collect()
+    )
+    assert got == want
+    # the store's history is per-batch time travel
+    assert t.snapshot(version=1).count() == 10
