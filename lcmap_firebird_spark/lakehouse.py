@@ -753,3 +753,42 @@ class LakeTable:
             *[os.path.join(self.root, p) for p in paths]
         )
         return df.filter(F.col(key) == F.lit(value))
+
+    def apply_changes(
+        self, changes: DataFrame, op_col: str = "_op"
+    ) -> int:
+        """CDC apply: one atomic commit for a mixed change batch.
+        `changes` carries the table columns plus `op_col` with
+        'upsert' or 'delete' per row (the change-data-feed shape a
+        CDC source emits). Matched keys are replaced or removed,
+        unmatched upserts insert, unmatched deletes no-op — all under
+        the same copy-on-write file pruning as merge(), in ONE
+        read-dependent commit (a downstream reader sees the whole
+        batch or none of it). Duplicate keys in one batch are
+        ambiguous — rejected."""
+        head = self.latest_version()
+        live, head_entry = self._live(head)
+        key_cols = head_entry["key_cols"]
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        ops = changes.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields],
+            F.col(op_col).alias("_op"),
+        )
+        dups = ops.groupBy(*key_cols).count().filter(F.col("count") > 1)
+        if dups.limit(1).count():
+            raise ValueError("duplicate keys in change batch")
+        keys = ops.select(*key_cols)
+        affected = self._affected_files(live, keys, key_cols)
+        upserts = ops.filter(F.col("_op") != "delete").drop("_op")
+        if affected:
+            scan = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in affected]
+            )
+            survivors = scan.join(F.broadcast(keys), key_cols, "left_anti")
+            rewritten = survivors.unionByName(upserts)
+        else:
+            rewritten = upserts
+        add = self._stage_files(rewritten)
+        return self._commit(
+            "apply_changes", add, affected, expected_head=head
+        )

@@ -409,3 +409,30 @@ def test_vacuum_keeps_live_bloom_sidecars(spark, tmp_path):
     t.vacuum(keep_last=1)
     # the live file's sidecar survived and lookup still works
     assert t.lookup(1).first().tag == "a"
+
+
+def test_apply_changes_mixed_batch_atomic(spark, table):
+    changes = spark.createDataFrame(
+        [
+            (5, "FIVE", 55.0, "upsert"),     # update existing
+            (300, "new", 3.0, "upsert"),     # insert
+            (7, None, None, "delete"),       # delete existing
+            (999, None, None, "delete"),     # delete absent: no-op
+        ],
+        "id long, name string, val double, _op string",
+    )
+    v0 = table.latest_version()
+    v = table.apply_changes(changes)
+    assert v == v0 + 1  # ONE commit for the whole batch
+    snap = table.snapshot()
+    assert snap.count() == 100  # 100 - 1 deleted + 1 inserted
+    assert snap.filter("id = 5").first().val == 55.0
+    assert snap.filter("id = 7").count() == 0
+    assert snap.filter("id = 300").first().name == "new"
+    # duplicate keys in one batch rejected
+    bad = spark.createDataFrame(
+        [(1, "a", 0.0, "upsert"), (1, None, None, "delete")],
+        "id long, name string, val double, _op string",
+    )
+    with pytest.raises(ValueError):
+        table.apply_changes(bad)
