@@ -755,7 +755,10 @@ class LakeTable:
         return df.filter(F.col(key) == F.lit(value))
 
     def apply_changes(
-        self, changes: DataFrame, op_col: str = "_op"
+        self,
+        changes: DataFrame,
+        op_col: str = "_op",
+        extra: dict | None = None,
     ) -> int:
         """CDC apply: one atomic commit for a mixed change batch.
         `changes` carries the table columns plus `op_col` with
@@ -790,5 +793,5 @@ class LakeTable:
             rewritten = upserts
         add = self._stage_files(rewritten)
         return self._commit(
-            "apply_changes", add, affected, expected_head=head
+            "apply_changes", add, affected, expected_head=head, extra=extra
         )

@@ -17,7 +17,10 @@ whose log entry records the `batch_id`, so
 
 `mode="append"` commits each batch's rows; `mode="merge"` upserts by
 the table's key columns (late/replayed rows revise earlier ones —
-the continuous-rollup contract on a transactional substrate).
+the continuous-rollup contract on a transactional substrate);
+`mode="cdc"` applies mixed upsert/delete batches (rows carry an
+`_op` column — the change-data-feed shape) via
+`LakeTable.apply_changes`, one atomic commit per micro-batch.
 """
 
 from __future__ import annotations
@@ -51,8 +54,8 @@ def make_batch_sink(
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
     """
-    if mode not in ("append", "merge"):
-        raise ValueError(f"mode must be append|merge, got {mode!r}")
+    if mode not in ("append", "merge", "cdc"):
+        raise ValueError(f"mode must be append|merge|cdc, got {mode!r}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -62,8 +65,12 @@ def make_batch_sink(
             f.endswith(".json") for f in os.listdir(txn)
         )
         if fresh:
+            first = batch_df
+            if mode == "cdc":
+                # bootstrap: the first batch's upserts create the table
+                first = batch_df.filter("_op != 'delete'").drop("_op")
             LakeTable.create(
-                spark, root, batch_df, key_cols=key_cols, extra=stamp
+                spark, root, first, key_cols=key_cols, extra=stamp
             )
             return
         t = LakeTable(spark, root)
@@ -71,8 +78,10 @@ def make_batch_sink(
             return  # replayed batch: already fully committed
         if mode == "append":
             t.append(batch_df, extra=stamp)
-        else:
+        elif mode == "merge":
             t.merge(batch_df, dedupe_source=True, extra=stamp)
+        else:
+            t.apply_changes(batch_df, extra=stamp)
 
     return sink
 

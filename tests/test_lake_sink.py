@@ -138,3 +138,35 @@ def test_signature_store_on_lakehouse_merge(spark, tmp_path):
     assert got == want
     # the store's history is per-batch time travel
     assert t.snapshot(version=1).count() == 10
+
+
+def test_cdc_mode_applies_mixed_batches(spark, tmp_path):
+    root = str(tmp_path / "cdclake")
+    sink = make_batch_sink(root, ["k"], "cdc")
+    cdc_schema = "k long, v double, _op string"
+    sink(
+        spark.createDataFrame(
+            [(1, 1.0, "upsert"), (2, 2.0, "upsert"), (9, 0.0, "delete")],
+            cdc_schema,
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(2, 22.0, "upsert"), (1, 0.0, "delete"), (3, 3.0, "upsert")],
+            cdc_schema,
+        ),
+        1,
+    )
+    t = LakeTable(spark, root)
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got == {2: 22.0, 3: 3.0}
+    # replay of batch 1 is a no-op
+    sink(
+        spark.createDataFrame(
+            [(2, 22.0, "upsert"), (1, 0.0, "delete"), (3, 3.0, "upsert")],
+            cdc_schema,
+        ),
+        1,
+    )
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == got

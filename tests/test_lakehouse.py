@@ -436,3 +436,43 @@ def test_apply_changes_mixed_batch_atomic(spark, table):
     )
     with pytest.raises(ValueError):
         table.apply_changes(bad)
+
+
+def test_lake_datasource_reads_snapshot_and_versions(spark, table):
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    try:
+        spark.dataSource.register(LakeDataSource)
+    except Exception:
+        pass  # already registered by an earlier test in the session
+    df = spark.read.format("lake").option("path", table.root).load()
+    assert _rows(df) == _rows(table.snapshot())
+    # time travel through the reader option
+    v0_count = table.snapshot(version=1).count()
+    table.append(
+        spark.createDataFrame(
+            [(7000, "x", 0.0)], "id long, name string, val double"
+        )
+    )
+    old = (
+        spark.read.format("lake")
+        .option("path", table.root)
+        .option("version", 1)
+        .load()
+    )
+    assert old.count() == v0_count
+
+
+def test_lake_datasource_null_fills_evolved_column(spark, table):
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    try:
+        spark.dataSource.register(LakeDataSource)
+    except Exception:
+        pass
+    table.add_column("extra", "double")
+    df = spark.read.format("lake").option("path", table.root).load()
+    assert "extra" in df.columns
+    # files written before the evolution read as NULL
+    assert df.filter("extra IS NOT NULL").count() == 0
+    assert df.count() == 100
