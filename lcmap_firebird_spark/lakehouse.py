@@ -795,3 +795,13 @@ class LakeTable:
         return self._commit(
             "apply_changes", add, affected, expected_head=head, extra=extra
         )
+
+
+# functions of this module ride inside worker-shipped DataSource
+# writer closures (sources/lake.py) — keep the foreign-cwd pickling
+# contract uniform (CLAUDE.md invariant 2)
+import sys as _sys  # noqa: E402
+
+import pyspark as _pyspark  # noqa: E402
+
+_pyspark.cloudpickle.register_pickle_by_value(_sys.modules[__name__])

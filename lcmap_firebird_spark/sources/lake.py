@@ -79,6 +79,46 @@ class LakeDataSource(DataSource):
     def reader(self, schema) -> "LakeReader":
         return LakeReader(self._resolved())
 
+    def writer(self, schema, overwrite: bool) -> "LakeWriter":
+        import json as _json
+        import os as _os
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("option 'path' is required for format 'lake'")
+        txn = _os.path.join(root, "_txn")
+        fresh = not _os.path.isdir(txn) or not any(
+            f.endswith(".json") for f in _os.listdir(txn)
+        )
+        if fresh:
+            keys = [
+                k.strip()
+                for k in self.options.get(
+                    "keys", schema.fields[0].name
+                ).split(",")
+            ]
+            _os.makedirs(txn, exist_ok=True)
+            _os.makedirs(_os.path.join(root, "data"), exist_ok=True)
+            entry0 = {
+                "version": 0,
+                "operation": "create",
+                "add": [],
+                "remove": [],
+                "schema": schema.json(),
+                "key_cols": keys,
+            }
+            with open(_os.path.join(txn, f"{0:020d}.json"), "x") as f:
+                _json.dump(entry0, f, indent=1)
+        else:
+            from ..lakehouse import LakeTable
+
+            t = LakeTable.__new__(LakeTable)
+            t.spark = None
+            t.root = root
+            _, head = t._live()
+            keys = head["key_cols"]
+        return LakeWriter(root, keys, overwrite)
+
 
 class LakeReader(DataSourceReader):
     def __init__(self, resolved):
@@ -129,3 +169,90 @@ import sys  # noqa: E402
 import pyspark  # noqa: E402
 
 pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+# --------------------------------------------------------------------------
+# write side: df.write.format("lake") — Spark's two-phase commit
+# protocol mapped onto the commit log. Tasks stage immutable files and
+# report them in commit messages; the DRIVER's commit() lands ONE log
+# entry referencing them all (append retries the version race,
+# overwrite is read-dependent). abort() deletes the staged files, and
+# a crashed driver leaves only unreferenced orphans for vacuum() —
+# the same guarantees the lakehouse gives its own writers, now behind
+# the standard writer surface:
+#
+#     df.write.format("lake").mode("append")
+#       .option("path", root).save()
+#
+# Fresh paths bootstrap a table; pass option("keys", "id,other") to
+# set the MERGE key columns (default: first column).
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+from ..lakehouse import _file_stats  # noqa: E402  (worker-shipped)
+
+
+@dataclass
+class LakeCommitMessage(WriterCommitMessage):
+    recs: list
+
+
+class LakeWriter(DataSourceArrowWriter):
+    def __init__(self, root: str, key_cols: list[str], overwrite: bool):
+        self._root = root
+        self._keys = key_cols
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        """Executor side: stage this task's batches as ONE immutable
+        parquet file (invisible until the driver commits)."""
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return LakeCommitMessage(recs=[])
+        name = f"data/{_uuid.uuid4().hex}.parquet"
+        dst = os.path.join(self._root, name)
+        pq.write_table(pa.Table.from_batches(batches), dst)
+        return LakeCommitMessage(
+            recs=[{"path": name} | _file_stats(dst, self._keys)]
+        )
+
+    def commit(self, messages):
+        """Driver side: one atomic log entry for every task's files."""
+        from ..lakehouse import LakeTable
+
+        t = LakeTable.__new__(LakeTable)
+        t.spark = None
+        t.root = self._root
+        add = [r for m in messages if m for r in m.recs]
+        if self._overwrite:
+            head = t.latest_version()
+            live, _ = t._live(head)
+            t._commit(
+                "overwrite",
+                add,
+                [r["path"] for r in live],
+                expected_head=head,
+            )
+        else:
+            t._commit("append", add, [], expected_head=None)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if not m:
+                continue
+            for r in m.recs:
+                try:
+                    os.remove(os.path.join(self._root, r["path"]))
+                except FileNotFoundError:
+                    pass

@@ -476,3 +476,41 @@ def test_lake_datasource_null_fills_evolved_column(spark, table):
     # files written before the evolution read as NULL
     assert df.filter("extra IS NOT NULL").count() == 0
     assert df.count() == 100
+
+
+def test_lake_datasource_write_roundtrip(spark, tmp_path):
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    try:
+        spark.dataSource.register(LakeDataSource)
+    except Exception:
+        pass
+    root = str(tmp_path / "wtbl")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(500)], "id long, val double"
+    ).repartition(4)
+    # fresh path bootstraps the table (keys option sets merge keys)
+    df.write.format("lake").mode("append").option("path", root).option(
+        "keys", "id"
+    ).save()
+    t = LakeTable(spark, root)
+    assert t.snapshot().count() == 500
+    assert t._live(1)[1]["key_cols"] == ["id"]
+    # one staged file per non-empty task, all in ONE commit
+    assert t.history()[-1]["operation"] == "append"
+    assert t.latest_version() == 1
+    # second append through the writer surface
+    spark.createDataFrame([(900, 9.0)], "id long, val double").write.format(
+        "lake"
+    ).mode("append").option("path", root).save()
+    assert t.snapshot().count() == 501
+    # overwrite replaces the live set atomically
+    spark.createDataFrame([(1, -1.0)], "id long, val double").write.format(
+        "lake"
+    ).mode("overwrite").option("path", root).save()
+    assert _rows(t.snapshot()) == [(1, -1.0)]
+    # and the pre-overwrite state is still time-travelable
+    assert t.snapshot(version=t.latest_version() - 1).count() == 501
+    # the table's own transactional ops work on writer-created tables
+    t.merge(spark.createDataFrame([(2, 2.0)], "id long, val double"))
+    assert _rows(t.snapshot()) == [(1, -1.0), (2, 2.0)]
