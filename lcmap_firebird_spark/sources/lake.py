@@ -79,6 +79,12 @@ class LakeDataSource(DataSource):
     def reader(self, schema) -> "LakeReader":
         return LakeReader(self._resolved())
 
+    def streamReader(self, schema) -> "LakeStreamReader":
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("option 'path' is required for format 'lake'")
+        return LakeStreamReader(root)
+
     def writer(self, schema, overwrite: bool) -> "LakeWriter":
         import json as _json
         import os as _os
@@ -120,6 +126,31 @@ class LakeDataSource(DataSource):
         return LakeWriter(root, keys, overwrite)
 
 
+def _read_file_partition(part: LakeFilePartition):
+    """Worker-side Arrow read of one data file under the declared
+    schema (shared by the batch and streaming readers): stream the
+    parquet RecordBatches, null-filling columns added by schema
+    evolution after this file was written."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType as _St
+
+    target = to_arrow_schema(_St.fromJson(_json.loads(part.schema_json)))
+    pf = pq.ParquetFile(part.path)
+    present = set(pf.schema_arrow.names)
+    for batch in pf.iter_batches():
+        cols = []
+        for field in target:
+            if field.name in present:
+                cols.append(batch.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(batch.num_rows, field.type))
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+
 class LakeReader(DataSourceReader):
     def __init__(self, resolved):
         self._root, self._live, self._schema_json = resolved
@@ -137,30 +168,7 @@ class LakeReader(DataSourceReader):
         ]
 
     def read(self, part: LakeFilePartition):
-        import json as _json
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType as _St
-
-        target = to_arrow_schema(
-            _St.fromJson(_json.loads(part.schema_json))
-        )
-        pf = pq.ParquetFile(part.path)
-        present = set(pf.schema_arrow.names)
-        for batch in pf.iter_batches():
-            cols = []
-            for field in target:
-                if field.name in present:
-                    cols.append(
-                        batch.column(field.name).cast(field.type)
-                    )
-                else:
-                    # column added by schema evolution after this
-                    # file was written -> nulls
-                    cols.append(pa.nulls(batch.num_rows, field.type))
-            yield pa.RecordBatch.from_arrays(cols, schema=target)
+        yield from _read_file_partition(part)
 
 
 # shipped to Python workers by class reference
@@ -256,3 +264,68 @@ class LakeWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(self._root, r["path"]))
                 except FileNotFoundError:
                     pass
+
+
+# --------------------------------------------------------------------------
+# streaming read: spark.readStream.format("lake") — tail the commit
+# log. Offsets ARE log versions ({"version": N} = entries <= N
+# consumed), so exactly-once follows from the log's ordering plus
+# Spark's offset checkpointing; no listing, no file-modification-time
+# heuristics. Each micro-batch delivers the rows of files ADDED by
+# the entries in (start, end] — an append-only change stream.
+# Copy-on-write rewrites (merge/delete/compact) re-add surviving
+# rows in new files and are therefore RE-EMITTED, exactly like the
+# Delta source without CDF; downstream either tolerates re-emission
+# (idempotent sinks) or reads CDC batches written via mode="cdc".
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class LakeStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str):
+        self._root = root
+
+    def _table(self):
+        from ..lakehouse import LakeTable
+
+        t = LakeTable.__new__(LakeTable)
+        t.spark = None
+        t.root = self._root
+        return t
+
+    def initialOffset(self) -> dict:
+        # start of history: the whole current table arrives as the
+        # first micro-batch, then the stream tails new commits
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._table().latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        import json as _json
+        import os as _os
+
+        t = self._table()
+        entries = [
+            e
+            for e in t._entries(upto=end["version"])
+            if e["version"] > start["version"]
+        ]
+        if not entries:
+            return []
+        sj = _json.dumps(_json.loads(entries[-1]["schema"]))
+        return [
+            LakeFilePartition(
+                _os.path.join(self._root, rec["path"]), sj
+            )
+            for e in entries
+            for rec in e.get("add", [])
+            if rec.get("rows")
+        ]
+
+    def read(self, partition):
+        # identical worker path as the batch reader
+        yield from _read_file_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is the durable source; nothing to clean up

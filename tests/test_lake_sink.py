@@ -170,3 +170,48 @@ def test_cdc_mode_applies_mixed_batches(spark, tmp_path):
         1,
     )
     assert {r["k"]: r["v"] for r in t.snapshot().collect()} == got
+
+
+def test_stream_read_from_lake_tails_commits(spark, tmp_path):
+    """readStream.format('lake'): the first run delivers the whole
+    table, a resumed run with the same checkpoint delivers ONLY the
+    rows added by commits after the consumed offset."""
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    try:
+        spark.dataSource.register(LakeDataSource)
+    except Exception:
+        pass
+    root = str(tmp_path / "srctbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], SCHEMA),
+        key_cols=["k"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "out1")
+
+    def drain(out_dir):
+        q = (
+            spark.readStream.format("lake")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            tuple(r) for r in spark.read.schema(SCHEMA).parquet(out_dir).collect()
+        )
+
+    assert drain(out1) == [(1, 1.0), (2, 2.0)]
+    # two more commits while the stream is down
+    t.append(spark.createDataFrame([(3, 3.0)], SCHEMA))
+    t.append(spark.createDataFrame([(4, 4.0)], SCHEMA))
+    got = drain(out1)
+    # resumed run appended exactly the two new rows
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
