@@ -1,0 +1,86 @@
+"""PageRank (operators/graph.py) vs an independent pure-Python power
+iteration, plus structural sanity and the centrality gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lcmap_firebird_spark.operators.graph import pagerank, rank_quality_gate
+
+EDGES = [
+    (1, 2),
+    (1, 3),
+    (2, 3),
+    (3, 1),
+    (4, 3),  # 4 links in, nothing links to 4
+    (5, 5),  # self-loop
+    (6, 7),  # 7 is dangling (no out-links)
+]
+
+
+def _pagerank_py(edges, damping=0.85, iters=60):
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, set()).add(d)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        base = (1.0 - damping) / n + damping * dangling / n
+        new = {v: base for v in nodes}
+        for s, ds in out.items():
+            share = damping * rank[s] / len(ds)
+            for d in ds:
+                new[d] += share
+        rank = new
+    return rank
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_matches_pure_python_power_iteration(spark, edges_df):
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges_df, max_iter=60, tol=0.0).collect()
+    }
+    want = _pagerank_py(EDGES)
+    assert set(got) == set(want)
+    for v, w in want.items():
+        assert got[v] == pytest.approx(w, abs=1e-9)
+    # mass conservation
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_structure_sane(spark, edges_df):
+    got = {
+        r["node"]: r["rank"] for r in pagerank(edges_df).collect()
+    }
+    # 3 has the most in-links -> top rank; 4 has none -> bottom tier
+    assert got[3] == max(got.values())
+    assert got[4] <= min(got[1], got[2], got[3])
+    # duplicate edges don't change the result
+    doubled = edges_df.unionByName(edges_df)
+    again = {r["node"]: r["rank"] for r in pagerank(doubled).collect()}
+    for v in got:
+        assert again[v] == pytest.approx(got[v], abs=1e-12)
+
+
+def test_rank_quality_gate_drops_bottom_keeps_unlinked(spark, edges_df):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 4, 99]],
+        "doc_id long, text string",
+    )
+    out = rank_quality_gate(docs, edges_df, min_percentile=0.3)
+    kept = {r.doc_id for r in out.collect()}
+    # unlinked doc survives; the worst-ranked linked docs are cut
+    assert 99 in kept
+    assert 3 in kept
+    got = {r["node"]: r["rank"] for r in pagerank(edges_df).collect()}
+    dropped = {1, 2, 3, 4} - kept
+    for d in dropped:
+        assert got[d] <= sorted(got.values())[2]
