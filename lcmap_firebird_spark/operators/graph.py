@@ -64,6 +64,31 @@ def pagerank(
         eager=False
     )
     base = (1.0 - damping) / n
+    node_deg = deg.select(F.col("src").alias("node"), "out_deg")
+
+    def _stats(new_r: DataFrame, old_r: DataFrame):
+        """ONE action per round: materializes new_r's lazy checkpoint
+        and returns (L1 delta vs old_r, dangling mass of new_r) —
+        the dangling sum rides the same aggregate so the loop never
+        runs a second job (the CC loop's combined-action rule)."""
+        row = (
+            new_r.join(
+                old_r.select("node", F.col("rank").alias("_old")), "node"
+            )
+            .join(node_deg, "node", "left")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("_old"))),
+                F.sum(
+                    F.when(F.col("out_deg").isNull(), F.col("rank"))
+                    .otherwise(0.0)
+                ),
+            )
+            .first()
+        )
+        return row[0] or 0.0, row[1] or 0.0
+
+    # seed action: materialize ranks₀ and read its dangling mass
+    _, dangling = _stats(ranks, ranks)
     for _ in range(max_iter):
         contribs = (
             ed.join(
@@ -71,16 +96,6 @@ def pagerank(
             )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("_in"))
-        )
-        # dangling mass: rank held by nodes with no out-links,
-        # redistributed uniformly (one scalar aggregate)
-        dangling = (
-            ranks.join(
-                deg.select(F.col("src").alias("node")), "node", "left_anti"
-            )
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
         )
         spread_term = base + damping * dangling / n
         new_ranks = (
@@ -96,17 +111,9 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        # convergence action materializes the lazy checkpoint — one
-        # job per round, like the CC loop's checksum
-        delta = (
-            new_ranks.join(
-                ranks.select("node", F.col("rank").alias("_old")), "node"
-            )
-            .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
-            .first()[0]
-        )
+        delta, dangling = _stats(new_ranks, ranks)
         ranks = new_ranks
-        if delta is not None and delta < tol:
+        if delta < tol:
             break
     return ranks
 
