@@ -1,0 +1,135 @@
+"""Language-model perplexity scoring — the CCNet-style quality
+signal.
+
+Public recipe (CCNet, LLaMA data pipeline): score every document's
+perplexity under a small LM trained on a clean reference corpus
+(Wikipedia in the papers); low perplexity ≈ reference-like prose,
+high ≈ gibberish/boilerplate. KenLM doesn't distribute; this module
+implements the same signal as an add-k-smoothed interpolated bigram
+model in pure DataFrame form:
+
+- TRAIN: two groupBys over the reference corpus (unigram + bigram
+  counts) — the model IS two small DataFrames, no fitting loop;
+- SCORE: explode each doc's bigrams once, broadcast-join the count
+  tables, per-token log-probability
+      log p(w2|w1) = log( (B(w1,w2) + k) / (U(w1) + k·V) )
+  with U(w1)=0 rows falling back to the uniform 1/V floor (unseen
+  history), one groupBy for the per-doc mean, perplexity = exp(−mean);
+- GATE: keep docs below a perplexity ceiling.
+
+Scale: the model tables are vocabulary-sized (broadcastable for any
+reasonable reference corpus; shuffle-join if ever larger); the corpus
+explodes once and shuffles only (doc_id, logp) pairs. Zipf-hot
+tokens skew the score join like any postings join — AQE skew split
+applies. All arithmetic is log/exp over exact integer counts —
+deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+ADD_K = 0.1
+
+
+def _doc_bigrams(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, w1, w2) per adjacent token pair, in multiplicity."""
+    from .dedup import spread
+
+    toks = tokens(text_col)
+    width = F.size(toks) - 1
+    pairs = F.when(
+        width > 0,
+        F.zip_with(
+            F.slice(toks, 1, width),
+            F.slice(toks, 2, width),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, int]:
+    """(unigram_counts (w1, u), bigram_counts (w1, w2, b), V) from a
+    clean reference corpus. V counts distinct tokens + 1 (the unseen
+    mass), fixing the smoothing denominator."""
+    bg = _doc_bigrams(reference, id_col, text_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("b"))
+    # unigram history counts = occurrences as w1 (what conditionals
+    # normalize over)
+    unigrams = bg.groupBy("w1").agg(F.count("*").alias("u"))
+    vocab = (
+        bg.select(F.col("w1").alias("w"))
+        .unionByName(bg.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+        + 1
+    )
+    return unigrams, bigrams, vocab
+
+
+def score_perplexity(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab: int,
+    k: float = ADD_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Input columns + `perplexity` = exp(−mean log p(w2|w1)).
+    Documents with < 2 tokens have no bigrams and score NULL
+    (no evidence — the gate keeps them; length gates handle shorts).
+    """
+    bg = _doc_bigrams(df, id_col, text_col)
+    scored = (
+        bg.join(F.broadcast(unigrams), "w1", "left")
+        .join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("u").isNotNull(),
+                F.log(
+                    (F.coalesce(F.col("b"), F.lit(0)) + F.lit(float(k)))
+                    / (F.col("u") + F.lit(float(k * vocab)))
+                ),
+            )
+            .otherwise(F.log(F.lit(1.0 / vocab)))
+            .alias("logp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.exp(-F.avg("logp")).alias("perplexity"))
+    )
+    return df.join(
+        scored.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(*df.columns, "perplexity")
+
+
+def perplexity_gate(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab: int,
+    max_perplexity: float,
+    **kwargs,
+) -> DataFrame:
+    """Keep docs scoring <= max_perplexity (NULL-scored shorts pass —
+    absence of evidence is not gibberish)."""
+    scored = score_perplexity(df, unigrams, bigrams, vocab, **kwargs)
+    return scored.filter(
+        F.col("perplexity").isNull()
+        | (F.col("perplexity") <= max_perplexity)
+    ).drop("perplexity")

@@ -1,0 +1,100 @@
+"""Bigram-LM perplexity (operators/perplexity.py) vs an independent
+pure-Python model; gate semantics; JVM-only plan."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from lcmap_firebird_spark.operators import perplexity as P
+
+REFERENCE = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the rug"),
+    (3, "a cat and a dog sat together"),
+]
+
+
+def _model_py(ref):
+    uni, bi, vocab = {}, {}, set()
+    for _, text in ref:
+        t = text.split()
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            uni[a] = uni.get(a, 0) + 1
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    return uni, bi, len(vocab) + 1
+
+
+def _ppl_py(text, uni, bi, v, k=P.ADD_K):
+    t = text.split()
+    if len(t) < 2:
+        return None
+    logs = []
+    for a, b in zip(t, t[1:]):
+        if a in uni:
+            logs.append(
+                math.log((bi.get((a, b), 0) + k) / (uni[a] + k * v))
+            )
+        else:
+            logs.append(math.log(1.0 / v))
+    return math.exp(-sum(logs) / len(logs))
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    ref = spark.createDataFrame(REFERENCE, "doc_id long, text string")
+    return P.train_bigram_lm(ref)
+
+
+def test_scores_match_pure_python(spark, model):
+    uni, bi, v = model
+    uni_py, bi_py, v_py = _model_py(REFERENCE)
+    assert v == v_py
+    docs = [
+        (10, "the cat sat on the rug"),       # reference-like
+        (11, "rug mat zzz qqq xxx vvv"),       # gibberish
+        (12, "hi"),                            # too short -> NULL
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.perplexity
+        for r in P.score_perplexity(df, uni, bi, v).collect()
+    }
+    for did, text in docs:
+        want = _ppl_py(text, uni_py, bi_py, v_py)
+        if want is None:
+            assert got[did] is None
+        else:
+            assert got[did] == pytest.approx(want, rel=1e-12)
+    # the signal orders as intended
+    assert got[10] < got[11]
+
+
+def test_gate_keeps_reference_like_and_shorts(spark, model):
+    uni, bi, v = model
+    docs = spark.createDataFrame(
+        [
+            (10, "the cat sat on the rug"),
+            (11, "rug mat zzz qqq xxx vvv"),
+            (12, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    uni_py, bi_py, v_py = _model_py(REFERENCE)
+    cut = _ppl_py("the cat sat on the rug", uni_py, bi_py, v_py) * 1.5
+    kept = {
+        r.doc_id
+        for r in P.perplexity_gate(docs, uni, bi, v, cut).collect()
+    }
+    assert kept == {10, 12}
+
+
+def test_jvm_only_plan(spark, model):
+    uni, bi, v = model
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    scored = P.score_perplexity(df, uni, bi, v)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
