@@ -81,6 +81,7 @@ def prepare_corpus(
     weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
     benchmark: DataFrame | None = None,
     quality_model: tuple[DataFrame, float, float] | None = None,
+    perplexity_model: tuple[DataFrame, DataFrame, int, float] | None = None,
     substring_k: int | None = None,
     mixture: dict[str, float] | None = None,
     mixture_tokens: int | None = None,
@@ -119,6 +120,13 @@ def prepare_corpus(
 
         qm_weights, qm_bias, qm_threshold = quality_model
         gated = quality_gate_model(gated, qm_weights, qm_bias, qm_threshold)
+    if perplexity_model is not None:
+        # (unigrams, bigrams, vocab, max_perplexity) — the CCNet LM
+        # signal, same placement rationale as the learned gate
+        from ..operators.perplexity import perplexity_gate
+
+        pm_uni, pm_bi, pm_vocab, pm_max = perplexity_model
+        gated = perplexity_gate(gated, pm_uni, pm_bi, pm_vocab, pm_max)
     # exact rung: one representative per byte-identical content group
     grp = exact_groups(gated)
     reps = grp.filter(F.col("doc_id") == F.col("rep")).select("doc_id")

@@ -187,3 +187,28 @@ def test_quality_model_stage_filters(spark, docs, prepared):
         F.col("quality_score") < 0.5
     )
     assert low.count() == 0
+
+
+def test_perplexity_stage_filters(spark, docs):
+    from lcmap_firebird_spark.operators.perplexity import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    # self-referential model: the corpus itself is the reference, so
+    # typical docs score low and the gate keeps a strict subset
+    uni, bi, v = train_bigram_lm(docs)
+    scored = score_perplexity(docs, uni, bi, v)
+    cut = scored.agg(F.expr("percentile(perplexity, 0.6)")).first()[0]
+    out = C.prepare_corpus(
+        docs,
+        languages=LANGS,
+        jaccard_threshold=THRESH,
+        perplexity_model=(uni, bi, v, float(cut)),
+    )
+    kept = docs.join(out.select("doc_id"), "doc_id", "left_semi")
+    high = score_perplexity(kept, uni, bi, v).filter(
+        F.col("perplexity") > cut
+    )
+    assert out.count() > 0
+    assert high.count() == 0
