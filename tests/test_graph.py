@@ -84,3 +84,40 @@ def test_rank_quality_gate_drops_bottom_keeps_unlinked(spark, edges_df):
     dropped = {1, 2, 3, 4} - kept
     for d in dropped:
         assert got[d] <= sorted(got.values())[2]
+
+
+def test_pagerank_scale_shape_100k_edges(spark):
+    """Star-of-hubs graph at 100k edges: converges in few rounds,
+    conserves mass, ranks hubs above leaves — the loop's cost model
+    (two shuffles per round on uniform keys) holding at a size where
+    a quadratic or per-node-driver shape would be obvious."""
+    from pyspark.sql import functions as F
+
+    n_hubs, leaves_per_hub = 100, 1000
+    hubs = spark.range(n_hubs).select(F.col("id").alias("hub"))
+    edges = (
+        hubs.withColumn(
+            "leaf",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.lit(leaves_per_hub - 1)
+                )
+            ),
+        )
+        .select(
+            (F.col("hub") * leaves_per_hub + F.col("leaf") + n_hubs)
+            .alias("src"),
+            F.col("hub").alias("dst"),
+        )
+    )
+    pr = pagerank(edges, max_iter=15, tol=1e-8).cache()
+    ranks = pr.agg(
+        F.sum("rank"), F.count("*")
+    ).first()
+    assert ranks[1] == n_hubs + n_hubs * leaves_per_hub
+    assert ranks[0] == pytest.approx(1.0, abs=1e-6)
+    # every hub outranks every leaf
+    hub_min = pr.filter(F.col("node") < n_hubs).agg(F.min("rank")).first()[0]
+    leaf_max = pr.filter(F.col("node") >= n_hubs).agg(F.max("rank")).first()[0]
+    assert hub_min > leaf_max
+    pr.unpersist()
