@@ -211,9 +211,15 @@ class LakeTable:
         non-None = read-dependent commit: raise ConcurrentWriteError
         if the head moved; None = order-independent (append): retry
         against whatever head exists."""
-        head_entry = self._entries()[-1]
         while True:
+            # re-read the head entry on EVERY attempt: an append that
+            # loses the O_EXCL race to a concurrent add_column must
+            # copy the NEW head's schema/key_cols forward, not commit
+            # the stale pre-race schema as the new head (which would
+            # silently revert schema evolution for later readers).
             head = self.latest_version()
+            with open(_entry_path(self.root, head)) as f:
+                head_entry = json.load(f)
             if expected_head is not None and head != expected_head:
                 raise ConcurrentWriteError(
                     f"log advanced to v{head} (expected v{expected_head})"
@@ -780,6 +786,17 @@ class LakeTable:
         dups = ops.groupBy(*key_cols).count().filter(F.col("count") > 1)
         if dups.limit(1).count():
             raise ValueError("duplicate keys in change batch")
+        # validate ops up front: every change key lands in the
+        # anti-join, so a NULL or misspelled _op would SILENTLY DELETE
+        # its matched target row instead of erroring
+        bad_op = ops.filter(
+            F.col("_op").isNull() | ~F.col("_op").isin("upsert", "delete")
+        )
+        bad = [r["_op"] for r in bad_op.select("_op").distinct().limit(5).collect()]
+        if bad:
+            raise ValueError(
+                f"invalid {op_col} values {bad!r}: expected 'upsert' or 'delete'"
+            )
         keys = ops.select(*key_cols)
         affected = self._affected_files(live, keys, key_cols)
         upserts = ops.filter(F.col("_op") != "delete").drop("_op")

@@ -14,8 +14,8 @@ Scale design — membership must be a pure function of the key:
   the budget" needs a global per-domain prefix sum — one partition
   per domain, dead at 100 TB.
 - Instead documents hash into `MIX_BUCKETS` deterministic buckets
-  per domain (`sampling.split_bucket` — md5-derived, engine-
-  portable). One small aggregate (domains × buckets rows) computes
+  per domain (`mix_bucket` — md5-derived, engine-portable, exactly
+  uniform since 2^60 ≡ 0 mod MIX_BUCKETS). One small aggregate (domains × buckets rows) computes
   per-bucket token sums; a window cumsum over that SMALL frame picks
   the largest bucket threshold whose cumulative tokens fit the
   budget; the corpus is then filtered with a broadcast join on
@@ -36,20 +36,30 @@ sizes, and late-arriving data lands in the same buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .sampling import split_bucket
+from .dedup import hash60
 from .text import token_count
 
 MIX_BUCKETS = 4096
+
+
+def mix_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, MIX_BUCKETS). Hashes DIRECTLY into
+    MIX_BUCKETS (hash60 is 60-bit and 2^60 ≡ 0 mod 4096, so the
+    modulo is exactly uniform) — routing through sampling's 10,000-way
+    split_bucket first would leave buckets 0..1807 carrying ~1.5× the
+    mass of 1808..4095 (10000 % 4096 = 1808)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return hash60(F.concat(F.lit(salt), c.cast("string"))) % MIX_BUCKETS
 
 
 def _bucketed(
     df: DataFrame, domain_col: str, key_col: str, text_col: str, salt: str
 ) -> DataFrame:
     return df.withColumn(
-        "_bkt", split_bucket(key_col, salt) % MIX_BUCKETS
+        "_bkt", mix_bucket(key_col, salt)
     ).withColumn("_tok", token_count(text_col))
 
 

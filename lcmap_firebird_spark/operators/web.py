@@ -6,9 +6,12 @@ applies before content filtering (C4, RefinedWeb, Gopher):
 - `extract_domain`: registrable host from a URL column — one codegen
   regex, no UDF;
 - `blocklist_gate`: drop documents whose domain (or any parent
-  domain) is listed — broadcast anti-join against the (small) list,
-  parent matching via a posexploded suffix set so `ads.x.com`
-  matches a listing of `x.com`;
+  domain) is listed — the list collapses to ONE broadcast row
+  (collect_set) and each doc tests `arrays_overlap(suffixes, list)`
+  in place, so `ads.x.com` matches a listing of `x.com` with ZERO
+  shuffle of the document side and no join keys at all (an earlier
+  all-columns anti-join both shuffled full text and let any row with
+  a NULL payload column bypass the list — equi-join NULL semantics);
 - `domain_cap`: at most N documents per domain, membership a pure
   hash function (reuses the mixture bucket-threshold machinery with
   unit weights, so no per-domain window/sort exists anywhere — a
@@ -23,8 +26,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import Window
 
-from .mixture import MIX_BUCKETS
-from .sampling import split_bucket
+from .mixture import MIX_BUCKETS, mix_bucket
 
 _DOMAIN_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)"
 
@@ -54,24 +56,29 @@ def blocklist_gate(
     domain_col: str = "domain",
 ) -> DataFrame:
     """Drop rows whose domain or any parent domain appears in
-    `blocklist` (one `domain` column). The suffix explode is bounded
-    by label count (~4/host); the list side broadcasts."""
+    `blocklist` (one `domain` column).
+
+    The list aggregates to a single collect_set row that broadcasts;
+    each document row then evaluates
+    `arrays_overlap(parent_suffixes(domain), blocked)` in place —
+    the document side is never shuffled, no equi-join keys exist to
+    trip over NULLs, and text never leaves its scan partition. Rows
+    with a NULL/absent domain are KEPT (nothing to match). Blocklists
+    are dimension-scale by contract (the old plan already broadcast
+    them); one row of ~millions of short strings is fine."""
     dom = (
         F.col(domain_col)
         if domain_col in df.columns
         else extract_domain(url_col)
     )
-    with_sfx = df.withColumn(
-        "_sfx", F.explode(_domain_suffixes(dom))
+    blocked = blocklist.agg(
+        F.collect_set(F.lower(F.col("domain"))).alias("_blocked")
     )
-    bad = blocklist.select(F.lower(F.col("domain")).alias("_sfx"))
-    hit_ids = with_sfx.join(F.broadcast(bad), "_sfx", "left_semi")
-    # a row explodes to several suffix rows — drop by provenance of
-    # ANY hit, then collapse back to original rows via anti-join
-    return df.join(
-        hit_ids.select(*df.columns).distinct(),
-        df.columns,
-        "left_anti",
+    hit = F.arrays_overlap(_domain_suffixes(dom), F.col("_blocked"))
+    return (
+        df.crossJoin(F.broadcast(blocked))  # 1-row side: a flag probe
+        .filter(~F.coalesce(hit, F.lit(False)))
+        .drop("_blocked")
     )
 
 
@@ -94,7 +101,7 @@ def domain_cap(
         else extract_domain(url_col)
     )
     bucketed = df.withColumn("_dom", dom).withColumn(
-        "_bkt", split_bucket(key_col, salt) % MIX_BUCKETS
+        "_bkt", mix_bucket(key_col, salt)
     )
     per_bucket = bucketed.groupBy("_dom", "_bkt").agg(
         F.count("*").alias("_n")

@@ -111,6 +111,10 @@ def prepare_corpus(
     `redact=True` rewrites text through the PII scrubber as the
     final projection (post-dedup: fingerprints/signatures key on the
     ORIGINAL bytes, and redaction must not change dedup decisions)."""
+    if mixture is not None and mixture_tokens is None:
+        raise ValueError(
+            "mixture requires mixture_tokens (the total token budget)"
+        )
     gated = language_gate(quality_gate(docs, **gate_kwargs), languages)
     if quality_model is not None:
         # learned gate AFTER the heuristics (cheap row-local

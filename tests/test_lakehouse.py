@@ -438,6 +438,62 @@ def test_apply_changes_mixed_batch_atomic(spark, table):
         table.apply_changes(bad)
 
 
+def test_apply_changes_rejects_bad_op_values(spark, table):
+    # regression (round-4 ADVICE): every change key lands in the
+    # anti-join but only _op != 'delete' rows re-insert, so a NULL or
+    # misspelled _op silently DELETED its matched target row. Now it
+    # must error before any commit, leaving the table untouched.
+    v0 = table.latest_version()
+    for bad_op in ("delte", None, "DELETE"):
+        changes = spark.createDataFrame(
+            [(5, "x", 1.0, bad_op)],
+            "id long, name string, val double, _op string",
+        )
+        with pytest.raises(ValueError, match="invalid _op"):
+            table.apply_changes(changes)
+    assert table.latest_version() == v0
+    assert table.snapshot().filter("id = 5").count() == 1
+
+
+def test_append_retry_carries_concurrent_schema_evolution(spark, table):
+    # regression (round-4 ADVICE): an append that loses the O_EXCL
+    # race to a concurrent add_column used to retry with the schema
+    # it read BEFORE the race and commit it as the new head —
+    # silently reverting schema evolution. Simulate the interleaving
+    # exactly: the concurrent evolution lands between the appender's
+    # head read and its entry create.
+    other = LakeTable(spark, table.root)  # the concurrent writer
+    orig = table.latest_version
+    state = {"fired": False}
+
+    def racy_latest_version():
+        if not state["fired"]:
+            state["fired"] = True
+            stale = orig()
+            other.add_column("tag", "string")  # lands "now"
+            return stale
+        return orig()
+
+    table.latest_version = racy_latest_version
+    try:
+        extra = spark.createDataFrame(
+            [(500, "n500", 1.0)], "id long, name string, val double"
+        )
+        v = table.append(extra)
+    finally:
+        del table.latest_version
+    assert state["fired"]  # the race actually happened
+    from lcmap_firebird_spark.lakehouse import _entry_path
+
+    with open(_entry_path(table.root, v)) as f:
+        head_entry = json.load(f)
+    assert "tag" in head_entry["schema"], (
+        "append retry committed a pre-evolution schema as the head"
+    )
+    # readers after the append still see the evolved column
+    assert "tag" in table.snapshot().columns
+
+
 def test_lake_datasource_reads_snapshot_and_versions(spark, table):
     from lcmap_firebird_spark.sources.lake import LakeDataSource
 

@@ -51,6 +51,62 @@ def test_blocklist_matches_subdomains(spark):
     assert "EvalPython" not in plan
 
 
+def test_blocklist_null_payload_cannot_bypass(spark):
+    # regression (round-4 ADVICE high): the old all-columns anti-join
+    # let any blocklisted row with a NULL payload column survive,
+    # because equi-join NULL semantics never match the row to its own
+    # hit. The gate must key on the domain test alone.
+    docs = spark.createDataFrame(
+        [
+            (1, "https://tracker.com/x", None),
+            (2, "https://fine.org/a", None),
+            (3, "https://tracker.com/y", "meta"),
+        ],
+        "doc_id long, url string, extra string",
+    )
+    bl = spark.createDataFrame([("tracker.com",)], ["domain"])
+    kept = {r.doc_id for r in W.blocklist_gate(docs, bl).collect()}
+    assert kept == {2}
+
+
+def test_blocklist_null_domain_kept_and_empty_list(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "https://ok.org/a")],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("tracker.com",)], ["domain"])
+    kept = {r.doc_id for r in W.blocklist_gate(docs, bl).collect()}
+    assert kept == {1, 2}  # NULL url: nothing to match, keep
+    empty = bl.filter(F.lit(False))
+    kept2 = {r.doc_id for r in W.blocklist_gate(docs, empty).collect()}
+    assert kept2 == {1, 2}
+
+
+def test_blocklist_plan_never_shuffles_documents(spark):
+    # scale contract: the document side is filtered in place — the
+    # only Exchange anywhere is the 1-row broadcast of the list.
+    docs = spark.createDataFrame(
+        [(1, "https://tracker.com/x", "t" * 50)],
+        "doc_id long, url string, text string",
+    )
+    bl = spark.createDataFrame([("tracker.com",)], ["domain"])
+    plan = (
+        W.blocklist_gate(docs, bl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            # broadcast of the 1-row list, or the list side's global
+            # collect_set agg (SinglePartition) — both list-side and
+            # metadata-scale. Any hash-partitioned exchange would mean
+            # the documents themselves moved.
+            assert "Broadcast" in line or "SinglePartition" in line, line
+    assert "hashpartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_domain_cap_deterministic_and_bounded(spark):
     rows = [
         (i, f"https://big.com/{i}") for i in range(500)
