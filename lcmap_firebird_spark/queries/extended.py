@@ -226,10 +226,20 @@ def j9_parts_suppliers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def x5_upsert(spark: SparkSession, sf: str) -> DataFrame:
-    """MERGE semantics: 'update' every BUILDING customer's balance to
-    0 and 'insert' two synthetic customers; output the merged table
-    (untouched ∪ updates — the anti-join+union core of MERGE INTO)."""
-    from ..operators.relational import upsert
+    """MERGE INTO through the TRANSACTIONAL path: the customer
+    projection becomes a native LakeTable (ordered commit log,
+    immutable parquet files), the updates batch lands via
+    `LakeTable.merge` — copy-on-write restricted to key-stat-pruned
+    files, ONE atomic read-dependent commit — and the result is the
+    post-merge snapshot read back through the commit log. 'Update'
+    every BUILDING customer's balance to 0, 'insert' two synthetic
+    customers; output the merged table. Same output contract and
+    oracle as the plan-level `relational.upsert` (which remains the
+    ephemeral, no-table-on-disk variant); this registry row now
+    certifies the ACID MERGE implementation itself."""
+    import tempfile
+
+    from ..lakehouse import LakeTable
 
     cust = read_table(spark, "customer", sf).select(
         "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
@@ -247,7 +257,13 @@ def x5_upsert(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
-    return upsert(cust, updates, ["c_custkey"])
+    # a fresh table root per invocation: the snapshot below is a LAZY
+    # parquet scan over the committed files, so the dir must outlive
+    # this call (tmp-dir scale: one small table per driver/bench run)
+    root = tempfile.mkdtemp(prefix="x5_lake_")
+    table = LakeTable.create(spark, root, cust, key_cols=["c_custkey"])
+    table.merge(updates)
+    return table.snapshot()
 
 
 def sql2_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:

@@ -55,8 +55,11 @@ def norm(v):
     return v
 
 qs, os_ = e.queries(), e.oracle_sql()
+only = set(sys.argv[1:])  # optional: verify just the named queries
 fails = []
 for name in sorted(qs):
+    if only and name not in only:
+        continue
     try:
         got = canon(qs[name](spark, sf).toPandas())
     except Exception as ex:
