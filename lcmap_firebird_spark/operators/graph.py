@@ -18,8 +18,12 @@ loop discipline as `dedup.dedup_clusters`:
 - the driver-side loop sees only scalar aggregates, never row data.
 
 At 100 TB-scale graphs the per-round cost is the two shuffles on
-vertex id; a real deployment would pin the loop shuffle width to the
-vertex count exactly as dedup_clusters does.
+vertex id; the loop pins its shuffle width to the vertex count
+(~100k vertices/partition, clamped to the session parallelism)
+exactly as dedup_clusters does — session-conf scoped, restored in a
+finally (see dedup.py's measured rationale: explicit repartition()
+bypasses AQE's runtime decisions and full-width shuffles of small
+graphs pay more in task setup than the joins).
 """
 
 from __future__ import annotations
@@ -87,34 +91,50 @@ def pagerank(
         )
         return row[0] or 0.0, row[1] or 0.0
 
-    # seed action: materialize ranks₀ and read its dangling mass
-    _, dangling = _stats(ranks, ranks)
-    for _ in range(max_iter):
-        contribs = (
-            ed.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
+    # loop shuffle width pinned to the vertex count (dedup_clusters'
+    # discipline): ~100k vertices/partition, clamped to the session
+    # parallelism; session-conf scoped and restored in finally
+    spark = edges.sparkSession
+    parts = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n // 100_000 + 1),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        # seed action: materialize ranks₀ and read its dangling mass
+        _, dangling = _stats(ranks, ranks)
+        for _ in range(max_iter):
+            contribs = (
+                ed.join(
+                    ranks.select(F.col("node").alias("src"), "rank"),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("_in"))
             )
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("_in"))
-        )
-        spread_term = base + damping * dangling / n
-        new_ranks = (
-            nodes.join(
-                contribs.withColumnRenamed("dst", "node"), "node", "left"
+            spread_term = base + damping * dangling / n
+            new_ranks = (
+                nodes.join(
+                    contribs.withColumnRenamed("dst", "node"),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    (
+                        F.lit(spread_term)
+                        + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .select(
-                "node",
-                (
-                    F.lit(spread_term)
-                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        delta, dangling = _stats(new_ranks, ranks)
-        ranks = new_ranks
-        if delta < tol:
-            break
+            delta, dangling = _stats(new_ranks, ranks)
+            ranks = new_ranks
+            if delta < tol:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return ranks
 
 
@@ -127,10 +147,20 @@ def rank_quality_gate(
     """Drop the lowest-ranked fraction of documents by link-graph
     PageRank (the Common-Crawl-style centrality gate). Documents
     absent from the graph keep their rows (no link evidence is not
-    negative evidence)."""
+    negative evidence).
+
+    The cutoff is `approx_percentile` (Greenwald-Khanna sketch,
+    accuracy 10000): bounded memory per aggregation buffer at any
+    vertex count, rank error ≤ n/10000 — i.e. the gate may keep or
+    drop up to 0.01 % of nodes nearest the boundary, which a
+    percentile-based quality gate tolerates by construction. The old
+    exact `percentile` materialized EVERY rank in one buffer — a
+    billion-node OOM."""
     pr = pagerank(edges)
     cutoff = pr.agg(
-        F.expr(f"percentile(rank, {float(min_percentile)})")
+        F.expr(
+            f"approx_percentile(rank, {float(min_percentile)}, 10000)"
+        )
     ).first()[0]
     keep = pr.filter(F.col("rank") >= cutoff).select(
         F.col("node").alias(id_col)

@@ -110,7 +110,26 @@ def test_pagerank_scale_shape_100k_edges(spark):
             F.col("hub").alias("dst"),
         )
     )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
     pr = pagerank(edges, max_iter=15, tol=1e-8).cache()
+    # loop-stage partition count tracks the VERTEX count (~100k/part,
+    # clamped to session parallelism), not the session-wide shuffle
+    # width — the final ranks frame is the last loop round's output
+    n_vertices = n_hubs + n_hubs * leaves_per_hub
+    expected_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            n_vertices // 100_000 + 1,
+        ),
+    )
+    # the pin is an UPPER bound: AQE may coalesce further when the
+    # per-round bytes are tiny (it does here — 100k rank rows ≈ 2 MB);
+    # what must never happen is the session-wide width (32+) leaking
+    # into the loop stages
+    assert 1 <= pr.rdd.getNumPartitions() <= expected_parts
+    # and the session conf is restored after the loop
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
     ranks = pr.agg(
         F.sum("rank"), F.count("*")
     ).first()
