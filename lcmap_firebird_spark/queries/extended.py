@@ -174,16 +174,41 @@ def s4_external_fetch(spark: SparkSession, sf: str) -> DataFrame:
     return fetch_explode(ids, fake_fetch, schema, max_concurrency=2)
 
 
-def x3_hash_sample_split(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic content-hash train/val/test assignment over
-    documents + per-split counts (reproducible on any engine)."""
+# weights deliberately cover only 3 of the 5 corpus languages
+# (missing domains DROP per mixture semantics) and the fixed token
+# budget sits above the small-SF corpora (up-sampling: whole epochs +
+# bucket-selected remainder) but below sf0.1's (down-sampling) — the
+# one query exercises every regime of the operator across SFs.
+MIX1_WEIGHTS = {"en": 0.5, "de": 0.3, "fr": 0.2}
+MIX1_TOTAL_TOKENS = 30_000
+
+
+def x3_mixture_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mixture composition (operators/mixture.compose_mixture)
+    + deterministic hash splits, consolidated (round-5: the mixture
+    operator takes the old x3 slot, and x3's train/val/test hash-split
+    coverage rides along as the `split` dimension — both remain fully
+    oracle-verified). Per-domain token budgets = weight share of the
+    total; upsampling emits whole epochs + a bucket-selected
+    remainder; membership is a pure md5-derived function of doc_id at
+    every step, so the DuckDB twin is exact integer arithmetic."""
+    from ..operators.mixture import compose_mixture
     from ..operators.sampling import train_val_test
+    from ..operators.text import token_count
 
     docs = read_table(spark, "documents", sf)
-    return (
-        train_val_test(docs, "doc_id", (0.8, 0.1, 0.1))
-        .groupBy("split")
-        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
+    mixed = compose_mixture(
+        docs, MIX1_WEIGHTS, MIX1_TOTAL_TOKENS, domain_col="lang"
+    )
+    out = train_val_test(mixed, "doc_id", (0.8, 0.1, 0.1))
+    return out.groupBy(
+        F.col("lang").alias("domain"),
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "split",
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("min_id"),
     )
 
 
@@ -331,7 +356,7 @@ QUERIES = {
     "x5_upsert": x5_upsert,
     "sql1_tpch_q3": sql1_tpch_q3,
     "sql2_correlated_subquery": sql2_correlated_subquery,
-    "x3_hash_sample_split": x3_hash_sample_split,
+    "x3_mixture_split": x3_mixture_split,
     "x4_stratified_sample": x4_stratified_sample,
     "p5_array_ops": p5_array_ops,
     "f5_string_functions": f5_string_functions,
@@ -404,19 +429,6 @@ ORACLES = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
-    """,
-    "x3_hash_sample_split": """
-        WITH b AS (
-            SELECT doc_id,
-                   CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
-                        1, 15)) AS BIGINT) % 10000 AS bucket
-            FROM documents)
-        SELECT CASE WHEN bucket < 8000 THEN 'train'
-                    WHEN bucket < 9000 THEN 'val'
-                    ELSE 'test' END AS split,
-               COUNT(*) AS n,
-               MIN(doc_id) AS min_id
-        FROM b GROUP BY 1
     """,
     "p5_array_ops": """
         SELECT vec_id,
@@ -499,3 +511,81 @@ def _z1_oracle() -> str:
 
 
 ORACLES["z1_zorder"] = _z1_oracle()
+
+
+def _mix1_oracle() -> str:
+    """Exact DuckDB twin of compose_mixture + train_val_test: the
+    per-domain budgets are the SAME Python constants the Spark side
+    derives (int(w/Σw · total)); everything data-dependent — domain
+    token totals, epoch counts, remainder bucket thresholds — is pure
+    integer arithmetic replayed in SQL (md5-derived buckets, floor
+    division, cumulative sums), so values hash-match with no
+    quantization."""
+    from .text import TOK
+
+    wsum = float(sum(MIX1_WEIGHTS.values()))
+    vals = ", ".join(
+        f"('{d}', {int(w / wsum * MIX1_TOTAL_TOKENS)})"
+        for d, w in MIX1_WEIGHTS.items()
+    )
+    mix_bkt = (
+        "CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15)) AS BIGINT) % 4096"
+    )
+    split_bkt = (
+        "CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),"
+        " 1, 15)) AS BIGINT) % 10000"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(len({TOK}) AS BIGINT) AS tok,
+                   {mix_bkt} AS bkt,
+                   {split_bkt} AS sb
+            FROM documents),
+        budgets AS (SELECT * FROM (VALUES {vals}) b(lang, budget)),
+        dom AS (SELECT lang, SUM(tok) AS dom_tok FROM toks GROUP BY lang),
+        eps AS (SELECT b.lang, b.budget,
+                       CASE WHEN COALESCE(dom_tok, 0) > 0
+                            THEN b.budget // dom_tok ELSE 0 END AS epochs,
+                       b.budget
+                         - (CASE WHEN COALESCE(dom_tok, 0) > 0
+                                 THEN b.budget // dom_tok ELSE 0 END)
+                           * COALESCE(dom_tok, 0) AS rem
+                FROM budgets b LEFT JOIN dom USING (lang)),
+        cum AS (SELECT lang, bkt,
+                       SUM(btok) OVER (PARTITION BY lang ORDER BY bkt) AS cum_tok
+                FROM (SELECT lang, bkt, SUM(tok) AS btok
+                      FROM toks GROUP BY lang, bkt)),
+        thr AS (SELECT c.lang, MAX(bkt) + 1 AS thr
+                FROM cum c JOIN eps e ON e.lang = c.lang
+                WHERE c.cum_tok <= e.rem
+                GROUP BY c.lang),
+        sel AS (SELECT t.doc_id, t.lang, t.tok, t.bkt, t.sb,
+                       e.epochs, COALESCE(h.thr, 0) AS thr
+                FROM toks t
+                JOIN eps e ON e.lang = t.lang
+                LEFT JOIN thr h ON h.lang = t.lang),
+        cop AS (SELECT *,
+                       epochs + CASE WHEN bkt < thr THEN 1 ELSE 0 END
+                           AS n_copies
+                FROM sel),
+        expl AS (SELECT doc_id, lang, tok, sb,
+                        UNNEST(generate_series(
+                            CAST(0 AS BIGINT),
+                            CAST(n_copies - 1 AS BIGINT))) AS epoch
+                 FROM cop WHERE n_copies > 0)
+        SELECT lang AS domain,
+               CAST(epoch AS BIGINT) AS epoch,
+               CASE WHEN sb < 8000 THEN 'train'
+                    WHEN sb < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS min_id
+        FROM expl
+        GROUP BY 1, 2, 3
+    """
+
+
+ORACLES["x3_mixture_split"] = _mix1_oracle()
