@@ -39,12 +39,21 @@ Scale design:
   Catalyst's pushdown/pruning applies unchanged.
 - The log is tiny JSON; at real scale you'd checkpoint it like
   Delta; `history()` reads it driver-side.
+
+Non-goal — multi-table transactions: a commit is atomic within ONE
+table's log, exactly like Delta and Iceberg v2. Cross-table
+consistency belongs to the orchestration layer (write tables in
+dependency order; readers join on snapshot versions they pin
+explicitly). A coordinator log spanning tables would reintroduce the
+global-lock bottleneck the per-table optimistic protocol exists to
+avoid, for a guarantee no mainstream lakehouse format offers.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -405,20 +414,48 @@ class LakeTable:
         add = self._stage_files(keep)
         return self._commit("delete", add, affected, expected_head=head)
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
-        """Physically delete data files not referenced by any of the
-        last `keep_last` versions. Time travel to vacuumed versions
-        stops working (same contract as Delta VACUUM).
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        retention_seconds: float = 7 * 24 * 3600,
+    ) -> list[str]:
+        """Physically delete data files no snapshot inside the
+        retention window can reference. Time travel to vacuumed
+        versions stops working (same contract as Delta VACUUM, same
+        default 7-day window).
 
-        Hazard shared with Delta: files staged by an IN-FLIGHT writer
-        are unreferenced until its commit lands, so vacuum must not
-        run concurrently with writers (production systems solve this
-        with a modification-time retention window; this local format
-        leaves scheduling to the caller)."""
+        Safe under concurrent writers AND slow in-flight readers — a
+        file is deleted only if ALL of:
+
+        1. it is not referenced by any of the last `keep_last`
+           versions;
+        2. it is not referenced by any version that WAS the head at
+           any point inside the retention window (a reader that
+           attached within the window may be pinned on any such
+           snapshot — protection derives from commit-entry mtimes:
+           every version from the newest window-aged entry onward is
+           protected);
+        3. its own mtime is older than the window — files staged by
+           an in-flight writer (renamed into data/ before their
+           commit lands) are always younger, so they can never be
+           swept mid-commit.
+
+        `retention_seconds=0` restores the aggressive
+        everything-unreferenced sweep for controlled maintenance
+        windows (the caller asserts no concurrent activity)."""
+        now = time.time()
         vs = self._versions()
-        keep_versions = vs[-keep_last:]
+        protect = set(vs[-keep_last:]) if keep_last else set()
+        # newest entry at-or-beyond retention age: it and everything
+        # after were the head at some point inside the window
+        cutoff_idx = 0
+        for i, v in enumerate(vs):
+            age = now - os.path.getmtime(_entry_path(self.root, v))
+            if age >= retention_seconds:
+                cutoff_idx = i
+        protect.update(vs[cutoff_idx:])
         referenced: set[str] = set()
-        for v in keep_versions:
+        for v in sorted(protect):
             for rec in self._live(v)[0]:
                 referenced.add(rec["path"])
                 if rec.get("bloom"):
@@ -427,9 +464,16 @@ class LakeTable:
         d = os.path.join(self.root, _DATA)
         for f in os.listdir(d):
             rel = f"{_DATA}/{f}"
-            if rel not in referenced:
-                os.remove(os.path.join(d, f))
-                removed.append(rel)
+            if rel in referenced:
+                continue
+            path = os.path.join(d, f)
+            try:
+                if now - os.path.getmtime(path) < retention_seconds:
+                    continue  # possibly an in-flight writer's staging
+                os.remove(path)
+            except FileNotFoundError:
+                continue  # a concurrent vacuum swept it first
+            removed.append(rel)
         return removed
 
     def compact(self, target_rows: int = 1_000_000) -> int:

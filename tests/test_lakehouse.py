@@ -160,7 +160,7 @@ def test_vacuum_removes_only_unreferenced(spark, table):
     table.merge(src)
     data_dir = os.path.join(table.root, "data")
     before = set(os.listdir(data_dir))
-    removed = table.vacuum(keep_last=1)
+    removed = table.vacuum(keep_last=1, retention_seconds=0)
     live = {
         os.path.basename(r["path"]) for r in table._live()[0]
     }
@@ -252,7 +252,7 @@ def test_restore_rolls_back_as_new_commit(spark, table):
     h = table.history()
     assert h[-1]["operation"] == "restore"
     # restore after vacuuming the target must refuse
-    table.vacuum(keep_last=1)
+    table.vacuum(keep_last=1, retention_seconds=0)
     with pytest.raises(FileNotFoundError):
         table.restore(v - 1)
 
@@ -346,6 +346,74 @@ def test_real_concurrent_appends_all_land(spark, table):
     assert vs == sorted(set(vs))  # no duplicate/missing versions
 
 
+def test_vacuum_retention_protects_recent_snapshots(spark, table):
+    # a merge rewrites files; the pre-merge snapshot's files are
+    # unreferenced by the head but were the head within the window —
+    # default-retention vacuum must keep them readable
+    v_old = table.latest_version()
+    table.merge(
+        spark.createDataFrame(
+            [(3, "three", 0.0)], "id long, name string, val double"
+        )
+    )
+    removed = table.vacuum(keep_last=1)  # default 7-day retention
+    assert removed == []
+    assert table.snapshot(version=v_old).count() == 100
+
+
+def test_vacuum_retention_protects_inflight_staged_files(spark, table):
+    # files staged by an in-flight writer sit in data/ unreferenced
+    # until its commit lands; a retention-window vacuum must not
+    # sweep them (their mtime is younger than the window)
+    df = spark.createDataFrame(
+        [(7777, "inflight", 1.0)], "id long, name string, val double"
+    )
+    add = table._stage_files(df)  # writer paused mid-commit
+    removed = table.vacuum(keep_last=1, retention_seconds=3600)
+    assert not any(rec["path"] in removed for rec in add)
+    # the paused writer can still complete its commit
+    table._commit("append", add, [], expected_head=None)
+    assert table.snapshot().filter("id = 7777").count() == 1
+
+
+def test_concurrent_appends_with_vacuum_no_lost_data(spark, table):
+    """Appenders racing a retention-window vacuum: every committed
+    row must survive (the round-4 hazard was vacuum sweeping an
+    in-flight writer's staged-but-uncommitted files)."""
+    import threading
+
+    errors = []
+
+    def writer(i):
+        try:
+            df = spark.createDataFrame(
+                [(20_000 + i, f"v{i}", float(i))],
+                "id long, name string, val double",
+            )
+            table.append(df)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def vacuumer():
+        try:
+            for _ in range(6):
+                table.vacuum(keep_last=1, retention_seconds=3600)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(6)
+    ] + [threading.Thread(target=vacuumer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert table.snapshot().filter("id >= 20000").count() == 6
+    # and the base table is intact
+    assert table.snapshot().filter("id < 20000").count() == 100
+
+
 def test_bloom_index_prunes_interleaved_files(spark, tmp_path):
     """Even keys in one file, odd in another: min/max stats overlap
     completely, so only the bloom sidecar can discriminate."""
@@ -406,7 +474,7 @@ def test_vacuum_keeps_live_bloom_sidecars(spark, tmp_path):
     t.build_bloom_index()
     # churn a version so vacuum has something to consider
     t.append(spark.createDataFrame([(2, "b")], "id long, tag string"))
-    t.vacuum(keep_last=1)
+    t.vacuum(keep_last=1, retention_seconds=0)
     # the live file's sidecar survived and lookup still works
     assert t.lookup(1).first().tag == "a"
 
