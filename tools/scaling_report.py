@@ -35,6 +35,88 @@ PICKS = [
     "t3_quality_fingerprint",  # text codegen
     "u5_ccd_segments",         # pandas kernel
     "x2_assemble_series",      # explode/assemble
+    "x3_mixture_split",        # mixture bucket thresholds (r5)
+    "x5_upsert",               # transactional lake MERGE (r5)
+]
+
+
+# non-registry operator families (round-4 additions) — measured with
+# the same methodology over data-scaled inputs
+def _probe_pagerank(spark, sf):
+    """Edge count scales with the events table; dst is a codegen hash
+    fold so the graph stays connected-ish at every SF."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.graph import pagerank
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, "events", sf)
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") + F.col("event_id") % 97) % 10_000).alias(
+            "dst"
+        ),
+    )
+    return pagerank(edges, max_iter=8, tol=1e-6)
+
+
+def _probe_bm25(spark, sf):
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.retrieval import bm25_topk
+
+    docs = read_table(spark, "documents", sf)
+    qs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "data model and system design"),
+            (3, "world news report today"),
+        ],
+        ["query_id", "query"],
+    )
+    return bm25_topk(docs, qs, k=10)
+
+
+def _probe_perplexity(spark, sf):
+    """Train the bigram LM on the documents table and score the same
+    corpus — both halves scale with input."""
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.perplexity import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = read_table(spark, "documents", sf)
+    uni, bi, v = train_bigram_lm(docs)
+    return score_perplexity(docs, uni, bi, v)
+
+
+def _probe_web_curation(spark, sf):
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.web import (
+        blocklist_gate,
+        domain_cap,
+    )
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, "documents", sf).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("doc_id"),
+        ),
+    )
+    bl = spark.createDataFrame(
+        [("blocked.example.com",)], ["domain"]
+    )
+    return domain_cap(blocklist_gate(docs, bl), max_docs=1000)
+
+
+EXTRA_PROBES = [
+    ("pagerank_events_graph", _probe_pagerank),
+    ("bm25_topk_3q", _probe_bm25),
+    ("perplexity_train_score", _probe_perplexity),
+    ("web_blocklist_domain_cap", _probe_web_curation),
 ]
 
 
@@ -48,14 +130,15 @@ def main() -> None:
     queries, _ = merged()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    runners = [(n, queries[n]) for n in PICKS] + EXTRA_PROBES
     results: dict[str, dict[str, float]] = {}
     for sf in sf_dirs:
-        for name in PICKS:
+        for name, fn in runners:
             best = None
             for _ in range(2):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                queries[name](spark, sf).write.format("noop").mode(
+                fn(spark, sf).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 dt = time.perf_counter() - t0
@@ -80,7 +163,7 @@ def main() -> None:
         ) + " |",
         "|---|" + "---|" * (2 * len(tags) - 1),
     ]
-    for name in PICKS:
+    for name, _ in runners:
         row = [name]
         ts = [results[name][d] for d in sf_dirs]
         row += [f"{t:.2f}s" for t in ts]
