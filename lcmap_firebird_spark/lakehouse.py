@@ -56,13 +56,14 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 _TXN = "_txn"
 _DATA = "data"
 _WIDTH = 20
+_DV_SCHEMA = "file string, row_index bigint"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -176,13 +177,13 @@ class LakeTable:
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of `version` (default: latest). Plain parquet
-        scan over the live files — pushdown/pruning apply as usual."""
+        scan over the live files — pushdown/pruning apply as usual;
+        files covered by a deletion vector additionally anti-join
+        their deleted positions (DV-free tables keep the bare scan)."""
         live, head = self._live(version)
         schema = StructType.fromJson(json.loads(head["schema"]))
-        if not live:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, r["path"]) for r in live]
-        return self.spark.read.schema(schema).parquet(*paths)
+        data, dvs = self._split_live(live)
+        return self._scan_live(data, dvs, schema)
 
     # -- write -------------------------------------------------------------
 
@@ -332,6 +333,179 @@ class LakeTable:
         hit_names = {os.path.basename(r["_f"]) for r in hits}
         return [p for p in cands if os.path.basename(p) in hit_names]
 
+    # -- deletion vectors (merge-on-read deletes) --------------------------
+
+    @staticmethod
+    def _split_live(live: list[dict]) -> tuple[list[dict], list[dict]]:
+        """(data records, deletion-vector records). DV records carry
+        kind='dv' and never hold table rows."""
+        data = [r for r in live if r.get("kind") != "dv"]
+        dvs = [r for r in live if r.get("kind") == "dv"]
+        return data, dvs
+
+    @staticmethod
+    def _rel_file() -> Column:
+        """'data/<basename>' of the file a scanned row came from —
+        the root-relative key DV rows are recorded under (absolute
+        URIs would break if the table directory moves)."""
+        return F.concat(
+            F.lit(_DATA + "/"),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ),
+        )
+
+    def _dv_df(self, dvs: list[dict]) -> DataFrame:
+        return self.spark.read.schema(_DV_SCHEMA).parquet(
+            *[os.path.join(self.root, r["path"]) for r in dvs]
+        )
+
+    def _scan_live(
+        self,
+        data: list[dict],
+        dvs: list[dict],
+        schema: StructType,
+        keep_pos: bool = False,
+    ) -> DataFrame:
+        """The ONE read path every consumer routes through: scan the
+        given data records under `schema` with live deletion vectors
+        applied. Files no DV covers take the plain parquet scan
+        (identical plan to a DV-free table — the common case pays
+        nothing); covered files carry (_file, _ridx) from the
+        parquet reader's metadata column and anti-join the DV rows.
+        `keep_pos=True` returns (_file, _ridx) on every row — the
+        position source for recording NEW deletion vectors."""
+        if not data:
+            df = self.spark.createDataFrame([], schema)
+            if keep_pos:
+                df = df.withColumn("_file", F.lit(None).cast("string"))
+                df = df.withColumn("_ridx", F.lit(None).cast("bigint"))
+            return df
+        covered_set = set()
+        for r in dvs:
+            covered_set.update(r.get("covers", []))
+        live_paths = [r["path"] for r in data]
+        covered = [p for p in live_paths if p in covered_set]
+        plain = [p for p in live_paths if p not in covered_set]
+        cols = [f.name for f in schema.fields]
+        pos_cols = [
+            self._rel_file().alias("_file"),
+            F.col("_metadata.row_index").alias("_ridx"),
+        ]
+        parts = []
+        if plain:
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in plain]
+            )
+            parts.append(df.select(*cols, *pos_cols) if keep_pos else df)
+        if covered:
+            dv = self._dv_df(dvs).select(
+                F.col("file").alias("_file"),
+                F.col("row_index").alias("_ridx"),
+            )
+            df = (
+                self.spark.read.schema(schema)
+                .parquet(*[os.path.join(self.root, p) for p in covered])
+                .select(*cols, *pos_cols)
+                .join(dv, ["_file", "_ridx"], "left_anti")
+            )
+            parts.append(df if keep_pos else df.drop("_file", "_ridx"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def delete_mor(self, predicate: str, extra: dict | None = None) -> int:
+        """Merge-on-read delete: record matching row POSITIONS in a
+        deletion-vector dataset instead of rewriting data files —
+        O(matches) written regardless of file sizes, the Delta
+        deletion-vector design on Spark's `_metadata.row_index`.
+        Readers apply DVs via a position anti-join scoped to covered
+        files; copy-on-write operations (merge/compact/delete) read
+        through the same DV-applied scan, so rewritten files
+        materialize the deletes and the DV rows for them become
+        inert. Each delete_mor commit REPLACES the live DV dataset
+        with (old live rows ∪ new matches) — exactly one DV dataset
+        is live at a time.
+
+        Read-dependent commit (like merge): raises
+        ConcurrentWriteError if the log advances underneath."""
+        head = self.latest_version()
+        live, head_entry = self._live(head)
+        data, dvs = self._split_live(live)
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        if not data:
+            return self._commit(
+                "delete_mor", [], [], expected_head=head, extra=extra
+            )
+        scan = self._scan_live(data, dvs, schema, keep_pos=True)
+        matches = scan.filter(predicate).select(
+            F.col("_file").alias("file"),
+            F.col("_ridx").alias("row_index"),
+        ).localCheckpoint(eager=True)
+        if not matches.limit(1).count():
+            # nothing newly deleted: keep the existing DV dataset
+            return self._commit(
+                "delete_mor", [], [], expected_head=head, extra=extra
+            )
+        new_dv = matches
+        if dvs:
+            # carry forward old DV rows for files still live (rows
+            # for since-rewritten files are dropped — inert anyway)
+            live_files = self.spark.createDataFrame(
+                [(r["path"],) for r in data], "file string"
+            )
+            old = self._dv_df(dvs).join(
+                F.broadcast(live_files), "file", "left_semi"
+            )
+            new_dv = old.unionByName(matches)
+        # stage the DV dataset like data files (invisible pre-commit)
+        tmp = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
+        new_dv.write.mode("overwrite").parquet(tmp)
+        dv_stat = self.spark.read.schema(_DV_SCHEMA).parquet(tmp).agg(
+            F.count("*").alias("n"),
+            F.collect_set("file").alias("files"),
+        ).first()
+        if not dv_stat["n"]:
+            for f in os.listdir(tmp):
+                os.remove(os.path.join(tmp, f))
+            os.rmdir(tmp)
+            return self._commit(
+                "delete_mor", [], [], expected_head=head, extra=extra
+            )
+        import pyarrow.parquet as pq
+
+        covers = sorted(dv_stat["files"])
+        add = []
+        for f in sorted(os.listdir(tmp)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{_DATA}/{uuid.uuid4().hex}.dv.parquet"
+            dst = os.path.join(self.root, name)
+            os.rename(os.path.join(tmp, f), dst)
+            n_rows = pq.ParquetFile(dst).metadata.num_rows
+            if not n_rows:
+                os.remove(dst)
+                continue
+            add.append(
+                {
+                    "path": name,
+                    "kind": "dv",
+                    "covers": covers,
+                    "rows": int(n_rows),
+                }
+            )
+        for leftover in os.listdir(tmp):
+            os.remove(os.path.join(tmp, leftover))
+        os.rmdir(tmp)
+        return self._commit(
+            "delete_mor",
+            add,
+            [r["path"] for r in dvs],
+            expected_head=head,
+            extra=extra,
+        )
+
     def merge(
         self,
         source: DataFrame,
@@ -349,6 +523,7 @@ class LakeTable:
         advances between snapshot and commit."""
         head = self.latest_version()
         live, head_entry = self._live(head)
+        data, dvs = self._split_live(live)
         key_cols = head_entry["key_cols"]
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
         source = source.select(
@@ -366,11 +541,12 @@ class LakeTable:
                     "dedupe_source=True to keep an arbitrary one"
                 )
         keys = source.select(*key_cols)
-        affected = self._affected_files(live, keys, key_cols)
+        affected = self._affected_files(data, keys, key_cols)
         if affected:
-            scan = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, p) for p in affected]
-            )
+            # DV-applied scan: rows already deleted merge-on-read
+            # must not resurrect in the rewritten files
+            recs = [r for r in data if r["path"] in set(affected)]
+            scan = self._scan_live(recs, dvs, schema)
             survivors = scan.join(
                 F.broadcast(keys), key_cols, "left_anti"
             )
@@ -384,32 +560,25 @@ class LakeTable:
 
     def delete(self, predicate: str) -> int:
         """Delete rows matching the SQL predicate (copy-on-write on
-        files containing matches; read-dependent commit)."""
+        files containing matches; read-dependent commit). For
+        O(matches) deletes that never rewrite data files, see
+        `delete_mor`."""
         head = self.latest_version()
         live, head_entry = self._live(head)
+        data, dvs = self._split_live(live)
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
-        paths = [os.path.join(self.root, r["path"]) for r in live]
-        if not paths:
+        if not data:
             return self._commit("delete", [], [], expected_head=head)
-        scan = self.spark.read.schema(schema).parquet(*paths)
+        scan = self._scan_live(data, dvs, schema, keep_pos=True)
         hits = (
-            scan.withColumn("_f", F.input_file_name())
-            .filter(predicate)
-            .select("_f")
-            .distinct()
-            .collect()
+            scan.filter(predicate).select("_file").distinct().collect()
         )
-        hit_names = {os.path.basename(r["_f"]) for r in hits}
-        affected = [
-            r["path"]
-            for r in live
-            if os.path.basename(r["path"]) in hit_names
-        ]
+        hit_paths = {r["_file"] for r in hits}
+        affected = [r["path"] for r in data if r["path"] in hit_paths]
         if not affected:
             return self._commit("delete", [], [], expected_head=head)
-        sub = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, p) for p in affected]
-        )
+        recs = [r for r in data if r["path"] in set(affected)]
+        sub = self._scan_live(recs, dvs, schema)
         keep = sub.filter(f"NOT ({predicate})")
         add = self._stage_files(keep)
         return self._commit("delete", add, affected, expected_head=head)
@@ -490,15 +659,16 @@ class LakeTable:
         re-run)."""
         head = self.latest_version()
         live, head_entry = self._live(head)
-        small = [r for r in live if r.get("rows", 0) < target_rows]
+        data, dvs = self._split_live(live)
+        small = [r for r in data if r.get("rows", 0) < target_rows]
         if len(small) < 2:
             return head
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
         total = sum(r.get("rows", 0) for r in small)
         n_out = max(1, -(-total // target_rows))
-        scan = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, r["path"]) for r in small]
-        )
+        # DV-applied scan: compacting a covered file MATERIALIZES its
+        # merge-on-read deletes (the DV rows for it become inert)
+        scan = self._scan_live(small, dvs, schema)
         add = self._stage_files(scan.repartition(n_out))
         return self._commit(
             "compact", add, [r["path"] for r in small], expected_head=head
@@ -557,6 +727,7 @@ class LakeTable:
         """(live paths whose stats intersect every [lo, hi] range,
         total live count). Pure log metadata — no file I/O."""
         live, _ = self._live(version)
+        live, _dvs = self._split_live(live)
         keep = []
         for rec in live:
             hit = True
@@ -579,14 +750,11 @@ class LakeTable:
         skipping read path. Row-level filtering still applies (file
         stats only bound, they don't partition)."""
         paths, _ = self.pruned_paths(ranges, version)
-        _, head = self._live(version)
+        live, head = self._live(version)
+        data, dvs = self._split_live(live)
         schema = StructType.fromJson(json.loads(head["schema"]))
-        if not paths:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, p) for p in paths]
-            )
+        recs = [r for r in data if r["path"] in set(paths)]
+        df = self._scan_live(recs, dvs, schema)
         cond = None
         for c, (lo, hi) in ranges.items():
             term = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
@@ -732,6 +900,10 @@ class LakeTable:
 
         head = self.latest_version()
         live, head_entry = self._live(head)
+        # DV records are never bloom-indexed; blooms over data files
+        # ignore DVs (a deleted key in the bloom is only a false
+        # positive — the lookup's row filter still excludes it)
+        live, _dvs = self._split_live(live)
         key = head_entry["key_cols"][0]
         add = []
         for rec in live:
@@ -775,13 +947,14 @@ class LakeTable:
         import hashlib
 
         live, head_entry = self._live()
+        data, dvs = self._split_live(live)
         key = head_entry["key_cols"][0]
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
         d = hashlib.md5(str(value).encode()).digest()
         h1 = int.from_bytes(d[:8], "big")
         h2 = int.from_bytes(d[8:], "big") | 1
         paths = []
-        for rec in live:
+        for rec in data:
             st = (rec.get("stats") or {}).get(key)
             if st is not None and (value < st[0] or value > st[1]):
                 continue
@@ -797,11 +970,8 @@ class LakeTable:
                 ):
                     continue
             paths.append(rec["path"])
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, p) for p in paths]
-        )
+        recs = [r for r in data if r["path"] in set(paths)]
+        df = self._scan_live(recs, dvs, schema)
         return df.filter(F.col(key) == F.lit(value))
 
     def apply_changes(
@@ -821,6 +991,7 @@ class LakeTable:
         ambiguous — rejected."""
         head = self.latest_version()
         live, head_entry = self._live(head)
+        data, dvs = self._split_live(live)
         key_cols = head_entry["key_cols"]
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
         ops = changes.select(
@@ -842,12 +1013,11 @@ class LakeTable:
                 f"invalid {op_col} values {bad!r}: expected 'upsert' or 'delete'"
             )
         keys = ops.select(*key_cols)
-        affected = self._affected_files(live, keys, key_cols)
+        affected = self._affected_files(data, keys, key_cols)
         upserts = ops.filter(F.col("_op") != "delete").drop("_op")
         if affected:
-            scan = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, p) for p in affected]
-            )
+            recs = [r for r in data if r["path"] in set(affected)]
+            scan = self._scan_live(recs, dvs, schema)
             survivors = scan.join(F.broadcast(keys), key_cols, "left_anti")
             rewritten = survivors.unionByName(upserts)
         else:

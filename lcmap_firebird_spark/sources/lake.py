@@ -39,6 +39,11 @@ from pyspark.sql.types import StructType
 class LakeFilePartition(InputPartition):
     path: str
     schema_json: str
+    # deletion-vector support: the file's root-relative name plus the
+    # absolute paths of live DV parquet datasets covering it (empty
+    # for uncovered files — the common fast path)
+    rel: str = ""
+    dv_paths: tuple = ()
 
 
 class LakeDataSource(DataSource):
@@ -130,18 +135,45 @@ def _read_file_partition(part: LakeFilePartition):
     """Worker-side Arrow read of one data file under the declared
     schema (shared by the batch and streaming readers): stream the
     parquet RecordBatches, null-filling columns added by schema
-    evolution after this file was written."""
+    evolution after this file was written, and masking out rows whose
+    positions appear in a covering deletion vector."""
     import json as _json
 
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType as _St
 
+    deleted = None
+    if part.dv_paths:
+        idxs = []
+        for dvp in part.dv_paths:
+            t = pq.read_table(
+                dvp,
+                columns=["row_index"],
+                filters=[("file", "==", part.rel)],
+            )
+            idxs.extend(t.column("row_index").to_pylist())
+        if idxs:
+            deleted = np.unique(np.array(idxs, dtype=np.int64))
+
     target = to_arrow_schema(_St.fromJson(_json.loads(part.schema_json)))
     pf = pq.ParquetFile(part.path)
     present = set(pf.schema_arrow.names)
+    offset = 0
     for batch in pf.iter_batches():
+        n = batch.num_rows
+        if deleted is not None:
+            pos = np.arange(offset, offset + n, dtype=np.int64)
+            keep = ~np.isin(pos, deleted)
+            offset += n
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                if batch.num_rows == 0:
+                    continue
+        else:
+            offset += n
         cols = []
         for field in target:
             if field.name in present:
@@ -160,11 +192,22 @@ class LakeReader(DataSourceReader):
         import os as _os
 
         sj = _json.dumps(self._schema_json)
+        data = [r for r in self._live if r.get("kind") != "dv"]
+        dvs = [r for r in self._live if r.get("kind") == "dv"]
+        covered = set()
+        for r in dvs:
+            covered.update(r.get("covers", []))
+        dv_abs = tuple(
+            _os.path.join(self._root, r["path"]) for r in dvs
+        )
         return [
             LakeFilePartition(
-                _os.path.join(self._root, rec["path"]), sj
+                _os.path.join(self._root, rec["path"]),
+                sj,
+                rel=rec["path"],
+                dv_paths=dv_abs if rec["path"] in covered else (),
             )
-            for rec in self._live
+            for rec in data
         ]
 
     def read(self, part: LakeFilePartition):
@@ -314,13 +357,17 @@ class LakeStreamReader(DataSourceStreamReader):
         if not entries:
             return []
         sj = _json.dumps(_json.loads(entries[-1]["schema"]))
+        # kind='dv' adds are deletion-vector datasets, not row data:
+        # the append-only stream skips them (deletes don't stream —
+        # the Delta source's ignoreDeletes posture; CDC consumers
+        # read batches written via mode="cdc" instead)
         return [
             LakeFilePartition(
                 _os.path.join(self._root, rec["path"]), sj
             )
             for e in entries
             for rec in e.get("add", [])
-            if rec.get("rows")
+            if rec.get("rows") and rec.get("kind") != "dv"
         ]
 
     def read(self, partition):

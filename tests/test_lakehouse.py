@@ -479,6 +479,145 @@ def test_vacuum_keeps_live_bloom_sidecars(spark, tmp_path):
     assert t.lookup(1).first().tag == "a"
 
 
+def _dv_recs(table):
+    return [r for r in table._live()[0] if r.get("kind") == "dv"]
+
+
+def _data_recs(table):
+    return [r for r in table._live()[0] if r.get("kind") != "dv"]
+
+
+def test_delete_mor_no_rewrite_same_result_as_cow(spark, table):
+    before_files = {r["path"] for r in _data_recs(table)}
+    v = table.delete_mor("id % 10 = 3")
+    assert v == table.latest_version()
+    # data files untouched — only a DV dataset was added
+    assert {r["path"] for r in _data_recs(table)} == before_files
+    dvs = _dv_recs(table)
+    assert dvs and sum(r["rows"] for r in dvs) == 10
+    snap = table.snapshot()
+    assert snap.count() == 90
+    assert snap.filter("id % 10 = 3").count() == 0
+    assert snap.filter("id = 4").count() == 1
+    # time travel to the pre-delete snapshot still sees every row
+    assert table.snapshot(version=v - 1).count() == 100
+
+
+def test_delete_mor_accumulates_one_live_dv_dataset(spark, table):
+    table.delete_mor("id < 5")
+    table.delete_mor("id >= 95")
+    snap = table.snapshot()
+    assert snap.count() == 90
+    assert snap.filter("id < 5 OR id >= 95").count() == 0
+    assert sum(r["rows"] for r in _dv_recs(table)) == 10
+    # deleting already-deleted rows is a no-op commit, DV kept intact
+    v = table.latest_version()
+    table.delete_mor("id < 5")
+    assert sum(r["rows"] for r in _dv_recs(table)) == 10
+    assert table.latest_version() == v + 1  # noop commit still logs
+
+
+def test_delete_mor_then_merge_does_not_resurrect(spark, table, oracle):
+    table.delete_mor("id BETWEEN 10 AND 19")
+    src = spark.createDataFrame(
+        [(15, "fifteen", 1.5), (200, "new", 2.0)],
+        "id long, name string, val double",
+    )
+    table.merge(src)
+    snap = table.snapshot()
+    # 100 - 10 deleted + 1 re-inserted via merge + 1 new
+    assert snap.count() == 92
+    assert snap.filter("id = 15").first().name == "fifteen"
+    # the other MOR-deleted ids stayed deleted through the COW rewrite
+    assert snap.filter("id BETWEEN 10 AND 19 AND id != 15").count() == 0
+
+
+def test_delete_mor_then_compact_materializes(spark, table):
+    table.delete_mor("id % 2 = 0")
+    assert table.snapshot().count() == 50
+    table.compact(target_rows=1_000_000)
+    assert table.snapshot().count() == 50
+    # the compacted files are not covered by any DV anymore: the scan
+    # of live data no longer needs the anti-join (covers ∩ live = ∅)
+    live_data = {r["path"] for r in _data_recs(table)}
+    covered = set()
+    for r in _dv_recs(table):
+        covered.update(r.get("covers", []))
+    assert not (covered & live_data)
+
+
+def test_delete_mor_cow_delete_interplay(spark, table):
+    table.delete_mor("id < 10")
+    table.delete("id >= 90")  # COW delete reads through the DV scan
+    snap = table.snapshot()
+    assert snap.count() == 80
+    assert snap.filter("id < 10 OR id >= 90").count() == 0
+
+
+def test_delete_mor_datasource_and_lookup_and_scan(spark, table):
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    table.delete_mor("id % 5 = 0")
+    spark.dataSource.register(LakeDataSource)
+    ds = (
+        spark.read.format("lake").option("path", table.root).load()
+    )
+    assert ds.count() == 80
+    assert ds.filter("id % 5 = 0").count() == 0
+    # point lookup of a deleted key finds nothing
+    assert table.lookup(10).count() == 0
+    assert table.lookup(11).count() == 1
+    # stats-pruned scan applies the DV too
+    got = table.scan({"id": (0, 20)})
+    assert got.filter("id % 5 = 0").count() == 0
+    assert got.count() == 21 - 5
+
+
+def test_delete_mor_restore_and_vacuum(spark, table):
+    v0 = table.latest_version()
+    table.delete_mor("id < 50")
+    assert table.snapshot().count() == 50
+    # restore to the pre-delete version un-deletes (metadata only)
+    table.restore(v0)
+    assert table.snapshot().count() == 100
+    # go forward again and vacuum: the DV dataset is referenced by
+    # the head after a fresh MOR delete, so it must survive
+    table.delete_mor("id < 50")
+    removed = table.vacuum(keep_last=1, retention_seconds=0)
+    assert table.snapshot().count() == 50
+    # the live DV dataset was never swept
+    live_dv_paths = {r["path"] for r in _dv_recs(table)}
+    assert not (live_dv_paths & set(removed))
+    import os as _os
+
+    for p in live_dv_paths:
+        assert _os.path.exists(_os.path.join(table.root, p))
+
+
+def test_delete_mor_streaming_source_skips_dv_commits(spark, table, tmp_path):
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    spark.dataSource.register(LakeDataSource)
+    table.delete_mor("id < 90")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("lake")
+        .option("path", table.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # the stream emits the APPEND history (100 original rows); the
+    # delete_mor commit itself contributes no rows
+    assert got.count() == 100
+
+
 def test_apply_changes_mixed_batch_atomic(spark, table):
     changes = spark.createDataFrame(
         [
