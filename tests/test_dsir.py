@@ -1,0 +1,135 @@
+"""DSIR importance resampling (operators/dsir.py) vs an independent
+pure-Python implementation of the paper's recipe with the same
+md5-derived hashing."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from lcmap_firebird_spark.operators.dsir import (
+    DSIR_BUCKETS,
+    dsir_sample,
+    feature_counts,
+    importance_weights,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _grams(text: str) -> list[str]:
+    t = [w for w in re.split(r"\s+", text) if w]
+    return t + [" ".join(p) for p in zip(t, t[1:])]
+
+
+def _buckets(text: str, B: int) -> Counter:
+    return Counter(_h60(g) % B for g in _grams(text))
+
+
+def _counts(texts: list[str], B: int) -> Counter:
+    c = Counter()
+    for t in texts:
+        c.update(_buckets(t, B))
+    return c
+
+
+def _log_w(text: str, tc: Counter, rc: Counter, B: int, k: float = 1.0):
+    tt, tr = sum(tc.values()), sum(rc.values())
+    w = 0.0
+    for b, n in _buckets(text, B).items():
+        lp_t = math.log((tc.get(b, 0) + k) / (tt + k * B))
+        lp_r = math.log((rc.get(b, 0) + k) / (tr + k * B))
+        w += n * (lp_t - lp_r)
+    return w
+
+
+def _gumbel(doc_id: int, salt: str = "dsir") -> float:
+    u = (_h60(f"{salt}{doc_id}") + 0.5) / float(1 << 60)
+    return -math.log(-math.log(u))
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.filter("lang = 'en'").limit(60)
+    raw = docs
+    return docs, target, raw
+
+
+def test_weights_match_pure_python(spark, corpora):
+    docs, target, raw = corpora
+    tc = feature_counts(target)
+    rc = feature_counts(raw)
+    got = {
+        r["doc_id"]: r["log_w"]
+        for r in importance_weights(docs.limit(80), tc, rc).collect()
+    }
+    t_texts = [r["text"] for r in target.collect()]
+    r_texts = [r["text"] for r in raw.collect()]
+    tpy = _counts(t_texts, DSIR_BUCKETS)
+    rpy = _counts(r_texts, DSIR_BUCKETS)
+    want = {
+        r["doc_id"]: _log_w(r["text"], tpy, rpy, DSIR_BUCKETS)
+        for r in docs.limit(80).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], rel=1e-9, abs=1e-9)
+
+
+def test_sample_is_gumbel_topk_and_deterministic(spark, corpora):
+    docs, target, raw = corpora
+    tc = feature_counts(target)
+    rc = feature_counts(raw)
+    sel = dsir_sample(docs, tc, rc, k=50)
+    ids = {r["doc_id"] for r in sel.collect()}
+    assert len(ids) == 50
+    # pure-Python Gumbel top-k with the same deterministic noise
+    t_texts = [r["text"] for r in target.collect()]
+    r_texts = [r["text"] for r in raw.collect()]
+    tpy = _counts(t_texts, DSIR_BUCKETS)
+    rpy = _counts(r_texts, DSIR_BUCKETS)
+    keys = {
+        r["doc_id"]: _log_w(r["text"], tpy, rpy, DSIR_BUCKETS)
+        + _gumbel(r["doc_id"])
+        for r in docs.collect()
+    }
+    want = set(sorted(keys, key=lambda i: (-keys[i], i))[:50])
+    assert ids == want
+    # rerun: identical selection (no RNG state anywhere)
+    again = {r["doc_id"] for r in dsir_sample(docs, tc, rc, k=50).collect()}
+    assert again == ids
+
+
+def test_selection_is_biased_toward_target(spark, corpora):
+    docs, target, raw = corpora
+    tc = feature_counts(target)
+    rc = feature_counts(raw)
+    w = importance_weights(docs, tc, rc)
+    means = {
+        r["lang"]: r["m"]
+        for r in w.groupBy("lang").agg(F.avg("log_w").alias("m")).collect()
+    }
+    # the en-target model should weight en docs above every other lang
+    assert means["en"] == max(means.values())
+
+
+def test_plan_no_udf_no_cartesian_and_topk_not_full_sort(spark, corpora):
+    docs, target, raw = corpora
+    tc = feature_counts(target)
+    rc = feature_counts(raw)
+    sel = dsir_sample(docs, tc, rc, k=10)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # limit+orderBy compiles to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
