@@ -83,6 +83,10 @@ def prepare_corpus(
     quality_model: tuple[DataFrame, float, float] | None = None,
     perplexity_model: tuple[DataFrame, DataFrame, int, float] | None = None,
     substring_k: int | None = None,
+    embeddings: DataFrame | None = None,
+    semdedup_eps: float = 0.05,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
     mixture: dict[str, float] | None = None,
     mixture_tokens: int | None = None,
     domain_col: str = "source",
@@ -108,13 +112,21 @@ def prepare_corpus(
     before redaction. `mixture`/`mixture_tokens` compose the final
     per-domain token-budget mix (operators/mixture) as the LAST
     selection stage — budgets should govern what actually ships.
-    `redact=True` rewrites text through the PII scrubber as the
-    final projection (post-dedup: fingerprints/signatures key on the
-    ORIGINAL bytes, and redaction must not change dedup decisions)."""
+    `embeddings` (vec_id keyed by doc_id) adds the SemDeDup semantic
+    rung (operators/semdedup) after the lexical ladder — MinHash
+    catches shared words, the embedding rung catches shared MEANING;
+    docs without an embedding pass. `dsir_target`/`dsir_k` run DSIR
+    importance resampling (operators/dsir) as a target-domain
+    selection stage before mixture budgeting. `redact=True` rewrites
+    text through the PII scrubber as the final projection (post-dedup:
+    fingerprints/signatures key on the ORIGINAL bytes, and redaction
+    must not change dedup decisions)."""
     if mixture is not None and mixture_tokens is None:
         raise ValueError(
             "mixture requires mixture_tokens (the total token budget)"
         )
+    if (dsir_target is None) != (dsir_k is None):
+        raise ValueError("dsir_target and dsir_k must be set together")
     gated = language_gate(quality_gate(docs, **gate_kwargs), languages)
     if quality_model is not None:
         # learned gate AFTER the heuristics (cheap row-local
@@ -140,6 +152,16 @@ def prepare_corpus(
     clusters = dedup_clusters(pairs, all_ids=kept.select("doc_id"))
     keepers = clusters.filter(F.col("is_keeper")).select("doc_id")
     survivors = kept.join(keepers, ["doc_id"], "left_semi")
+    if embeddings is not None:
+        # semantic rung AFTER the lexical ladder: the lexical pass
+        # already collapsed byte/shingle duplicates, so the
+        # cluster-bounded cosine pass sees only lexically-distinct
+        # survivors
+        from ..operators.semdedup import semdedup_gate
+
+        survivors = semdedup_gate(
+            survivors, embeddings, eps=semdedup_eps
+        )
     if benchmark is not None:
         from ..operators.pipeline import decontaminate
 
@@ -152,6 +174,18 @@ def prepare_corpus(
             *[c for c in survivors.columns if c != "text"],
             F.col("clean_text").alias("text"),
         )
+    if dsir_target is not None:
+        # target-domain selection before mixture budgeting: pick the
+        # dsir_k survivors whose hashed-ngram profile best matches
+        # the target corpus (raw model = the survivors themselves)
+        from ..operators.dsir import dsir_sample, feature_counts
+
+        survivors = dsir_sample(
+            survivors,
+            feature_counts(dsir_target),
+            feature_counts(survivors),
+            k=int(dsir_k),
+        ).drop("log_w")
     if mixture is not None:
         from ..operators.mixture import compose_mixture
 

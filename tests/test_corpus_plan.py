@@ -139,6 +139,64 @@ def test_mixture_stage_budgets_and_epochs(docs, prepared):
     out.unpersist()
 
 
+def test_semdedup_stage_drops_semantic_twins(spark, docs, prepared):
+    # give two lexically-distinct survivors near-identical embeddings
+    # (scaled copies: cosine exactly 1) and every other survivor an
+    # orthogonal-ish distinct direction
+    base_ids = sorted(
+        r.doc_id for r in prepared.select("doc_id").collect()
+    )
+    # the twins must not be default IVF seeds (ids < num_cells seed
+    # their own cells and would never meet) — use the two HIGHEST ids
+    # with identical vectors, so they tie to the same cell everywhere
+    a, b = base_ids[-1], base_ids[-2]
+    rows = []
+    for i, did in enumerate(base_ids):
+        if did in (a, b):
+            v = [1.0, 0.0, 0.0, 2.0]
+        else:
+            v = [0.0, 1.0, float(i % 7), 0.0]
+        rows.append((did, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = C.prepare_corpus(
+        docs,
+        languages=LANGS,
+        jaccard_threshold=THRESH,
+        embeddings=emb,
+        semdedup_eps=0.01,
+    )
+    out_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert len(out_ids & {a, b}) == 1  # one of the semantic twins left
+    assert out_ids <= set(base_ids)
+
+
+def test_dsir_stage_selects_k_toward_target(spark, docs, prepared):
+    n_before = prepared.count()
+    k = max(5, n_before // 3)
+    target = docs.filter("lang = 'en'").limit(40)
+    out = C.prepare_corpus(
+        docs,
+        languages=LANGS,
+        jaccard_threshold=THRESH,
+        dsir_target=target,
+        dsir_k=k,
+    )
+    assert out.count() == k
+    # deterministic selection
+    again = C.prepare_corpus(
+        docs,
+        languages=LANGS,
+        jaccard_threshold=THRESH,
+        dsir_target=target,
+        dsir_k=k,
+    )
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in again.collect()
+    }
+    with pytest.raises(ValueError, match="dsir_target and dsir_k"):
+        C.prepare_corpus(docs, dsir_k=5)
+
+
 def test_manifest_counts_and_checksum(spark, prepared, tmp_path):
     import json
     import os
