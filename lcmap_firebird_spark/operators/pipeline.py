@@ -173,6 +173,116 @@ def decontaminate(
     return corpus.join(hits, corpus[id_col] == hits["doc_id"], "left_anti")
 
 
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document overlap FRACTION: distinct n-gram shingles shared
+    with the benchmark / distinct shingles in the doc — the graded
+    contamination metric the GPT-3/PaLM appendices use (a quote-level
+    hit shouldn't kill a long document the way `min_hits=1` boolean
+    decontamination does; threshold the fraction instead).
+
+    Output: (doc_id, n_shingles, n_shared, frac). Shingles shuffle as
+    60-bit fingerprints (dedup.py discipline — never raw text); the
+    benchmark side collapses to one distinct-fingerprint frame and
+    broadcasts. Docs with fewer than n tokens have no shingles and
+    report frac 0 over 0 shingles. 60-bit collisions are ~2^-60 per
+    pair — a vanishing overcount, same trade the dedup ladder makes.
+    """
+    from .dedup import hash60, shingles, spread
+
+    bench = (
+        benchmark.select(
+            F.explode(shingles(bench_text_col, n)).alias("_s")
+        )
+        .select(hash60(F.col("_s")).alias("fp"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corp = (
+        spread(corpus, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(text_col, n)).alias("_s"),
+        )
+        .select("doc_id", hash60(F.col("_s")).alias("fp"))
+        .distinct()
+    )
+    per_doc = (
+        corp.join(F.broadcast(bench), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_shared"),
+        )
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.col("n_shared") / F.col("n_shingles"),
+        )
+        .otherwise(0.0)
+        .alias("frac"),
+    )
+
+
+def decontaminate_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    max_fraction: float,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop docs whose benchmark-overlap fraction EXCEEDS
+    max_fraction (graded sibling of `decontaminate`)."""
+    bad = contamination_fraction(
+        corpus, benchmark, n=n, id_col=id_col, text_col=text_col
+    ).filter(F.col("frac") > float(max_fraction)).select("doc_id")
+    return corpus.join(
+        bad, corpus[id_col] == bad["doc_id"], "left_anti"
+    )
+
+
+def dedupe_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Within-document repetition removal (the Gopher rule family:
+    drop duplicate lines/paragraphs inside one doc, keeping the first
+    occurrence in order). `sep='\\n'` dedupes lines, `'\\n\\n'`
+    paragraphs. Pure codegen: split → keep element i iff its first
+    occurrence index is i (array_position is 1-based) → rejoin.
+
+    The segment array is STAGED in its own projection before the
+    filter lambda references it — referencing the split() expression
+    inside the HOF lambda would re-split the text per element
+    (PLANS.md rule 14). The remaining per-doc cost is
+    O(segments²) worst-case scans inside one row — row-local, no
+    shuffle, fine for real document line counts."""
+    out_col = out_col or text_col
+    staged = df.withColumn("_segs", F.split(F.col(text_col), sep))
+    deduped = F.array_join(
+        F.filter(
+            F.col("_segs"),
+            lambda x, i: F.array_position(F.col("_segs"), x) == i + 1,
+        ),
+        sep,
+    )
+    return staged.withColumn(out_col, deduped).drop("_segs")
+
+
 # --- sequence packing -------------------------------------------------------
 
 

@@ -113,6 +113,72 @@ def test_contamination_detects_verbatim_inclusion(spark, sf_dir):
     assert clean.count() == docs.count() - len(flagged)
     assert clean.filter(F.col("doc_id").isin(list(flagged))).count() == 0
 
+def test_contamination_fraction_matches_python(spark, sf_dir):
+    docs = read_table(spark, "documents", sf_dir).limit(60)
+    bench = docs.filter(F.col("doc_id").isin([3, 7])).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.frac)
+        for r in P.contamination_fraction(docs, bench, n=8).collect()
+    }
+
+    def sh(text, n=8):
+        t = [w for w in text.split() if w]
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bset = set()
+    for r in bench.collect():
+        bset |= sh(r["text"])
+    for r in docs.collect():
+        s = sh(r["text"])
+        n_sh, n_hit = len(s), len(s & bset)
+        want_frac = (n_hit / n_sh) if n_sh else 0.0
+        gn, gh, gf = got[r["doc_id"]]
+        assert (gn, gh) == (n_sh, n_hit)
+        assert gf == want_frac
+    # verbatim sources score frac 1.0; graded decontamination at a
+    # high threshold drops exactly them
+    assert got[3][2] == 1.0 and got[7][2] == 1.0
+    clean = P.decontaminate_fraction(docs, bench, max_fraction=0.7, n=8)
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    dropped = {i for i, (_, _, f) in got.items() if f > 0.7}
+    assert kept == set(got) - dropped
+
+
+def test_dedupe_segments_lines_and_paragraphs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\nd"),
+            (2, "x\nx\nx"),
+            (3, "only one line"),
+            (4, "p1 text\n\np2 text\n\np1 text"),
+        ],
+        "doc_id long, text string",
+    )
+    lines = {
+        r.doc_id: r.text
+        for r in P.dedupe_segments(docs, sep="\n").collect()
+    }
+    assert lines[1] == "a\nb\nc\nd"  # first occurrences, order kept
+    assert lines[2] == "x"
+    assert lines[3] == "only one line"
+    paras = {
+        r.doc_id: r.text
+        for r in P.dedupe_segments(docs, sep="\n\n").collect()
+    }
+    assert paras[4] == "p1 text\n\np2 text"
+    assert paras[1] == docs.filter("doc_id=1").first().text  # no \n\n
+    # pure codegen
+    plan = (
+        P.dedupe_segments(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+
 def test_sequence_packing_conserves_and_bounds(spark, sf_dir):
     """Every chunk lands in exactly one pack, no pack exceeds
     seq_len (chunks are <= chunk_tokens <= seq_len here), fill is
