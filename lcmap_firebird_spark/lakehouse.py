@@ -761,6 +761,71 @@ class LakeTable:
             cond = term if cond is None else (cond & term)
         return df.filter(cond) if cond is not None else df
 
+    def table_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two versions: the row-level diff
+        a downstream consumer needs to catch up from `from_version`
+        to `to_version` (default: latest). Output = table columns +
+        `_change_type` in {'insert', 'update_preimage',
+        'update_postimage', 'delete'}.
+
+        Computed as a snapshot diff keyed on the table's key columns
+        (full outer join of the two snapshots; rows equal on every
+        column are dropped) — correct for ANY commit mix including
+        COW rewrites and MOR deletion vectors, without per-commit row
+        tracking. Cost is a join of the two snapshots, so this is the
+        catch-up/backfill surface; per-batch streaming consumers
+        should read CDC batches written via the sink's mode='cdc',
+        which are recorded at write time for free.
+
+        Requires `from_version`'s files to still exist (not
+        vacuumed)."""
+        head_v = to_version if to_version is not None else self.latest_version()
+        old = self.snapshot(from_version)
+        new = self.snapshot(head_v)
+        _, head = self._live(head_v)
+        key_cols = head["key_cols"]
+        cols = new.columns
+        val_cols = [c for c in cols if c not in key_cols]
+        o = old.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in val_cols]).alias("_o"),
+        )
+        n = new.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in val_cols]).alias("_n"),
+        )
+        j = o.join(n, key_cols, "full_outer")
+        inserts = j.filter(F.col("_o").isNull()).select(
+            *key_cols,
+            *[F.col("_n")[c].alias(c) for c in val_cols],
+            F.lit("insert").alias("_change_type"),
+        )
+        deletes = j.filter(F.col("_n").isNull()).select(
+            *key_cols,
+            *[F.col("_o")[c].alias(c) for c in val_cols],
+            F.lit("delete").alias("_change_type"),
+        )
+        changed = j.filter(
+            F.col("_o").isNotNull()
+            & F.col("_n").isNotNull()
+            # struct inequality is null-safe member-wise in Spark,
+            # so NULL→value and value→NULL edits register as updates
+            & ~F.col("_o").eqNullSafe(F.col("_n"))
+        )
+        pre = changed.select(
+            *key_cols,
+            *[F.col("_o")[c].alias(c) for c in val_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = changed.select(
+            *key_cols,
+            *[F.col("_n")[c].alias(c) for c in val_cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
     def restore(self, version: int) -> int:
         """Roll the table back to `version` AS A NEW COMMIT (history
         is append-only; nothing is deleted, so the restore itself can

@@ -618,6 +618,37 @@ def test_delete_mor_streaming_source_skips_dv_commits(spark, table, tmp_path):
     assert got.count() == 100
 
 
+def test_table_changes_across_mixed_commits(spark, table):
+    v0 = table.latest_version()
+    # one of everything: update, insert, cow delete, mor delete
+    table.merge(
+        spark.createDataFrame(
+            [(5, "FIVE", 55.0), (300, "new", 3.0)],
+            "id long, name string, val double",
+        )
+    )
+    table.delete("id = 7")
+    table.delete_mor("id = 8")
+    cdf = table.table_changes(v0).collect()
+    by_type = {}
+    for r in cdf:
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by_type["insert"] == {300}
+    assert by_type["delete"] == {7, 8}
+    assert by_type["update_preimage"] == {5}
+    assert by_type["update_postimage"] == {5}
+    pre = [r for r in cdf if r["_change_type"] == "update_preimage"][0]
+    post = [r for r in cdf if r["_change_type"] == "update_postimage"][0]
+    assert pre["name"] == "name5" and post["name"] == "FIVE"
+    # no-change window → empty feed
+    assert table.table_changes(table.latest_version()).count() == 0
+    # bounded window: only the merge, not the later deletes
+    mid = table.table_changes(v0, v0 + 1)
+    assert {r["_change_type"] for r in mid.collect()} == {
+        "insert", "update_preimage", "update_postimage",
+    }
+
+
 def test_apply_changes_mixed_batch_atomic(spark, table):
     changes = spark.createDataFrame(
         [
