@@ -52,14 +52,29 @@ def d5_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-COSINE_T = 0.4
+SEM_EPS = 0.6  # pinned for oracle bite on the synthetic embeddings
+SEM_CELLS = 8  # same deterministic id<8 seeds as s5_ivf_knn
 
 
-def d6_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.similarity import embedding_neardup_pairs
+def d6_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup labels over the embeddings table (round-5
+    consolidation: the semantic-dedup operator takes the old
+    d6_embedding_neardup slot — a full labeled-corpus output replaces
+    a 1-row pair list; LSH-blocked near-dup pairs keep driver
+    coverage through s3_knn_lsh's identical bucket machinery, plus
+    tests). eps is pinned demo-large because the synthetic embedding
+    geometry is near-orthogonal (max within-cell cosine ≈ 0.49);
+    real deployments run eps ≈ 0.03-0.05. The oracle replays the
+    whole pipeline — quantized assignment, centroid-distance rank,
+    order-based drop rule — in exact ints + identical double ops."""
+    from ..operators.semdedup import semdedup
 
-    return embedding_neardup_pairs(
-        read_table(spark, "embeddings", sf), threshold=COSINE_T
+    return semdedup(
+        read_table(spark, "embeddings", sf),
+        eps=SEM_EPS,
+        num_cells=SEM_CELLS,
+    ).select(
+        "vec_id", "cell", F.col("rk").cast("int").alias("rk"), "is_keeper"
     )
 
 
@@ -109,7 +124,7 @@ QUERIES = {
     "d2_ngram_jaccard": d2_ngram_jaccard,
     "d3_minhash_lsh": d3_minhash_lsh,
     "d5_simhash_pairs": d5_simhash_pairs,
-    "d6_embedding_neardup": d6_embedding_neardup,
+    "d6_semdedup": d6_semdedup,
     "d7_dedup_clusters": d7_dedup_clusters,
     "d8_substring_spans": d8_substring_spans,
 }
@@ -225,20 +240,54 @@ ORACLES = {
 }
 
 def _d6_oracle() -> str:
-    from .similarity import _QVEC, _sql_bucket, _sql_cosine
+    """SemDeDup twin: identical quantized assignment (exact int L2,
+    ties → smallest seed), identical centroid-distance rank order,
+    identical drop rule with the SAME double cosine op sequence
+    (dot/(sqrt(aa)*sqrt(bb)) with a = the earlier-ranked side), and
+    the threshold literal printed from the same Python double."""
+    from .similarity import _QVEC, _sql_cosine
 
+    thr = repr(1.0 - SEM_EPS)
     return f"""
-        WITH qe AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
-        bk AS (SELECT vec_id, qv, {_sql_bucket()} AS bucket FROM qe)
-        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-               {_sql_cosine('a.qv', 'c.qv')} AS cosine
-        FROM bk a JOIN bk c
-          ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-        WHERE {_sql_cosine('a.qv', 'c.qv')} >= {COSINE_T}
+        WITH seeds AS (SELECT vec_id AS seed_id, {_QVEC} AS sv
+                       FROM embeddings WHERE vec_id < {SEM_CELLS}),
+        corpus AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+        assign_scored AS (
+            SELECT vec_id, seed_id,
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                       i -> (qv[i] - sv[i]) * (qv[i] - sv[i]))) AS dist
+            FROM corpus, seeds
+        ),
+        assign_ranked AS (
+            SELECT vec_id, seed_id AS cell, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, seed_id) AS rn
+            FROM assign_scored
+        ),
+        e AS (
+            SELECT c.vec_id, c.qv, a.cell, a.dist
+            FROM corpus c JOIN assign_ranked a
+              ON a.vec_id = c.vec_id AND a.rn = 1
+        ),
+        ranked AS (
+            SELECT vec_id, qv, cell, dist,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY dist DESC, vec_id) AS rk
+            FROM e
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM ranked a JOIN ranked b
+              ON a.cell = b.cell AND a.rk < b.rk
+            WHERE {_sql_cosine('a.qv', 'b.qv')} >= {thr}
+        )
+        SELECT r.vec_id, r.cell, CAST(r.rk AS INT) AS rk,
+               r.vec_id NOT IN (SELECT vec_id FROM dropped) AS is_keeper
+        FROM ranked r
     """
 
 
-ORACLES["d6_embedding_neardup"] = _d6_oracle()
+ORACLES["d6_semdedup"] = _d6_oracle()
 
 def _d8_oracle() -> str:
     """Same k-gram inverted index + island merge, in DuckDB. The two

@@ -89,7 +89,7 @@ def test_text_pipeline_has_no_python_nodes(q):
 
 
 def test_dedup_ladder_never_cartesian(q):
-    for name in ("d3_minhash_lsh", "d5_simhash_pairs", "d6_embedding_neardup"):
+    for name in ("d3_minhash_lsh", "d5_simhash_pairs", "d6_semdedup"):
         plan = plan_of(q(name))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
