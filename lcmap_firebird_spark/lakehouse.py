@@ -58,7 +58,12 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _TXN = "_txn"
 _DATA = "data"
@@ -262,9 +267,12 @@ class LakeTable:
         df: DataFrame,
         key_cols: list[str],
         extra: dict | None = None,
+        enable_cdf: bool = False,
     ) -> "LakeTable":
         """Create a table from df; `key_cols` are the MERGE keys and
-        drive per-file stats pruning."""
+        drive per-file stats pruning. `enable_cdf=True` makes every
+        row-changing commit also record its change rows (Delta's
+        enableChangeDataFeed), read back with `read_cdf`."""
         # exist_ok: a crashed create may have left the empty dirs
         # behind; the O_EXCL entry-0 create below is the real guard
         # against two concurrent creates
@@ -277,6 +285,7 @@ class LakeTable:
             "remove": [],
             "schema": df.schema.json(),
             "key_cols": key_cols,
+            "cdf_enabled": bool(enable_cdf),
         }
         with open(_entry_path(root, 0), "x") as f:
             json.dump(entry0, f, indent=1)
@@ -415,6 +424,153 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    # -- change data feed --------------------------------------------------
+
+    def _cdf_enabled(self) -> bool:
+        with open(_entry_path(self.root, 0)) as f:
+            return bool(json.load(f).get("cdf_enabled"))
+
+    def _stage_cdf(self, cdf_df: DataFrame) -> dict | None:
+        """Stage a change-rows dataset (table columns +
+        `_change_type`); returns the entry record or None if the
+        batch changed nothing. Files are invisible until the commit
+        that references them (same discipline as data staging)."""
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
+        cdf_df.write.mode("overwrite").parquet(tmp)
+        paths, rows = [], 0
+        for f in sorted(os.listdir(tmp)):
+            if not f.endswith(".parquet"):
+                continue
+            n = pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+            if not n:
+                os.remove(os.path.join(tmp, f))
+                continue
+            name = f"{_DATA}/{uuid.uuid4().hex}.cdf.parquet"
+            os.rename(os.path.join(tmp, f), os.path.join(self.root, name))
+            paths.append(name)
+            rows += n
+        for leftover in os.listdir(tmp):
+            os.remove(os.path.join(tmp, leftover))
+        os.rmdir(tmp)
+        if not paths:
+            return None
+        return {"paths": paths, "rows": rows}
+
+    def read_cdf(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Per-commit change rows in (from_version, to_version]:
+        table columns + `_change_type` ('insert', 'delete',
+        'update_preimage', 'update_postimage') + `_commit_version`.
+
+        Requires the table to have been created with
+        `enable_cdf=True`. Inserts from append/create commits are
+        DERIVED from their add files (no change file is ever written
+        for pure inserts — Delta's rule, appends stay write-once);
+        merge/delete/delete_mor/apply_changes read the change file
+        their commit staged; restore/overwrite commits fall back to
+        a snapshot diff of their two versions; metadata-only commits
+        contribute nothing. Unlike `table_changes` (a two-snapshot
+        diff), this is exact PER-COMMIT attribution at file-read
+        cost."""
+        if not self._cdf_enabled():
+            raise ValueError(
+                "table was not created with enable_cdf=True; use "
+                "table_changes() for snapshot-diff changes"
+            )
+        to_v = to_version if to_version is not None else self.latest_version()
+        entries = [
+            e
+            for e in self._entries(upto=to_v)
+            if e["version"] > from_version
+        ]
+        parts: list[DataFrame] = []
+        for e in entries:
+            v = e["version"]
+            schema = StructType.fromJson(json.loads(e["schema"]))
+            cols = [f.name for f in schema.fields]
+            if e.get("cdf"):
+                cdf_schema = StructType(
+                    schema.fields
+                    + [StructField("_change_type", StringType(), False)]
+                )
+                df = self.spark.read.schema(cdf_schema).parquet(
+                    *[
+                        os.path.join(self.root, p)
+                        for p in e["cdf"]["paths"]
+                    ]
+                )
+            elif e["operation"] in ("append", "create"):
+                adds = [
+                    r for r in e.get("add", [])
+                    if r.get("kind") not in ("dv",) and r.get("rows")
+                ]
+                if not adds:
+                    continue
+                df = (
+                    self.spark.read.schema(schema)
+                    .parquet(
+                        *[os.path.join(self.root, r["path"]) for r in adds]
+                    )
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            elif e["operation"] in ("restore", "overwrite"):
+                df = self.table_changes(v - 1, v)
+            else:
+                # compact/bloom_index/add_column/checkpoint/no-op
+                # commits change no rows
+                continue
+            parts.append(
+                df.select(
+                    *cols,
+                    "_change_type",
+                    F.lit(v).cast("long").alias("_commit_version"),
+                )
+            )
+        if not parts:
+            _, head = self._live(to_v)
+            schema = StructType.fromJson(json.loads(head["schema"]))
+            empty = StructType(
+                schema.fields
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
+            return self.spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _merge_cdf(
+        self,
+        scan: DataFrame,
+        source: DataFrame,
+        key_cols: list[str],
+        cols: list[str],
+    ) -> DataFrame:
+        """Change rows for a merge: matched target rows are update
+        pre-images, their source twins post-images, unmatched source
+        rows inserts."""
+        tkeys = scan.select(*key_cols).distinct()
+        pre = scan.join(F.broadcast(source.select(*key_cols)), key_cols, "left_semi")
+        post = source.join(tkeys, key_cols, "left_semi")
+        ins = source.join(tkeys, key_cols, "left_anti")
+        return (
+            pre.select(*cols, F.lit("update_preimage").alias("_change_type"))
+            .unionByName(
+                post.select(
+                    *cols, F.lit("update_postimage").alias("_change_type")
+                )
+            )
+            .unionByName(
+                ins.select(*cols, F.lit("insert").alias("_change_type"))
+            )
+        )
+
     def delete_mor(self, predicate: str, extra: dict | None = None) -> int:
         """Merge-on-read delete: record matching row POSITIONS in a
         deletion-vector dataset instead of rewriting data files —
@@ -439,15 +595,27 @@ class LakeTable:
                 "delete_mor", [], [], expected_head=head, extra=extra
             )
         scan = self._scan_live(data, dvs, schema, keep_pos=True)
-        matches = scan.filter(predicate).select(
+        hits = scan.filter(predicate).localCheckpoint(eager=True)
+        matches = hits.select(
             F.col("_file").alias("file"),
             F.col("_ridx").alias("row_index"),
-        ).localCheckpoint(eager=True)
+        )
         if not matches.limit(1).count():
             # nothing newly deleted: keep the existing DV dataset
             return self._commit(
                 "delete_mor", [], [], expected_head=head, extra=extra
             )
+        cdf_extra: dict = {}
+        if self._cdf_enabled():
+            cols = [f.name for f in schema.fields]
+            rec = self._stage_cdf(
+                hits.select(
+                    *cols, F.lit("delete").alias("_change_type")
+                )
+            )
+            if rec:
+                cdf_extra["cdf"] = rec
+        extra = (extra or {}) | cdf_extra or None
         new_dv = matches
         if dvs:
             # carry forward old DV rows for files still live (rows
@@ -542,20 +710,42 @@ class LakeTable:
                 )
         keys = source.select(*key_cols)
         affected = self._affected_files(data, keys, key_cols)
+        cols = [f.name for f in schema.fields]
+        cdf_extra: dict = {}
         if affected:
             # DV-applied scan: rows already deleted merge-on-read
             # must not resurrect in the rewritten files
             recs = [r for r in data if r["path"] in set(affected)]
             scan = self._scan_live(recs, dvs, schema)
+            if self._cdf_enabled():
+                # scan feeds both survivors and the change rows
+                scan = scan.localCheckpoint(eager=True)
+                source = source.localCheckpoint(eager=True)
+                rec = self._stage_cdf(
+                    self._merge_cdf(scan, source, key_cols, cols)
+                )
+                if rec:
+                    cdf_extra["cdf"] = rec
             survivors = scan.join(
                 F.broadcast(keys), key_cols, "left_anti"
             )
             rewritten = survivors.unionByName(source)
         else:
             rewritten = source
+            if self._cdf_enabled():
+                source = source.localCheckpoint(eager=True)
+                rewritten = source
+                rec = self._stage_cdf(
+                    source.select(
+                        *cols, F.lit("insert").alias("_change_type")
+                    )
+                )
+                if rec:
+                    cdf_extra["cdf"] = rec
         add = self._stage_files(rewritten)
         return self._commit(
-            "merge", add, affected, expected_head=head, extra=extra
+            "merge", add, affected, expected_head=head,
+            extra=(extra or {}) | cdf_extra,
         )
 
     def delete(self, predicate: str) -> int:
@@ -579,9 +769,23 @@ class LakeTable:
             return self._commit("delete", [], [], expected_head=head)
         recs = [r for r in data if r["path"] in set(affected)]
         sub = self._scan_live(recs, dvs, schema)
+        cdf_extra: dict = {}
+        if self._cdf_enabled():
+            sub = sub.localCheckpoint(eager=True)
+            cols = [f.name for f in schema.fields]
+            rec = self._stage_cdf(
+                sub.filter(predicate).select(
+                    *cols, F.lit("delete").alias("_change_type")
+                )
+            )
+            if rec:
+                cdf_extra["cdf"] = rec
         keep = sub.filter(f"NOT ({predicate})")
         add = self._stage_files(keep)
-        return self._commit("delete", add, affected, expected_head=head)
+        return self._commit(
+            "delete", add, affected, expected_head=head,
+            extra=cdf_extra or None,
+        )
 
     def vacuum(
         self,
@@ -629,6 +833,12 @@ class LakeTable:
                 referenced.add(rec["path"])
                 if rec.get("bloom"):
                     referenced.add(rec["bloom"]["path"])
+            # change-data-feed files belong to exactly one commit and
+            # stay readable while that commit is protected
+            with open(_entry_path(self.root, v)) as f:
+                e = json.load(f)
+            for p in (e.get("cdf") or {}).get("paths", []):
+                referenced.add(p)
         removed = []
         d = os.path.join(self.root, _DATA)
         for f in os.listdir(d):
@@ -1080,16 +1290,57 @@ class LakeTable:
         keys = ops.select(*key_cols)
         affected = self._affected_files(data, keys, key_cols)
         upserts = ops.filter(F.col("_op") != "delete").drop("_op")
+        cols = [f.name for f in schema.fields]
+        cdf_extra: dict = {}
         if affected:
             recs = [r for r in data if r["path"] in set(affected)]
             scan = self._scan_live(recs, dvs, schema)
+            if self._cdf_enabled():
+                scan = scan.localCheckpoint(eager=True)
+                upserts = upserts.localCheckpoint(eager=True)
+                # matched target rows labelled by their op (upsert →
+                # update_preimage, delete → delete); source upserts
+                # split into post-images and inserts by target match
+                tgt = scan.join(
+                    F.broadcast(ops.select(*key_cols, "_op")), key_cols
+                )
+                pre = tgt.select(
+                    *cols,
+                    F.when(
+                        F.col("_op") == "delete", "delete"
+                    ).otherwise("update_preimage").alias("_change_type"),
+                )
+                tkeys = scan.select(*key_cols).distinct()
+                post = upserts.join(tkeys, key_cols, "left_semi").select(
+                    *cols,
+                    F.lit("update_postimage").alias("_change_type"),
+                )
+                ins = upserts.join(tkeys, key_cols, "left_anti").select(
+                    *cols, F.lit("insert").alias("_change_type")
+                )
+                rec = self._stage_cdf(
+                    pre.unionByName(post).unionByName(ins)
+                )
+                if rec:
+                    cdf_extra["cdf"] = rec
             survivors = scan.join(F.broadcast(keys), key_cols, "left_anti")
             rewritten = survivors.unionByName(upserts)
         else:
             rewritten = upserts
+            if self._cdf_enabled():
+                upserts = upserts.localCheckpoint(eager=True)
+                rewritten = upserts
+                rec = self._stage_cdf(
+                    upserts.select(
+                        *cols, F.lit("insert").alias("_change_type")
+                    )
+                )
+                if rec:
+                    cdf_extra["cdf"] = rec
         add = self._stage_files(rewritten)
         return self._commit(
-            "apply_changes", add, affected, expected_head=head, extra=extra
+            "apply_changes", add, affected, expected_head=head,
+            extra=(extra or {}) | cdf_extra or None,
         )
 
 

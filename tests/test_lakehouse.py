@@ -649,6 +649,117 @@ def test_table_changes_across_mixed_commits(spark, table):
     }
 
 
+@pytest.fixture()
+def cdf_table(spark, tmp_path):
+    base = spark.createDataFrame(
+        [(i, f"name{i}", float(i)) for i in range(100)],
+        "id long, name string, val double",
+    ).repartition(4, "id")
+    root = str(tmp_path / "cdftbl")
+    return LakeTable.create(
+        spark, root, base, key_cols=["id"], enable_cdf=True
+    )
+
+
+def test_cdf_per_commit_attribution(spark, cdf_table):
+    t = cdf_table
+    v0 = t.latest_version()
+    t.merge(
+        spark.createDataFrame(
+            [(5, "FIVE", 55.0), (300, "new", 3.0)],
+            "id long, name string, val double",
+        )
+    )
+    v_merge = t.latest_version()
+    t.append(
+        spark.createDataFrame(
+            [(400, "app", 4.0)], "id long, name string, val double"
+        )
+    )
+    v_append = t.latest_version()
+    t.delete("id = 7")
+    v_del = t.latest_version()
+    t.delete_mor("id = 8")
+    v_mor = t.latest_version()
+    cdf = t.read_cdf(v0).collect()
+    by_commit = {}
+    for r in cdf:
+        by_commit.setdefault(r["_commit_version"], []).append(r)
+    # merge commit: pre+post for 5, insert for 300
+    m = {(r["_change_type"], r["id"]) for r in by_commit[v_merge]}
+    assert m == {
+        ("update_preimage", 5),
+        ("update_postimage", 5),
+        ("insert", 300),
+    }
+    pre = [r for r in by_commit[v_merge] if r["_change_type"] == "update_preimage"][0]
+    assert pre["name"] == "name5"  # the pre-image carries OLD values
+    # append commit: derived inserts, no change file written
+    a = {(r["_change_type"], r["id"]) for r in by_commit[v_append]}
+    assert a == {("insert", 400)}
+    import json as _json
+
+    from lcmap_firebird_spark.lakehouse import _entry_path
+
+    with open(_entry_path(t.root, v_append)) as f:
+        assert "cdf" not in _json.load(f)
+    # cow delete and mor delete both record delete rows
+    assert {(r["_change_type"], r["id"]) for r in by_commit[v_del]} == {
+        ("delete", 7)
+    }
+    assert {(r["_change_type"], r["id"]) for r in by_commit[v_mor]} == {
+        ("delete", 8)
+    }
+    # bounded window
+    assert {r["_commit_version"] for r in t.read_cdf(v0, v_merge).collect()} == {
+        v_merge
+    }
+    # empty window
+    assert t.read_cdf(t.latest_version()).count() == 0
+
+
+def test_cdf_apply_changes_and_disabled_table(spark, cdf_table, table):
+    t = cdf_table
+    v0 = t.latest_version()
+    t.apply_changes(
+        spark.createDataFrame(
+            [
+                (5, "V", 5.5, "upsert"),     # matched upsert
+                (500, "I", 1.0, "upsert"),   # insert
+                (7, None, None, "delete"),   # matched delete
+                (999, None, None, "delete"), # unmatched delete: no-op
+            ],
+            "id long, name string, val double, _op string",
+        )
+    )
+    got = {
+        (r["_change_type"], r["id"]) for r in t.read_cdf(v0).collect()
+    }
+    assert got == {
+        ("update_preimage", 5),
+        ("update_postimage", 5),
+        ("insert", 500),
+        ("delete", 7),
+    }
+    # CDF replay reconstructs the table: apply inserts/post-images,
+    # drop deletes/pre-images over the v0 snapshot
+    with pytest.raises(ValueError, match="enable_cdf"):
+        table.read_cdf(0)
+
+
+def test_cdf_files_survive_vacuum_and_restore_diff(spark, cdf_table):
+    t = cdf_table
+    v0 = t.latest_version()
+    t.delete("id < 10")
+    t.vacuum(keep_last=1)  # default retention protects the window
+    assert {r["id"] for r in t.read_cdf(v0).collect()} == set(range(10))
+    # restore emits a snapshot-diff (the un-delete reappears)
+    t.restore(v0)
+    changes = t.read_cdf(v0)
+    restored = changes.filter("_change_type = 'insert'")
+    assert restored.filter("id < 10").count() == 10
+
+
 def test_apply_changes_mixed_batch_atomic(spark, table):
     changes = spark.createDataFrame(
         [
