@@ -44,6 +44,11 @@ class LakeFilePartition(InputPartition):
     # for uncovered files — the common fast path)
     rel: str = ""
     dv_paths: tuple = ()
+    # change-feed support: constant columns appended to every batch
+    # (e.g. {"_change_type": "insert", "_commit_version": 7}); a
+    # column already present in the file (cdf files carry their own
+    # _change_type) is passed through, not overwritten
+    const_cols: tuple = ()
 
 
 class LakeDataSource(DataSource):
@@ -77,17 +82,35 @@ class LakeDataSource(DataSource):
         live, head = t._live(version)
         return root, live, _json.loads(head["schema"])
 
+    def _cdf_requested(self) -> bool:
+        return str(
+            self.options.get("readChangeFeed", "false")
+        ).lower() in ("true", "1")
+
     def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField
+
         _, _, schema_json = self._resolved()
-        return StructType.fromJson(schema_json)
+        base = StructType.fromJson(schema_json)
+        if self._cdf_requested():
+            return StructType(
+                base.fields
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
+        return base
 
     def reader(self, schema) -> "LakeReader":
         return LakeReader(self._resolved())
 
-    def streamReader(self, schema) -> "LakeStreamReader":
+    def streamReader(self, schema) -> "DataSourceStreamReader":
         root = self.options.get("path")
         if not root:
             raise ValueError("option 'path' is required for format 'lake'")
+        if self._cdf_requested():
+            return LakeCDFStreamReader(root)
         return LakeStreamReader(root)
 
     def writer(self, schema, overwrite: bool) -> "LakeWriter":
@@ -174,10 +197,18 @@ def _read_file_partition(part: LakeFilePartition):
                     continue
         else:
             offset += n
+        consts = dict(part.const_cols)
         cols = []
         for field in target:
             if field.name in present:
                 cols.append(batch.column(field.name).cast(field.type))
+            elif field.name in consts:
+                cols.append(
+                    pa.array(
+                        [consts[field.name]] * batch.num_rows,
+                        type=field.type,
+                    )
+                )
             else:
                 cols.append(pa.nulls(batch.num_rows, field.type))
         yield pa.RecordBatch.from_arrays(cols, schema=target)
@@ -376,3 +407,107 @@ class LakeStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # the log is the durable source; nothing to clean up
+
+
+class LakeCDFStreamReader(DataSourceStreamReader):
+    """spark.readStream.format("lake").option("readChangeFeed",
+    "true") — tail the change data feed. Offsets are commit versions
+    (exactly-once, like the plain source); each micro-batch delivers
+    the CHANGE rows of the commits in (start, end]: cdf files where
+    the commit staged them, derived inserts for append/create
+    commits. A restore/overwrite commit has no streamable change file
+    — the stream fails fast and points at the batch surfaces
+    (read_cdf computes their snapshot diff), which is Delta's posture
+    for non-additive changes without CDF data."""
+
+    def __init__(self, root: str):
+        self._root = root
+
+    def _table(self):
+        from ..lakehouse import LakeTable
+
+        t = LakeTable.__new__(LakeTable)
+        t.spark = None
+        t.root = self._root
+        return t
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._table().latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        import json as _json
+        import os as _os
+
+        t = self._table()
+        if not t._cdf_enabled():
+            raise ValueError(
+                "table was not created with enable_cdf=True; the "
+                "plain lake stream (no readChangeFeed) tails appends"
+            )
+        entries = [
+            e
+            for e in t._entries(upto=end["version"])
+            if e["version"] > start["version"]
+        ]
+        if not entries:
+            return []
+        schema = _json.loads(entries[-1]["schema"])
+        schema["fields"] = schema["fields"] + [
+            {
+                "name": "_change_type",
+                "type": "string",
+                "nullable": False,
+                "metadata": {},
+            },
+            {
+                "name": "_commit_version",
+                "type": "long",
+                "nullable": False,
+                "metadata": {},
+            },
+        ]
+        sj = _json.dumps(schema)
+        parts = []
+        for e in entries:
+            v = e["version"]
+            if e.get("cdf"):
+                for p in e["cdf"]["paths"]:
+                    parts.append(
+                        LakeFilePartition(
+                            _os.path.join(self._root, p),
+                            sj,
+                            const_cols=(("_commit_version", v),),
+                        )
+                    )
+            elif e["operation"] in ("append", "create"):
+                for rec in e.get("add", []):
+                    if rec.get("kind") == "dv" or not rec.get("rows"):
+                        continue
+                    parts.append(
+                        LakeFilePartition(
+                            _os.path.join(self._root, rec["path"]),
+                            sj,
+                            const_cols=(
+                                ("_change_type", "insert"),
+                                ("_commit_version", v),
+                            ),
+                        )
+                    )
+            elif e["operation"] in ("restore", "overwrite"):
+                raise ValueError(
+                    f"commit v{v} is a {e['operation']} — its changes "
+                    "are a snapshot diff with no change file; catch "
+                    "up with LakeTable.read_cdf/table_changes, then "
+                    "restart the stream past it"
+                )
+            # metadata-only commits contribute nothing
+        return parts
+
+    def read(self, partition):
+        yield from _read_file_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass

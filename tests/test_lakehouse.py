@@ -760,6 +760,64 @@ def test_cdf_files_survive_vacuum_and_restore_diff(spark, cdf_table):
     assert restored.filter("id < 10").count() == 10
 
 
+def test_cdf_streaming_source_tails_changes(spark, cdf_table, tmp_path):
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    spark.dataSource.register(LakeDataSource)
+    t = cdf_table
+    t.merge(
+        spark.createDataFrame(
+            [(5, "FIVE", 55.0), (300, "new", 3.0)],
+            "id long, name string, val double",
+        )
+    )
+    t.delete_mor("id = 8")
+    out = str(tmp_path / "cdfout")
+    ckpt = str(tmp_path / "cdfckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("lake")
+            .option("path", t.root)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(out)
+    # create's 100 rows arrive as derived inserts; the merge commit's
+    # pre/post/insert and the MOR delete's change rows follow, each
+    # stamped with its commit version
+    assert got.filter("_change_type = 'insert' AND id < 100").count() == 100
+    m = {
+        (r["_change_type"], r["id"])
+        for r in got.filter("id IN (5, 300, 8)").collect()
+    }
+    assert ("update_preimage", 5) in m
+    assert ("update_postimage", 5) in m
+    assert ("insert", 300) in m
+    assert ("delete", 8) in m
+    n_before = got.count()
+    # exactly-once: tail only the NEW commit on resume
+    t.append(
+        spark.createDataFrame(
+            [(700, "tail", 7.0)], "id long, name string, val double"
+        )
+    )
+    run()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == n_before + 1
+    new = got2.filter("id = 700").first()
+    assert new["_change_type"] == "insert"
+    assert new["_commit_version"] == t.latest_version()
+
+
 def test_apply_changes_mixed_batch_atomic(spark, table):
     changes = spark.createDataFrame(
         [
