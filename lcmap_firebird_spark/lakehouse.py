@@ -884,6 +884,89 @@ class LakeTable:
             "compact", add, [r["path"] for r in small], expected_head=head
         )
 
+    def compact_deletes(
+        self, min_deleted_fraction: float = 0.1
+    ) -> int:
+        """Materialize merge-on-read deletes: rewrite (only) the data
+        files whose DV-deleted fraction reaches the threshold, and
+        rewrite the live DV dataset without their now-inert rows —
+        ONE commit. The read-amplification valve for delete_mor: DVs
+        keep deletes O(matches) at write time; this reclaims the scan
+        cost once enough of a file is dead (Delta calls the same knob
+        a purge / DV-threshold rewrite).
+
+        No-op (no commit) when no file qualifies. Read-dependent."""
+        head = self.latest_version()
+        live, head_entry = self._live(head)
+        data, dvs = self._split_live(live)
+        if not dvs:
+            return head
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        # per-file deleted counts: one aggregate over the DV dataset,
+        # file-count rows back to the driver (metadata scale)
+        counts = {
+            r["file"]: r["n"]
+            for r in self._dv_df(dvs)
+            .groupBy("file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        targets = [
+            r
+            for r in data
+            if r.get("rows")
+            and counts.get(r["path"], 0) / r["rows"]
+            >= float(min_deleted_fraction)
+        ]
+        if not targets:
+            return head
+        target_paths = {r["path"] for r in targets}
+        add = self._stage_files(self._scan_live(targets, dvs, schema))
+        # DV rows for untouched covered files carry forward; rows for
+        # the rewritten files are dropped (they'd be inert anyway)
+        keep_files = self.spark.createDataFrame(
+            [(r["path"],) for r in data if r["path"] not in target_paths]
+            or [("",)],
+            "file string",
+        )
+        rest = self._dv_df(dvs).join(
+            F.broadcast(keep_files), "file", "left_semi"
+        ).localCheckpoint(eager=True)
+        remove = sorted(target_paths) + [r["path"] for r in dvs]
+        if rest.limit(1).count():
+            covers = sorted(
+                r["file"]
+                for r in rest.select("file").distinct().collect()
+            )
+            tmp = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
+            rest.write.mode("overwrite").parquet(tmp)
+            import pyarrow.parquet as pq
+
+            for f in sorted(os.listdir(tmp)):
+                if not f.endswith(".parquet"):
+                    continue
+                name = f"{_DATA}/{uuid.uuid4().hex}.dv.parquet"
+                dst = os.path.join(self.root, name)
+                os.rename(os.path.join(tmp, f), dst)
+                n_rows = pq.ParquetFile(dst).metadata.num_rows
+                if not n_rows:
+                    os.remove(dst)
+                    continue
+                add.append(
+                    {
+                        "path": name,
+                        "kind": "dv",
+                        "covers": covers,
+                        "rows": int(n_rows),
+                    }
+                )
+            for leftover in os.listdir(tmp):
+                os.remove(os.path.join(tmp, leftover))
+            os.rmdir(tmp)
+        return self._commit(
+            "compact_deletes", add, remove, expected_head=head
+        )
+
     # -- clustering + pruned reads -----------------------------------------
 
     def _clustered(self, df: DataFrame, cluster_by: list[str], bits: int = 12):

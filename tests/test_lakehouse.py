@@ -546,6 +546,49 @@ def test_delete_mor_then_compact_materializes(spark, table):
     assert not (covered & live_data)
 
 
+def test_compact_deletes_materializes_only_pressured_files(spark, tmp_path):
+    # two files with CONTIGUOUS id ranges; deleting id<40 puts file 1
+    # at 80% dead (over the 50% threshold) and file 2 at 0%
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"name{i}", float(i)) for i in range(lo, hi)],
+        "id long, name string, val double",
+    ).coalesce(1)
+    table = LakeTable.create(
+        spark, str(tmp_path / "cd"), mk(0, 50), key_cols=["id"]
+    )
+    table.append(mk(50, 100))
+    before = _rows(table.snapshot())
+    table.delete_mor("id < 40")
+    files_before = {r["path"]: r["rows"] for r in _data_recs(table)}
+    v = table.compact_deletes(min_deleted_fraction=0.5)
+    assert v == table.latest_version()
+    assert table.history()[-1]["operation"] == "compact_deletes"
+    # result identical to the pre-compaction reads
+    assert _rows(table.snapshot()) == [
+        r for r in before if r[0] >= 40
+    ]
+    after = {r["path"]: r["rows"] for r in _data_recs(table)}
+    rewritten = set(files_before) - set(after)
+    untouched = set(files_before) & set(after)
+    assert rewritten  # the pressured files were rewritten
+    assert untouched  # lightly-touched files were NOT
+    # remaining DV rows only cover still-live files
+    covered = set()
+    for r in _dv_recs(table):
+        covered.update(r.get("covers", []))
+    assert covered <= set(after)
+    # second run: nothing qualifies anymore → no commit
+    assert table.compact_deletes(min_deleted_fraction=0.5) == v
+
+
+def test_compact_deletes_clears_dv_when_all_materialized(spark, table):
+    table.delete_mor("id % 2 = 0")
+    assert table.snapshot().count() == 50
+    table.compact_deletes(min_deleted_fraction=0.0)
+    assert table.snapshot().count() == 50
+    assert _dv_recs(table) == []  # every DV row materialized
+
+
 def test_delete_mor_cow_delete_interplay(spark, table):
     table.delete_mor("id < 10")
     table.delete("id >= 90")  # COW delete reads through the DV scan
