@@ -102,7 +102,19 @@ class LakeDataSource(DataSource):
             )
         return base
 
-    def reader(self, schema) -> "LakeReader":
+    def reader(self, schema) -> "DataSourceReader":
+        if self._cdf_requested():
+            root = self.options.get("path")
+            start = self.options.get("startingVersion")
+            if start is None:
+                raise ValueError(
+                    "readChangeFeed batch reads require "
+                    "option('startingVersion', N)"
+                )
+            end = self.options.get("endingVersion")
+            return LakeCDFReader(
+                root, int(start), int(end) if end is not None else None
+            )
         return LakeReader(self._resolved())
 
     def streamReader(self, schema) -> "DataSourceStreamReader":
@@ -438,76 +450,115 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         return {"version": self._table().latest_version()}
 
     def partitions(self, start: dict, end: dict):
-        import json as _json
-        import os as _os
-
-        t = self._table()
-        if not t._cdf_enabled():
-            raise ValueError(
-                "table was not created with enable_cdf=True; the "
-                "plain lake stream (no readChangeFeed) tails appends"
-            )
-        entries = [
-            e
-            for e in t._entries(upto=end["version"])
-            if e["version"] > start["version"]
-        ]
-        if not entries:
-            return []
-        schema = _json.loads(entries[-1]["schema"])
-        schema["fields"] = schema["fields"] + [
-            {
-                "name": "_change_type",
-                "type": "string",
-                "nullable": False,
-                "metadata": {},
-            },
-            {
-                "name": "_commit_version",
-                "type": "long",
-                "nullable": False,
-                "metadata": {},
-            },
-        ]
-        sj = _json.dumps(schema)
-        parts = []
-        for e in entries:
-            v = e["version"]
-            if e.get("cdf"):
-                for p in e["cdf"]["paths"]:
-                    parts.append(
-                        LakeFilePartition(
-                            _os.path.join(self._root, p),
-                            sj,
-                            const_cols=(("_commit_version", v),),
-                        )
-                    )
-            elif e["operation"] in ("append", "create"):
-                for rec in e.get("add", []):
-                    if rec.get("kind") == "dv" or not rec.get("rows"):
-                        continue
-                    parts.append(
-                        LakeFilePartition(
-                            _os.path.join(self._root, rec["path"]),
-                            sj,
-                            const_cols=(
-                                ("_change_type", "insert"),
-                                ("_commit_version", v),
-                            ),
-                        )
-                    )
-            elif e["operation"] in ("restore", "overwrite"):
-                raise ValueError(
-                    f"commit v{v} is a {e['operation']} — its changes "
-                    "are a snapshot diff with no change file; catch "
-                    "up with LakeTable.read_cdf/table_changes, then "
-                    "restart the stream past it"
-                )
-            # metadata-only commits contribute nothing
-        return parts
+        return _cdf_partitions(
+            self._root, start["version"], end["version"]
+        )
 
     def read(self, partition):
         yield from _read_file_partition(partition)
 
     def commit(self, end: dict) -> None:
         pass
+
+
+def _cdf_partitions(root: str, start_v: int, end_v: int):
+    """Change-feed file partitions for commits in (start_v, end_v] —
+    shared by the streaming tail and the batch
+    startingVersion/endingVersion reader. cdf files carry their own
+    _change_type; append/create adds become derived inserts;
+    restore/overwrite have no change file and fail fast (their
+    changes are snapshot diffs — LakeTable.read_cdf computes them)."""
+    import json as _json
+    import os as _os
+
+    from ..lakehouse import LakeTable
+
+    t = LakeTable.__new__(LakeTable)
+    t.spark = None
+    t.root = root
+    if not t._cdf_enabled():
+        raise ValueError(
+            "table was not created with enable_cdf=True; the "
+            "plain lake read/stream serves current rows instead"
+        )
+    entries = [
+        e for e in t._entries(upto=end_v) if e["version"] > start_v
+    ]
+    if not entries:
+        return []
+    schema = _json.loads(entries[-1]["schema"])
+    schema["fields"] = schema["fields"] + [
+        {
+            "name": "_change_type",
+            "type": "string",
+            "nullable": False,
+            "metadata": {},
+        },
+        {
+            "name": "_commit_version",
+            "type": "long",
+            "nullable": False,
+            "metadata": {},
+        },
+    ]
+    sj = _json.dumps(schema)
+    parts = []
+    for e in entries:
+        v = e["version"]
+        if e.get("cdf"):
+            for p in e["cdf"]["paths"]:
+                parts.append(
+                    LakeFilePartition(
+                        _os.path.join(root, p),
+                        sj,
+                        const_cols=(("_commit_version", v),),
+                    )
+                )
+        elif e["operation"] in ("append", "create"):
+            for rec in e.get("add", []):
+                if rec.get("kind") == "dv" or not rec.get("rows"):
+                    continue
+                parts.append(
+                    LakeFilePartition(
+                        _os.path.join(root, rec["path"]),
+                        sj,
+                        const_cols=(
+                            ("_change_type", "insert"),
+                            ("_commit_version", v),
+                        ),
+                    )
+                )
+        elif e["operation"] in ("restore", "overwrite"):
+            raise ValueError(
+                f"commit v{v} is a {e['operation']} — its changes "
+                "are a snapshot diff with no change file; read them "
+                "with LakeTable.read_cdf/table_changes, then resume "
+                "past it"
+            )
+        # metadata-only commits contribute nothing
+    return parts
+
+
+class LakeCDFReader(DataSourceReader):
+    """Batch change-feed read:
+    spark.read.format("lake").option("readChangeFeed", "true")
+    .option("startingVersion", N)[.option("endingVersion", M)] —
+    the DataSource twin of LakeTable.read_cdf (same per-commit
+    attribution, usable from plain reader options / SQL)."""
+
+    def __init__(self, root: str, start_v: int, end_v: int | None):
+        self._root = root
+        self._start = start_v
+        self._end = end_v
+
+    def partitions(self):
+        from ..lakehouse import LakeTable
+
+        t = LakeTable.__new__(LakeTable)
+        t.spark = None
+        t.root = self._root
+        end = self._end if self._end is not None else t.latest_version()
+        return _cdf_partitions(self._root, self._start, end)
+
+    def read(self, part: LakeFilePartition):
+        yield from _read_file_partition(part)

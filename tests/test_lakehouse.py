@@ -803,6 +803,41 @@ def test_cdf_files_survive_vacuum_and_restore_diff(spark, cdf_table):
     assert restored.filter("id < 10").count() == 10
 
 
+def test_cdf_batch_datasource_versioned_read(spark, cdf_table):
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    spark.dataSource.register(LakeDataSource)
+    t = cdf_table
+    v0 = t.latest_version()
+    t.merge(
+        spark.createDataFrame(
+            [(5, "FIVE", 55.0)], "id long, name string, val double"
+        )
+    )
+    df = (
+        spark.read.format("lake")
+        .option("path", t.root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v0)
+        .load()
+    )
+    got = {(r["_change_type"], r["id"]) for r in df.collect()}
+    assert got == {("update_preimage", 5), ("update_postimage", 5)}
+    # equals the API surface
+    api = {
+        (r["_change_type"], r["id"]) for r in t.read_cdf(v0).collect()
+    }
+    assert got == api
+    with pytest.raises(Exception, match="startingVersion"):
+        (
+            spark.read.format("lake")
+            .option("path", t.root)
+            .option("readChangeFeed", "true")
+            .load()
+            .collect()
+        )
+
+
 def test_cdf_streaming_source_tails_changes(spark, cdf_table, tmp_path):
     from lcmap_firebird_spark.sources.lake import LakeDataSource
 
