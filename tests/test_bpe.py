@@ -104,6 +104,42 @@ def test_encode_docs_distributed_matches_driver(spark):
         assert n == len(want)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=8),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(corpus=_WORDS, probe=st.text(alphabet="abcdef", min_size=1, max_size=12))
+def test_property_encode_lossless_for_any_merges(corpus, probe):
+    # train on a random corpus (naive reference trainer — no Spark in
+    # the hypothesis loop); ANY word, in-vocab or OOV (incl. the
+    # unseen letter 'f'), must reassemble exactly
+    merges, _ = _train_naive([" ".join(corpus)], num_merges=30)
+    toks = B.encode_word(probe, merges)
+    assert "".join(toks) == probe + B.END
+    # merges are distinct ordered pairs
+    assert len(set(merges)) == len(merges)
+
+
+@settings(max_examples=50, deadline=None)
+@given(corpus=_WORDS)
+def test_property_encode_train_consistency_random_corpora(corpus):
+    # the algebraic BPE property: greedily re-encoding each training
+    # word with the learned merges reproduces the trainer's final
+    # segmentation of that word, for ANY corpus
+    texts = [" ".join(corpus)]
+    merges, vocab = _train_naive(texts, num_merges=20)
+    for syms, _ in vocab.items():
+        word = "".join(syms).removesuffix(B.END)
+        assert tuple(B.encode_word(word, merges)) == syms
+
+
 def test_encoding_roundtrip_lossless(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
     merges = B.train_bpe(docs, num_merges=50)
