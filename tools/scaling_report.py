@@ -112,11 +112,45 @@ def _probe_web_curation(spark, sf):
     return domain_cap(blocklist_gate(docs, bl), max_docs=1000)
 
 
+def _probe_semdedup(spark, sf):
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.semdedup import semdedup
+
+    # derived cell count: occupancy stays bounded as the corpus grows
+    return semdedup(
+        read_table(spark, "embeddings", sf), eps=0.6, num_cells=None
+    )
+
+
+def _probe_bpe(spark, sf):
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.bpe import encode_docs, train_bpe
+
+    docs = read_table(spark, "documents", sf)
+    merges = train_bpe(docs, num_merges=60, max_words=20_000)
+    return encode_docs(docs, merges).drop("bpe_tokens")
+
+
+def _probe_dsir(spark, sf):
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.operators.dsir import (
+        dsir_sample,
+        feature_counts,
+    )
+
+    docs = read_table(spark, "documents", sf)
+    target = docs.filter("lang = 'en'").limit(40)
+    return dsir_sample(docs, feature_counts(target), feature_counts(docs), k=100)
+
+
 EXTRA_PROBES = [
     ("pagerank_events_graph", _probe_pagerank),
     ("bm25_topk_3q", _probe_bm25),
     ("perplexity_train_score", _probe_perplexity),
     ("web_blocklist_domain_cap", _probe_web_curation),
+    ("semdedup_derived_cells", _probe_semdedup),
+    ("bpe_train60_encode", _probe_bpe),
+    ("dsir_select_100", _probe_dsir),
 ]
 
 
