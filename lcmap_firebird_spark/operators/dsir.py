@@ -70,7 +70,7 @@ def feature_counts(
 def importance_weights(
     df: DataFrame,
     target_counts: DataFrame,
-    raw_counts: DataFrame,
+    raw_counts: DataFrame | None = None,
     n_buckets: int = DSIR_BUCKETS,
     smoothing: float = 1.0,
     id_col: str = "doc_id",
@@ -78,10 +78,24 @@ def importance_weights(
 ) -> DataFrame:
     """Input columns + `log_w` = Σ_b c_b(x)·(log p̂_t[b] − log p̂_r[b]),
     add-`smoothing` estimates over `n_buckets`. Documents with no
-    grams get log_w = 0 (no evidence either way)."""
+    grams get log_w = 0 (no evidence either way).
+
+    `raw_counts=None` uses `df` itself as the raw model (the paper's
+    standard setting) and SHARES one gram explode between the model
+    counts and the per-doc scoring — an eager checkpoint of the
+    (id, bucket) frame feeds both, halving the dominant cost."""
     import math
 
     k = float(smoothing)
+    doc_bk = _doc_buckets(df, id_col, text_col, n_buckets)
+    if raw_counts is None:
+        # self-raw model: the exploded (id, bucket) frame feeds BOTH
+        # the model counts and the scoring — eager checkpoint per
+        # PLANS.md rule 15 (two concurrent first-readers otherwise)
+        doc_bk = doc_bk.localCheckpoint(eager=True)
+        raw_counts = doc_bk.groupBy("bucket").agg(
+            F.count("*").alias("n")
+        )
     # model totals: two 1-row aggregates (metadata-scale driver
     # actions, same posture as compose_mixture's domain counts)
     tot_t = target_counts.agg(F.sum("n")).first()[0] or 0
@@ -110,7 +124,7 @@ def importance_weights(
         )
     )
     doc_w = (
-        _doc_buckets(df, id_col, text_col, n_buckets)
+        doc_bk
         .join(F.broadcast(ratios), "bucket", "left")
         .groupBy("_id")
         .agg(
@@ -142,7 +156,7 @@ def gumbel_key(id_col: Column | str, salt: str = "dsir") -> Column:
 def dsir_sample(
     df: DataFrame,
     target_counts: DataFrame,
-    raw_counts: DataFrame,
+    raw_counts: DataFrame | None,
     k: int,
     n_buckets: int = DSIR_BUCKETS,
     smoothing: float = 1.0,

@@ -180,10 +180,12 @@ def prepare_corpus(
         # the target corpus (raw model = the survivors themselves)
         from ..operators.dsir import dsir_sample, feature_counts
 
+        # raw_counts=None: the survivors double as the raw model and
+        # the shared-explode path scans them once
         survivors = dsir_sample(
             survivors,
             feature_counts(dsir_target),
-            feature_counts(survivors),
+            None,
             k=int(dsir_k),
         ).drop("log_w")
     if mixture is not None:

@@ -110,6 +110,26 @@ def test_sample_is_gumbel_topk_and_deterministic(spark, corpora):
     assert again == ids
 
 
+def test_self_raw_model_shared_explode_equals_explicit(spark, corpora):
+    docs, target, raw = corpora
+    tc = feature_counts(target)
+    explicit = {
+        r["doc_id"]: r["log_w"]
+        for r in importance_weights(docs, tc, feature_counts(docs)).collect()
+    }
+    shared = {
+        r["doc_id"]: r["log_w"]
+        for r in importance_weights(docs, tc, None).collect()
+    }
+    assert explicit == shared
+    a = {r["doc_id"] for r in dsir_sample(docs, tc, None, k=30).collect()}
+    b = {
+        r["doc_id"]
+        for r in dsir_sample(docs, tc, feature_counts(docs), k=30).collect()
+    }
+    assert a == b
+
+
 def test_selection_is_biased_toward_target(spark, corpora):
     docs, target, raw = corpora
     tc = feature_counts(target)

@@ -140,7 +140,7 @@ def _probe_dsir(spark, sf):
 
     docs = read_table(spark, "documents", sf)
     target = docs.filter("lang = 'en'").limit(40)
-    return dsir_sample(docs, feature_counts(target), feature_counts(docs), k=100)
+    return dsir_sample(docs, feature_counts(target), None, k=100)
 
 
 EXTRA_PROBES = [
