@@ -62,6 +62,42 @@ def _cmd_classification(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_corpus(args: argparse.Namespace) -> int:
+    """Training-corpus preparation: gates → dedup ladder → optional
+    decontamination/substring/mixture stages → split → partitioned
+    write with manifest (plans/corpus.prepare_corpus + write_corpus)."""
+    from .plans.corpus import prepare_corpus, write_corpus
+
+    spark = session("firebird-corpus")
+    docs = spark.read.parquet(args.documents)
+    kwargs: dict = {}
+    if args.benchmark:
+        kwargs["benchmark"] = spark.read.parquet(args.benchmark)
+    if args.embeddings:
+        kwargs["embeddings"] = spark.read.parquet(args.embeddings)
+        kwargs["semdedup_eps"] = args.semdedup_eps
+    if args.substring_k:
+        kwargs["substring_k"] = args.substring_k
+    if args.mixture:
+        weights = {
+            kv.split("=")[0]: float(kv.split("=")[1])
+            for kv in args.mixture.split(",")
+        }
+        kwargs["mixture"] = weights
+        kwargs["mixture_tokens"] = args.mixture_tokens
+        kwargs["domain_col"] = args.domain_col
+    out = prepare_corpus(
+        docs,
+        languages=tuple(args.languages.split(",")),
+        jaccard_threshold=args.jaccard_threshold,
+        redact=args.redact,
+        **kwargs,
+    )
+    manifest = write_corpus(out, args.output)
+    print(json.dumps(manifest))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lcmap-firebird-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -84,6 +120,26 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--model-out", default=None)
     cl.add_argument("--predictions-out", default=None)
     cl.set_defaults(fn=_cmd_classification)
+
+    co = sub.add_parser(
+        "corpus", help="prepare a deduplicated training corpus"
+    )
+    co.add_argument("--documents", required=True)
+    co.add_argument("--output", required=True)
+    co.add_argument("--languages", default="en")
+    co.add_argument("--jaccard-threshold", type=float, default=0.5)
+    co.add_argument("--benchmark", default=None,
+                    help="parquet of eval items to decontaminate against")
+    co.add_argument("--embeddings", default=None,
+                    help="parquet (vec_id, embedding) for the SemDeDup rung")
+    co.add_argument("--semdedup-eps", type=float, default=0.05)
+    co.add_argument("--substring-k", type=int, default=None)
+    co.add_argument("--mixture", default=None,
+                    help="domain weights, e.g. web=0.6,books=0.4")
+    co.add_argument("--mixture-tokens", type=int, default=None)
+    co.add_argument("--domain-col", default="source")
+    co.add_argument("--redact", action="store_true")
+    co.set_defaults(fn=_cmd_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)
