@@ -213,6 +213,72 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return media.mapInPandas(kernel, schema)
 
 
+def chunk_audio(
+    media: DataFrame,
+    window_ms: int = 1_000,
+    hop_ms: int | None = None,
+    sample_rate: int = 16_000,
+    sample_width: int = 2,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Fixed-duration audio windowing over raw PCM payloads — unlike
+    the image/video kernels this needs NO codec: PCM framing is pure
+    arithmetic (bytes/ms = rate · width), so the kernel is fully real
+    in this container. 1 clip → k windows with (chunk_idx,
+    t_start_ms, chunk_bytes); `hop_ms` < `window_ms` gives
+    overlapping windows (the ASR-training shape). Per-row sample
+    rates come from `rate_col` when the table carries one; otherwise
+    the constant applies. Arrow-batched mapInPandas like every media
+    kernel — executors stream batches, the driver never sees
+    payloads."""
+    hop = hop_ms if hop_ms is not None else window_ms
+    if hop <= 0 or window_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("chunk_idx", IntegerType(), False),
+            StructField("t_start_ms", LongType(), False),
+            StructField("chunk_bytes", BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates = (
+                pdf[rate_col]
+                if rate_col is not None
+                else [sample_rate] * len(pdf)
+            )
+            out: dict[str, list] = {
+                "media_id": [],
+                "chunk_idx": [],
+                "t_start_ms": [],
+                "chunk_bytes": [],
+            }
+            for mid, payload, rate in zip(
+                pdf["media_id"], pdf["payload"], rates
+            ):
+                bpms = int(rate) * sample_width / 1000.0
+                win = max(1, int(window_ms * bpms))
+                step = max(1, int(hop * bpms))
+                # align to whole samples so no window splits a frame
+                win -= win % sample_width
+                step -= step % sample_width
+                win, step = max(win, sample_width), max(step, sample_width)
+                for i, off in enumerate(range(0, len(payload), step)):
+                    chunk = payload[off : off + win]
+                    if not chunk:
+                        break
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(i)
+                    out["t_start_ms"].append(int(off / bpms))
+                    out["chunk_bytes"].append(chunk)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema)
+
+
 def embed_media(media: DataFrame, dim: int = 64) -> DataFrame:
     """Content embedding for binary payloads: L2-normalized byte-value
     histogram folded to `dim` bins — deterministic, codec-free, and a

@@ -80,3 +80,35 @@ def test_embed_media_composes_with_neardup(spark):
     found = {(r.vec_a, r.vec_b) for r in pairs}
     assert (1, 2) in found
     assert not any(3 in p for p in found)
+
+
+def test_chunk_audio_pcm_windows_reconstruct(spark):
+    from lcmap_firebird_spark.operators.multimodal import chunk_audio
+
+    # 16-bit PCM at 1 kHz: 2 bytes/ms — byte math is easy to verify
+    payload = bytes(range(256)) * 2  # 512 bytes = 256 ms
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id long, payload binary"
+    )
+    out = chunk_audio(
+        media, window_ms=100, hop_ms=100, sample_rate=1000, sample_width=2
+    ).collect()
+    assert [r.chunk_idx for r in out] == [0, 1, 2]
+    assert [r.t_start_ms for r in out] == [0, 100, 200]
+    assert [len(r.chunk_bytes) for r in out] == [200, 200, 112]
+    # non-overlapping windows reconstruct the payload exactly
+    assert b"".join(bytes(r.chunk_bytes) for r in out) == payload
+    # overlap: hop < window duplicates the overlapped region
+    ov = chunk_audio(
+        media, window_ms=100, hop_ms=50, sample_rate=1000, sample_width=2
+    ).collect()
+    assert len(ov) > len(out)
+    assert bytes(ov[1].chunk_bytes)[:100] == bytes(ov[0].chunk_bytes)[100:]
+    # per-row rate column wins over the constant
+    media2 = spark.createDataFrame(
+        [(1, payload, 2000)], "media_id long, payload binary, sr int"
+    )
+    fast = chunk_audio(
+        media2, window_ms=100, hop_ms=100, sample_width=2, rate_col="sr"
+    ).collect()
+    assert [len(r.chunk_bytes) for r in fast][0] == 400  # 2 kHz => 4 B/ms
