@@ -215,3 +215,33 @@ def test_stream_read_from_lake_tails_commits(spark, tmp_path):
     got = drain(out1)
     # resumed run appended exactly the two new rows
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+
+
+def test_cdc_sink_into_cdf_table_records_per_batch_changes(spark, tmp_path):
+    """The change pipeline closes end to end: CDC micro-batches apply
+    through the sink onto a CDF-enabled table, and read_cdf returns
+    each batch's typed change rows with its own commit version."""
+    root = str(tmp_path / "lake")
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], SCHEMA)
+    LakeTable.create(spark, root, base, key_cols=["k"], enable_cdf=True)
+    sink = make_batch_sink(root, ["k"], "cdc")
+    cdc_schema = "k long, v double, _op string"
+    sink(spark.createDataFrame([(2, 20.0, "upsert"), (3, 3.0, "upsert")], cdc_schema), 0)
+    v_b0 = LakeTable(spark, root).latest_version()
+    sink(spark.createDataFrame([(1, None, "delete")], cdc_schema), 1)
+    t = LakeTable(spark, root)
+    cdf = t.read_cdf(0)
+    by_v = {}
+    for r in cdf.collect():
+        by_v.setdefault(r["_commit_version"], set()).add(
+            (r["_change_type"], r["k"])
+        )
+    assert by_v[v_b0] == {
+        ("update_preimage", 2),
+        ("update_postimage", 2),
+        ("insert", 3),
+    }
+    assert by_v[t.latest_version()] == {("delete", 1)}
+    # replay of batch 0 is a no-op: no extra CDF rows appear
+    sink(spark.createDataFrame([(2, 20.0, "upsert"), (3, 3.0, "upsert")], cdc_schema), 0)
+    assert t.read_cdf(0).count() == cdf.count()

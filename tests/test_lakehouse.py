@@ -546,6 +546,21 @@ def test_delete_mor_then_compact_materializes(spark, table):
     assert not (covered & live_data)
 
 
+def test_delete_mor_survives_schema_evolution(spark, table):
+    # DV positions are file-physical; adding a column (metadata-only,
+    # null-filled at read) must not disturb them in either order
+    table.delete_mor("id < 10")
+    table.add_column("tag", "string")
+    snap = table.snapshot()
+    assert "tag" in snap.columns
+    assert snap.count() == 90
+    assert snap.filter("id < 10").count() == 0
+    assert snap.filter("tag IS NOT NULL").count() == 0
+    # and deleting MOR-style under the evolved schema still works
+    table.delete_mor("id >= 95")
+    assert table.snapshot().count() == 85
+
+
 def test_compact_deletes_materializes_only_pressured_files(spark, tmp_path):
     # two files with CONTIGUOUS id ranges; deleting id<40 puts file 1
     # at 80% dead (over the 50% threshold) and file 2 at 0%
