@@ -1,0 +1,115 @@
+"""Model-based lakehouse check: a deterministic pseudo-random
+sequence of mixed table operations (append / merge / cow delete /
+mor delete / apply_changes / compact / compact_deletes / restore)
+mirrored against an in-memory dict model — after EVERY step the
+snapshot must equal the model, and at the end every historical
+version must still time-travel to its recorded state (except those
+the final vacuum retired)."""
+
+from __future__ import annotations
+
+import random
+
+from lcmap_firebird_spark.lakehouse import LakeTable
+
+SCHEMA = "id long, name string, val double"
+
+
+def _rows(df):
+    return sorted((r["id"], r["name"], r["val"]) for r in df.collect())
+
+
+def _model_rows(model):
+    return sorted((k, v[0], v[1]) for k, v in model.items())
+
+
+def test_random_op_sequence_matches_dict_model(spark, tmp_path):
+    rng = random.Random(1234)  # deterministic: reruns identical
+    root = str(tmp_path / "mtbl")
+    model: dict[int, tuple[str, float]] = {
+        i: (f"n{i}", float(i)) for i in range(40)
+    }
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in model.items()], SCHEMA
+        ),
+        key_cols=["id"],
+    )
+    history = {t.latest_version(): _model_rows(model)}
+    next_id = 1000
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, SCHEMA)
+
+    for step in range(24):
+        op = rng.choice(
+            [
+                "append", "merge", "delete", "delete_mor",
+                "apply_changes", "compact", "compact_deletes",
+                "restore",
+            ]
+        )
+        if op == "append":
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                rows.append((next_id, f"a{next_id}", float(step)))
+                model[next_id] = (f"a{next_id}", float(step))
+                next_id += 1
+            t.append(df_of(rows))
+        elif op == "merge":
+            keys = rng.sample(sorted(model) or [next_id], k=min(3, len(model)))
+            keys.append(next_id)
+            rows = [(k, f"m{step}", float(step) + 0.5) for k in set(keys)]
+            for k, n, v in rows:
+                model[k] = (n, v)
+            next_id += 1
+            t.merge(df_of(rows))
+        elif op == "delete":
+            cut = rng.choice([3, 5, 7])
+            t.delete(f"id % {cut} = 0")
+            model = {k: v for k, v in model.items() if k % cut != 0}
+        elif op == "delete_mor":
+            lo = rng.randint(0, 900)
+            t.delete_mor(f"id >= {lo} AND id < {lo + 300}")
+            model = {
+                k: v for k, v in model.items() if not (lo <= k < lo + 300)
+            }
+        elif op == "apply_changes":
+            ups = [(next_id, f"c{step}", 9.0, "upsert")]
+            model[next_id] = (f"c{step}", 9.0)
+            next_id += 1
+            dels = []
+            if model:
+                victim = rng.choice(sorted(model))
+                dels = [(victim, None, None, "delete")]
+                model.pop(victim)
+            t.apply_changes(
+                spark.createDataFrame(
+                    ups + dels, SCHEMA + ", _op string"
+                )
+            )
+        elif op == "compact":
+            t.compact(target_rows=1_000)
+        elif op == "compact_deletes":
+            t.compact_deletes(min_deleted_fraction=0.3)
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            t.restore(target)
+            model = {
+                k: (n, v) for k, n, v in history[target]
+            }
+        got = _rows(t.snapshot())
+        want = _model_rows(model)
+        assert got == want, f"step {step} ({op}): snapshot != model"
+        history[t.latest_version()] = want
+
+    # every recorded version still time-travels to its state
+    for v, want in history.items():
+        assert _rows(t.snapshot(version=v)) == want, f"version {v}"
+
+    # aggressive vacuum keeps only the head readable — and the head
+    # still equals the model afterwards
+    t.vacuum(keep_last=1, retention_seconds=0)
+    assert _rows(t.snapshot()) == _model_rows(model)
