@@ -9,10 +9,21 @@ surface::
 
 Why a DataSource when `LakeTable.snapshot()` exists: the snapshot
 path resolves file lists on the caller's thread; the DataSource
-form composes with everything that speaks reader options (SQL `USING
-lake`, `spark.read`, other sessions) and demonstrates the PySpark 4
+form composes with everything that speaks reader options
+(`spark.read`, other sessions) and demonstrates the PySpark 4
 Python DataSource surface end to end (driver-side planning +
 Arrow-batch worker reads, same API as sources/ardgen.py).
+
+SQL access: register the load as a temp view
+(`spark.read.format("lake").option("path", root).load()
+.createOrReplaceTempView(...)`). Persisted catalog tables
+(`CREATE TABLE ... USING lake`) are NOT supported: PySpark 4.1
+re-instantiates Python data sources with EMPTY options at query
+planning time for catalog tables (verified: options carry
+path/location during DDL, {} during SELECT), so the root cannot be
+recovered — an upstream limitation, not a log-format one. Reader
+options arriving as file: URIs (how SQL surfaces normalize paths)
+are stripped to local paths.
 
 Shape:
 - `partitions()` replays the commit log ON THE DRIVER (checkpoint-
@@ -51,15 +62,37 @@ class LakeFilePartition(InputPartition):
     const_cols: tuple = ()
 
 
+def _local_path(p: str) -> str:
+    """SQL DDL (CREATE TABLE ... USING lake OPTIONS (path '...'))
+    normalizes the path option to a file: URI; the log replay is
+    plain-filesystem, so strip the scheme."""
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
+
+
 class LakeDataSource(DataSource):
     """format name: lake. Options:
     - path: table root (required)
     - version: time-travel version (optional, default latest)
+    - readChangeFeed: 'true' for CDF reads (batch needs
+      startingVersion[/endingVersion]; streaming tails commits)
     """
 
     @classmethod
     def name(cls) -> str:
         return "lake"
+
+    def _root(self) -> str:
+        # SQL catalog tables (CREATE TABLE ... USING lake) surface
+        # the root as 'location' when the planner re-instantiates the
+        # source at query time; direct reader options use 'path'
+        root = self.options.get("path") or self.options.get("location")
+        if not root:
+            raise ValueError("option 'path' is required for format 'lake'")
+        return _local_path(root)
 
     def _resolved(self):
         import json as _json
@@ -67,9 +100,7 @@ class LakeDataSource(DataSource):
 
         from ..lakehouse import LakeTable
 
-        root = self.options.get("path")
-        if not root:
-            raise ValueError("option 'path' is required for format 'lake'")
+        root = self._root()
         version = self.options.get("version")
         version = int(version) if version is not None else None
         # attach without a SparkSession: LakeTable only needs one for
@@ -104,7 +135,7 @@ class LakeDataSource(DataSource):
 
     def reader(self, schema) -> "DataSourceReader":
         if self._cdf_requested():
-            root = self.options.get("path")
+            root = self._root()
             start = self.options.get("startingVersion")
             if start is None:
                 raise ValueError(
@@ -118,9 +149,7 @@ class LakeDataSource(DataSource):
         return LakeReader(self._resolved())
 
     def streamReader(self, schema) -> "DataSourceStreamReader":
-        root = self.options.get("path")
-        if not root:
-            raise ValueError("option 'path' is required for format 'lake'")
+        root = self._root()
         if self._cdf_requested():
             return LakeCDFStreamReader(root)
         return LakeStreamReader(root)
@@ -129,9 +158,7 @@ class LakeDataSource(DataSource):
         import json as _json
         import os as _os
 
-        root = self.options.get("path")
-        if not root:
-            raise ValueError("option 'path' is required for format 'lake'")
+        root = self._root()
         txn = _os.path.join(root, "_txn")
         fresh = not _os.path.isdir(txn) or not any(
             f.endswith(".json") for f in _os.listdir(txn)

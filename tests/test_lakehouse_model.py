@@ -23,9 +23,13 @@ def _model_rows(model):
     return sorted((k, v[0], v[1]) for k, v in model.items())
 
 
-def test_random_op_sequence_matches_dict_model(spark, tmp_path):
-    rng = random.Random(1234)  # deterministic: reruns identical
-    root = str(tmp_path / "mtbl")
+import pytest
+
+
+@pytest.mark.parametrize("seed", [1234, 99])
+def test_random_op_sequence_matches_dict_model(spark, tmp_path, seed):
+    rng = random.Random(seed)  # deterministic: reruns identical
+    root = str(tmp_path / f"mtbl{seed}")
     model: dict[int, tuple[str, float]] = {
         i: (f"n{i}", float(i)) for i in range(40)
     }
