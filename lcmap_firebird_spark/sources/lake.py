@@ -146,6 +146,11 @@ class LakeDataSource(DataSource):
             return LakeCDFReader(
                 root, int(start), int(end) if end is not None else None
             )
+        if str(self.options.get("pushdown", "false")).lower() in (
+            "true",
+            "1",
+        ):
+            return LakePushdownReader(self._resolved())
         return LakeReader(self._resolved())
 
     def streamReader(self, schema) -> "DataSourceStreamReader":
@@ -256,13 +261,38 @@ def _read_file_partition(part: LakeFilePartition):
 class LakeReader(DataSourceReader):
     def __init__(self, resolved):
         self._root, self._live, self._schema_json = resolved
+        self._bounds: dict[str, list] = {}  # col -> [lo, hi]
+
+    def _survives(self, rec: dict) -> bool:
+        for col, (lo, hi) in self._bounds.items():
+            st = (rec.get("stats") or {}).get(col)
+            if st is None:
+                continue
+            try:
+                if (hi is not None and st[0] > hi) or (
+                    lo is not None and st[1] < lo
+                ):
+                    return False
+            except TypeError:
+                continue  # incomparable literal/stat types: keep
+        return True
 
     def partitions(self):
         import json as _json
         import os as _os
 
         sj = _json.dumps(self._schema_json)
-        data = [r for r in self._live if r.get("kind") != "dv"]
+        data = [
+            r
+            for r in self._live
+            if r.get("kind") != "dv" and self._survives(r)
+        ]
+        # CONSUME the pushed bounds: one reader instance can serve
+        # several queries derived from the same load() DataFrame, and
+        # a later unfiltered query must not inherit an earlier
+        # query's pruning (each filtered query re-pushes its own
+        # filters before partitions())
+        self._bounds = {}
         dvs = [r for r in self._live if r.get("kind") == "dv"]
         covered = set()
         for r in dvs:
@@ -282,6 +312,67 @@ class LakeReader(DataSourceReader):
 
     def read(self, part: LakeFilePartition):
         yield from _read_file_partition(part)
+
+
+class LakePushdownReader(LakeReader):
+    """LakeReader + Catalyst filter pushdown (PySpark 4.1). OPT-IN
+    via option("pushdown", "true") for two reasons:
+
+    1. merely IMPLEMENTING pushFilters makes Spark refuse the read
+       when spark.sql.python.filterPushdown.enabled is false (the
+       default on vanilla sessions) — session.py enables the conf
+       for this engine's sessions;
+    2. upstream sharing hazard (verified on PySpark 4.1, applies to
+       ANY pushFilters implementation, not this one): when several
+       queries derive from ONE load() DataFrame, the JVM reuses the
+       first-planned scan — partitions AND pushed pruning — for the
+       later queries, silently under-reading an unfiltered sibling.
+       With pushdown enabled, derive each query from its own
+       load(); every per-load query (filtered or not) is correct and
+       the reader itself resets its bounds per planning."""
+
+    def pushFilters(self, filters):
+        """Fold comparison filters on top-level columns into
+        per-column [lo, hi] bounds and prune files whose commit-log
+        stats cannot intersect — the SAME data skipping
+        `LakeTable.scan()` offers manually, now automatic for any
+        `df.filter(...)`. Every filter is yielded back: file stats
+        only BOUND, Spark still evaluates rows (safe residual
+        semantics)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        self._bounds = {}  # fresh per planning: no cross-query leaks
+
+        def narrow(col: str, lo, hi):
+            b = self._bounds.setdefault(col, [None, None])
+            if lo is not None and (b[0] is None or lo > b[0]):
+                b[0] = lo
+            if hi is not None and (b[1] is None or hi < b[1]):
+                b[1] = hi
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is not None and len(attr) == 1:
+                col = attr[0]
+                if isinstance(f, EqualTo):
+                    narrow(col, f.value, f.value)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    narrow(col, f.value, None)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    narrow(col, None, f.value)
+                elif isinstance(f, In) and f.value:
+                    try:
+                        narrow(col, min(f.value), max(f.value))
+                    except TypeError:
+                        pass
+            yield f  # rows still filtered by Spark (stats only bound)
 
 
 # shipped to Python workers by class reference

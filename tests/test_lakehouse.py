@@ -818,6 +818,56 @@ def test_cdf_files_survive_vacuum_and_restore_diff(spark, cdf_table):
     assert restored.filter("id < 10").count() == 10
 
 
+def test_datasource_filter_pushdown_prunes_files(spark, tmp_path):
+    """df.filter on a format('lake') read prunes FILES from the
+    commit-log stats before Spark schedules anything — automatic
+    data skipping via the PySpark 4.1 pushFilters hook."""
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    spark.dataSource.register(LakeDataSource)
+    df0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(10_000)], "id long, val double"
+    ).repartition(8)
+    root = str(tmp_path / "ptbl")
+    t = LakeTable.create(
+        spark, root, spark.createDataFrame([], "id long, val double"),
+        key_cols=["id"],
+    )
+    t.append_clustered(df0)  # disjoint per-file id ranges
+    n_files = len([r for r in t._live()[0] if r.get("rows")])
+    assert n_files > 2
+    # one load() per query: PySpark 4.1 reuses the first-planned scan
+    # across queries sharing a load() DataFrame when pushdown is on
+    # (upstream hazard — see LakePushdownReader's docstring)
+    def load():
+        return (
+            spark.read.format("lake")
+            .option("path", root)
+            .option("pushdown", "true")
+            .load()
+        )
+
+    narrow = load().filter("id >= 100 AND id < 200")
+    # correctness: identical rows to the snapshot-side filter
+    assert narrow.count() == 100
+    got = {r["id"] for r in narrow.collect()}
+    assert got == set(range(100, 200))
+    # pruning: the narrow read schedules fewer input partitions than
+    # the table has live files (clustered ranges are disjoint, so a
+    # 100-id window hits at most a couple of files + the empty-create
+    # stub)
+    assert narrow.rdd.getNumPartitions() <= 3 < n_files
+    # an unfiltered read sees every file and every row
+    base = load()
+    assert base.count() == 10_000
+    assert base.rdd.getNumPartitions() >= n_files
+    # equality also prunes; unprunable predicates stay correct
+    assert (
+        load().filter("id = 5000").rdd.getNumPartitions() <= 2
+    )
+    assert load().filter("val < 50.0").count() == 50  # no id stats
+
+
 def test_cdf_batch_datasource_versioned_read(spark, cdf_table):
     from lcmap_firebird_spark.sources.lake import LakeDataSource
 
