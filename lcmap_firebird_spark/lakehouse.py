@@ -159,6 +159,33 @@ class LakeTable:
             for e in self._entries()
         ]
 
+    def version_at(self, ts: float) -> int:
+        """Latest version committed at or before unix-seconds `ts`
+        (Delta's timestampAsOf). Commit times are compared under a
+        running max so a backwards clock step between commits can
+        never make time travel non-monotone in version order; entries
+        from tables written before timestamps were recorded fall back
+        to the entry file's mtime."""
+        best = None
+        mono = float("-inf")
+        for v in self._versions():
+            with open(_entry_path(self.root, v)) as f:
+                e = json.load(f)
+            ets = e.get("ts")
+            if ets is None:
+                ets = os.path.getmtime(_entry_path(self.root, v))
+            mono = max(mono, float(ets))
+            if mono <= ts:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts} predates table {self.root} "
+                f"(first commit at {mono})"
+            )
+        return best
+
     def _live_full(self, version: int | None = None) -> tuple[list[dict], dict]:
         """(live add-records, LATEST entry at/<= version) by FULL log
         replay. The latest entry carries the schema in force at that
@@ -180,11 +207,20 @@ class LakeTable:
 
     # -- read --------------------------------------------------------------
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
-        """The table as of `version` (default: latest). Plain parquet
-        scan over the live files — pushdown/pruning apply as usual;
-        files covered by a deletion vector additionally anti-join
-        their deleted positions (DV-free tables keep the bare scan)."""
+    def snapshot(
+        self, version: int | None = None, as_of: float | None = None
+    ) -> DataFrame:
+        """The table as of `version` (default: latest), or as of
+        unix-seconds `as_of` (timestamp time travel — resolved to a
+        version via `version_at`; mutually exclusive with `version`).
+        Plain parquet scan over the live files — pushdown/pruning
+        apply as usual; files covered by a deletion vector
+        additionally anti-join their deleted positions (DV-free
+        tables keep the bare scan)."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_at(as_of)
         live, head = self._live(version)
         schema = StructType.fromJson(json.loads(head["schema"]))
         data, dvs = self._split_live(live)
@@ -192,12 +228,19 @@ class LakeTable:
 
     # -- write -------------------------------------------------------------
 
-    def _stage_files(self, df: DataFrame) -> list[dict]:
+    def _stage_files(
+        self, df: DataFrame, stat_cols: list[str] | None = None
+    ) -> list[dict]:
         """Write df's rows as immutable files in data/, return add
-        records with footer stats. Files are invisible until a commit
-        references them."""
+        records with footer stats (over the table's key columns, plus
+        any `stat_cols` — e.g. cluster() records stats for its
+        clustering columns so scan() can prune on them). Files are
+        invisible until a commit references them."""
         head = self._entries()[-1]
-        key_cols = head["key_cols"]
+        key_cols = list(head["key_cols"])
+        for c in stat_cols or []:
+            if c not in key_cols:
+                key_cols.append(c)
         tmp = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         recs = []
@@ -242,6 +285,7 @@ class LakeTable:
             entry = {
                 "version": head + 1,
                 "operation": operation,
+                "ts": time.time(),
                 "add": add,
                 "remove": remove,
                 "schema": head_entry["schema"],
@@ -281,6 +325,7 @@ class LakeTable:
         entry0 = {
             "version": 0,
             "operation": "create",
+            "ts": time.time(),
             "add": [],
             "remove": [],
             "schema": df.schema.json(),
@@ -866,15 +911,34 @@ class LakeTable:
 
         Read-dependent: concurrent commits win, compaction retries
         belong to the caller (it is maintenance — always safe to
-        re-run)."""
+        re-run).
+
+        Sizing is LIVE-row aware: a file's footer row count minus its
+        deletion-vector positions is what the rewrite will actually
+        emit, so a physically-large but mostly-deleted file correctly
+        qualifies as small and the output file count is computed from
+        rows that exist, not rows that once did."""
         head = self.latest_version()
         live, head_entry = self._live(head)
         data, dvs = self._split_live(live)
-        small = [r for r in data if r.get("rows", 0) < target_rows]
+        deleted: dict[str, int] = {}
+        if dvs:
+            deleted = {
+                r["file"]: r["n"]
+                for r in self._dv_df(dvs)
+                .groupBy("file")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+
+        def _live_rows(rec: dict) -> int:
+            return max(rec.get("rows", 0) - deleted.get(rec["path"], 0), 0)
+
+        small = [r for r in data if _live_rows(r) < target_rows]
         if len(small) < 2:
             return head
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
-        total = sum(r.get("rows", 0) for r in small)
+        total = sum(_live_rows(r) for r in small)
         n_out = max(1, -(-total // target_rows))
         # DV-applied scan: compacting a covered file MATERIALIZES its
         # merge-on-read deletes (the DV rows for it become inert)
@@ -1013,6 +1077,37 @@ class LakeTable:
         tight and `scan()` pruning actually bites."""
         cluster_by = cluster_by or self._entries()[-1]["key_cols"]
         return self.append(self._clustered(df, cluster_by), **kw)
+
+    def cluster(self, cluster_by: list[str] | None = None) -> int:
+        """OPTIMIZE ... ZORDER BY for an existing table: rewrite
+        EVERY live data file with rows clustered on `cluster_by`
+        (default: the table's key columns) in ONE commit, so per-file
+        stats tighten and `scan()` pruning bites on historically
+        appended data — the retroactive sibling of append_clustered
+        (which only clusters what it writes). Merge-on-read deletes
+        are materialized by the rewrite and every DV row is dropped
+        (all covered files leave the live set). Stats are recorded
+        for the clustering columns as well as the key columns, so
+        clustering on a non-key column makes it prunable. No-op (no
+        commit) on an empty table.
+
+        Read-dependent: raises ConcurrentWriteError if the log
+        advances mid-rewrite; maintenance is always safe to re-run."""
+        head = self.latest_version()
+        live, head_entry = self._live(head)
+        data, dvs = self._split_live(live)
+        if not data:
+            return head
+        cluster_by = cluster_by or head_entry["key_cols"]
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        scan = self._scan_live(data, dvs, schema)
+        add = self._stage_files(
+            self._clustered(scan, cluster_by), stat_cols=cluster_by
+        )
+        remove = [r["path"] for r in data] + [r["path"] for r in dvs]
+        return self._commit(
+            "cluster", add, remove, expected_head=head
+        )
 
     def pruned_paths(
         self, ranges: dict, version: int | None = None

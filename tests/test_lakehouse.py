@@ -1120,3 +1120,140 @@ def test_lake_datasource_write_roundtrip(spark, tmp_path):
     # the table's own transactional ops work on writer-created tables
     t.merge(spark.createDataFrame([(2, 2.0)], "id long, val double"))
     assert _rows(t.snapshot()) == [(1, -1.0), (2, 2.0)]
+
+
+def test_timestamp_time_travel(spark, table):
+    import time as _time
+
+    _time.sleep(0.02)
+    table.append(
+        spark.createDataFrame(
+            [(500, "late", 5.0)], "id long, name string, val double"
+        )
+    )
+    entries = table._entries()
+    ts = [e["ts"] for e in entries]
+    assert ts == sorted(ts) and all(isinstance(t, float) for t in ts)
+    # midpoint between the create commit and the append resolves to
+    # the pre-append version
+    mid = (ts[1] + ts[2]) / 2
+    v = table.version_at(mid)
+    assert v == 1
+    assert table.snapshot(as_of=mid).count() == 100
+    # "now" resolves to the head; prehistory raises
+    assert table.version_at(_time.time() + 1) == table.latest_version()
+    with pytest.raises(ValueError):
+        table.version_at(ts[0] - 10.0)
+    with pytest.raises(ValueError):
+        table.snapshot(version=1, as_of=mid)
+
+
+def test_version_at_monotone_under_clock_step(spark, table):
+    # fabricate a backwards clock step between commits: ts sequence
+    # 100, 90, 110 must behave as the running max 100, 100, 110
+    from lcmap_firebird_spark.lakehouse import _entry_path
+
+    table.append(
+        spark.createDataFrame(
+            [(501, "a", 1.0)], "id long, name string, val double"
+        )
+    )
+    for v, fake in zip(table._versions(), [100.0, 90.0, 110.0]):
+        p = _entry_path(table.root, v)
+        with open(p) as f:
+            e = json.load(f)
+        e["ts"] = fake
+        with open(p, "w") as f:
+            json.dump(e, f)
+    with pytest.raises(ValueError):
+        table.version_at(95.0)  # before the monotone first commit
+    assert table.version_at(100.0) == 1  # v1's 90 clamps up to 100
+    assert table.version_at(109.9) == 1
+    assert table.version_at(110.0) == 2
+
+
+def test_compact_sizes_by_live_rows(spark, table):
+    # table fixture: 100 rows across 4 files (~25 rows each, all
+    # physically < target below). Make one MORE file that is
+    # physically huge but almost fully deleted via a DV.
+    table.append(
+        spark.createDataFrame(
+            [(10_000 + i, "bulk", 0.0) for i in range(5000)],
+            "id long, name string, val double",
+        ).coalesce(1)
+    )
+    table.delete_mor("id >= 10100")  # 4900 of 5000 dead
+    before = _rows(table.snapshot())
+    assert len(before) == 200
+    # target sits between the big file's live count (100) and its
+    # physical count (5000): only live-row sizing compacts it
+    v = table.compact(target_rows=1000)
+    assert v == table.latest_version()
+    assert table.history()[-1]["operation"] == "compact"
+    assert _rows(table.snapshot()) == before
+    data, _dvs = table._split_live(table._live()[0])
+    # every pre-existing data file (incl. the mostly-deleted bulk
+    # file) was rewritten into a single live-sized output
+    assert [r["rows"] for r in data if r["rows"]] == [200]
+
+
+def test_cluster_rewrites_live_set(spark, tmp_path):
+    root = str(tmp_path / "ctbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(0, 4000, 2)],
+            "id long, val double",
+        ).repartition(5),  # scrambled: every file spans ~the full id range
+        key_cols=["id"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(1, 4000, 2)],
+            "id long, val double",
+        ).repartition(5)
+    )
+    t.delete_mor("id % 100 = 0")
+    before = _rows(t.snapshot())
+    v = t.cluster()
+    assert v == t.latest_version()
+    assert t.history()[-1]["operation"] == "cluster"
+    assert _rows(t.snapshot()) == before
+    data, dvs = t._split_live(t._live()[0])
+    # deletes were materialized: no DV survives the rewrite
+    assert dvs == []
+    # rewritten files cover disjoint id ranges (tight stats) ...
+    ranges = sorted(r["stats"]["id"] for r in data if r["rows"])
+    for (_, a_hi), (b_lo, _) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo
+    # ... so a narrow range now prunes to a couple of files
+    paths, total = t.pruned_paths({"id": (200, 220)})
+    assert len(paths) <= 2 < total
+    got = _rows(t.scan({"id": (200, 220)}))
+    assert got == _rows(t.snapshot().filter("id between 200 and 220"))
+
+
+def test_cluster_on_non_key_column_records_stats(spark, tmp_path):
+    root = str(tmp_path / "ctbl2")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, float((i * 37) % 1000)) for i in range(4000)],
+            "id long, val double",
+        ).repartition(6),
+        key_cols=["id"],
+    )
+    t.cluster(cluster_by=["val"])
+    data, _ = t._split_live(t._live()[0])
+    ranges = sorted(
+        r["stats"]["val"] for r in data if r["rows"] and r["stats"].get("val")
+    )
+    assert ranges, "cluster() must record stats for its cluster column"
+    for (_, a_hi), (b_lo, _) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo
+    paths, total = t.pruned_paths({"val": (10.0, 20.0)})
+    assert len(paths) < total
+    got = _rows(t.scan({"val": (10.0, 20.0)}))
+    assert got == _rows(t.snapshot().filter("val between 10.0 and 20.0"))
