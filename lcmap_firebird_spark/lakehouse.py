@@ -1052,6 +1052,8 @@ class LakeTable:
             *[F.min(c).alias(f"mn_{c}") for c in cluster_by],
             *[F.max(c).alias(f"mx_{c}") for c in cluster_by],
         ).first()
+        if any(stats[f"mn_{c}"] is None for c in cluster_by):
+            return df  # empty (or all-NULL keys): nothing to order
         top = (1 << bits) - 1
         scaled = []
         for c in cluster_by:

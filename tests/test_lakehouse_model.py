@@ -1,6 +1,7 @@
 """Model-based lakehouse check: a deterministic pseudo-random
 sequence of mixed table operations (append / merge / cow delete /
-mor delete / apply_changes / compact / compact_deletes / restore)
+mor delete / apply_changes / compact / compact_deletes / cluster /
+restore)
 mirrored against an in-memory dict model — after EVERY step the
 snapshot must equal the model, and at the end every historical
 version must still time-travel to its recorded state (except those
@@ -52,7 +53,7 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path, seed):
             [
                 "append", "merge", "delete", "delete_mor",
                 "apply_changes", "compact", "compact_deletes",
-                "restore",
+                "cluster", "restore",
             ]
         )
         if op == "append":
@@ -98,6 +99,8 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path, seed):
             t.compact(target_rows=1_000)
         elif op == "compact_deletes":
             t.compact_deletes(min_deleted_fraction=0.3)
+        elif op == "cluster":
+            t.cluster()
         elif op == "restore":
             target = rng.choice(sorted(history))
             t.restore(target)
@@ -109,9 +112,13 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path, seed):
         assert got == want, f"step {step} ({op}): snapshot != model"
         history[t.latest_version()] = want
 
-    # every recorded version still time-travels to its state
+    # every recorded version still time-travels to its state — by
+    # version number AND by its recorded commit timestamp
+    entry_ts = {e["version"]: e["ts"] for e in t._entries()}
     for v, want in history.items():
         assert _rows(t.snapshot(version=v)) == want, f"version {v}"
+        assert t.version_at(entry_ts[v]) == v
+        assert _rows(t.snapshot(as_of=entry_ts[v])) == want, f"ts of v{v}"
 
     # aggressive vacuum keeps only the head readable — and the head
     # still equals the model afterwards
