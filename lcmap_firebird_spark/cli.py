@@ -93,7 +93,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         redact=args.redact,
         **kwargs,
     )
-    manifest = write_corpus(out, args.output)
+    manifest = write_corpus(out, args.output, domain_col=args.domain_col)
     print(json.dumps(manifest))
     return 0
 

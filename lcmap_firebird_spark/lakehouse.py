@@ -139,11 +139,18 @@ class LakeTable:
             raise FileNotFoundError(f"empty log at {self.root}")
         return vs[-1]
 
-    def _entries(self, upto: int | None = None) -> list[dict]:
+    def _entries(
+        self, upto: int | None = None, since: int | None = None
+    ) -> list[dict]:
+        """Log entries with version in (since, upto] — `since` lets
+        checkpoint-aware readers open only the tail files instead of
+        re-parsing the whole history."""
         out = []
         for v in self._versions():
             if upto is not None and v > upto:
                 break
+            if since is not None and v <= since:
+                continue
             with open(_entry_path(self.root, v)) as f:
                 out.append(json.load(f))
         return out
@@ -236,7 +243,8 @@ class LakeTable:
         any `stat_cols` — e.g. cluster() records stats for its
         clustering columns so scan() can prune on them). Files are
         invisible until a commit references them."""
-        head = self._entries()[-1]
+        # checkpoint-aware head lookup: O(tail), not O(history)
+        head = self._live()[1]
         key_cols = list(head["key_cols"])
         for c in stat_cols or []:
             if c not in key_cols:
@@ -372,7 +380,7 @@ class LakeTable:
                 cands.append(rec["path"])
         if not cands:
             return []
-        head = self._entries()[-1]
+        head = self._live()[1]
         schema = StructType.fromJson(json.loads(head["schema"]))
         scan = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, p) for p in cands]
@@ -585,10 +593,26 @@ class LakeTable:
                 ]
             )
             return self.spark.createDataFrame([], empty)
+        # a range spanning an add_column commit mixes parts built
+        # under different schemas: null-fill every part up to the
+        # schema in force at to_v (additive evolution guarantees the
+        # final schema is a superset), so a CDF consumer catching up
+        # across an evolution reads one coherent frame
+        _, head = self._live(to_v)
+        final = StructType.fromJson(json.loads(head["schema"]))
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            out = out.unionByName(p, allowMissingColumns=True)
+        for f in final.fields:
+            if f.name not in out.columns:
+                out = out.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        return out.select(
+            *[f.name for f in final.fields],
+            "_change_type",
+            "_commit_version",
+        )
 
     def _merge_cdf(
         self,
@@ -825,7 +849,11 @@ class LakeTable:
             )
             if rec:
                 cdf_extra["cdf"] = rec
-        keep = sub.filter(f"NOT ({predicate})")
+        # SQL DELETE semantics: a row is deleted only when the
+        # predicate is TRUE — rows where it evaluates to NULL must
+        # SURVIVE (bare NOT(pred) is NULL for them, silently dropping
+        # the row and recording no change anywhere)
+        keep = sub.filter(f"NOT coalesce(({predicate}), false)")
         add = self._stage_files(keep)
         return self._commit(
             "delete", add, affected, expected_head=head,
@@ -1054,6 +1082,22 @@ class LakeTable:
         ).first()
         if any(stats[f"mn_{c}"] is None for c in cluster_by):
             return df  # empty (or all-NULL keys): nothing to order
+        vals = [stats[f"mn_{c}"] for c in cluster_by] + [
+            stats[f"mx_{c}"] for c in cluster_by
+        ]
+        if not all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in vals
+        ):
+            # non-numeric cluster columns (strings, dates) have no
+            # span to scale onto the Morton grid — fall back to
+            # lexicographic range clustering: files still cover
+            # disjoint ranges of the leading column
+            keys = [F.col(c) for c in cluster_by]
+            n = df.sparkSession.sparkContext.defaultParallelism
+            return df.repartitionByRange(n, *keys).sortWithinPartitions(
+                *keys
+            )
         top = (1 << bits) - 1
         scaled = []
         for c in cluster_by:
@@ -1077,7 +1121,7 @@ class LakeTable:
         """Append with the rows clustered on `cluster_by` (default:
         the table's key columns) so the committed per-file stats are
         tight and `scan()` pruning actually bites."""
-        cluster_by = cluster_by or self._entries()[-1]["key_cols"]
+        cluster_by = cluster_by or self._live()[1]["key_cols"]
         return self.append(self._clustered(df, cluster_by), **kw)
 
     def cluster(self, cluster_by: list[str] | None = None) -> int:
@@ -1174,6 +1218,14 @@ class LakeTable:
         head_v = to_version if to_version is not None else self.latest_version()
         old = self.snapshot(from_version)
         new = self.snapshot(head_v)
+        # additive schema evolution: from_version may predate an
+        # add_column commit — null-fill the old snapshot up to the
+        # new schema so the keyed diff compares one coherent column
+        # set (a post-evolution value reads as a NULL→value update)
+        for f in new.schema.fields:
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        old = old.select(*new.columns)
         _, head = self._live(head_v)
         key_cols = head["key_cols"]
         cols = new.columns
@@ -1314,10 +1366,7 @@ class LakeTable:
         if ck is None or (version is not None and version < ck["version"]):
             return self._live_full(version)
         live = {rec["path"]: rec for rec in ck["live"]}
-        tail_entries = [
-            e for e in self._entries(upto=version)
-            if e["version"] > ck["version"]
-        ]
+        tail_entries = self._entries(upto=version, since=ck["version"])
         schema_entry = {
             "schema": ck["schema"],
             "key_cols": ck["key_cols"],

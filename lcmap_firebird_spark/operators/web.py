@@ -114,9 +114,21 @@ def domain_cap(
     )
     thr = (
         per_bucket.withColumn("_cum", F.sum("_n").over(w))
-        .filter(F.col("_cum") <= max_docs)
         .groupBy("_dom")
-        .agg((F.max("_bkt") + 1).alias("_thr"))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("_cum") <= max_docs, F.col("_bkt") + 1)
+                ),
+                # giant domain: even its FIRST occupied bucket
+                # overshoots the cap — keep exactly that bucket
+                # (~n/MIX_BUCKETS docs, the cap at bucket
+                # resolution) rather than dropping the domain
+                # entirely, which is what an empty prefix filter
+                # would silently do
+                F.min("_bkt") + 1,
+            ).alias("_thr")
+        )
         .select(F.col("_dom").alias("_tdom"), "_thr")
     )
     out = bucketed.join(

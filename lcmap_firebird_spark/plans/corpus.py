@@ -246,7 +246,11 @@ def corpus_manifest(
 
 
 def write_corpus(
-    df: DataFrame, path: str, mode: str = "overwrite", manifest: bool = True
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    manifest: bool = True,
+    domain_col: str = "source",
 ) -> dict | None:
     """Partitioned-by-split sink: downstream training jobs scan only
     their split's directory (partition pruning), and each split's
@@ -254,14 +258,21 @@ def write_corpus(
     `_MANIFEST.json` lands next to the data (counts + order-
     independent checksum per stratum) so downstream consumers can
     verify a re-run reproduced the identical corpus without reading
-    it."""
+    it.
+
+    The manifest is computed by READING BACK the parquet just
+    written — one cheap scan — never by re-executing `df`'s lineage:
+    a prepared corpus is the tail of a multi-shuffle pipeline
+    (gates, dedup ladder, mixture), and manifesting from the lazy
+    frame would run that whole pipeline a second time."""
     df.write.mode(mode).partitionBy("split").parquet(path)
     if not manifest:
         return None
     import json
     import os
 
-    m = corpus_manifest(df)
+    written = df.sparkSession.read.parquet(path)
+    m = corpus_manifest(written, domain_col=domain_col)
     with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
         json.dump(m, f, indent=1, default=str)
     return m

@@ -284,8 +284,13 @@ def x5_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
     # a fresh table root per invocation: the snapshot below is a LAZY
     # parquet scan over the committed files, so the dir must outlive
-    # this call (tmp-dir scale: one small table per driver/bench run)
+    # this call — but not the process (repeated bench/driver rounds
+    # would otherwise accumulate table copies in /tmp forever)
+    import atexit
+    import shutil
+
     root = tempfile.mkdtemp(prefix="x5_lake_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     table = LakeTable.create(spark, root, cust, key_cols=["c_custkey"])
     table.merge(updates)
     return table.snapshot()

@@ -25,6 +25,7 @@ the continuous-rollup contract on a transactional substrate);
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
@@ -33,12 +34,33 @@ from ..lakehouse import LakeTable
 
 
 def committed_batch_ids(table: LakeTable) -> set[int]:
-    """batch_ids recorded by previous stream commits (log scan)."""
+    """batch_ids recorded by previous stream commits (FULL log scan
+    — diagnostics/tests; the sink itself uses
+    `last_committed_batch_id`, which stops at the newest stamp)."""
     return {
         e["batch_id"]
         for e in table._entries()
         if e.get("batch_id") is not None
     }
+
+
+def last_committed_batch_id(table: LakeTable) -> int | None:
+    """The newest batch_id stamped in the log, scanning BACKWARD
+    from the head and stopping at the first stamp — O(commits since
+    the last stream batch), typically one or two entries, instead of
+    re-parsing the whole history on every micro-batch. Structured
+    Streaming batch_ids are monotone per checkpoint, so
+    `batch_id <= last stamp` is exactly `already committed` (a new
+    checkpoint dir restarts ids at 0 — point it at a new table, the
+    same contract as Delta's txnAppId/txnVersion)."""
+    from ..lakehouse import _entry_path
+
+    for v in reversed(table._versions()):
+        with open(_entry_path(table.root, v)) as f:
+            e = json.load(f)
+        if e.get("batch_id") is not None:
+            return e["batch_id"]
+    return None
 
 
 def make_batch_sink(
@@ -74,7 +96,8 @@ def make_batch_sink(
             )
             return
         t = LakeTable(spark, root)
-        if batch_id in committed_batch_ids(t):
+        last = last_committed_batch_id(t)
+        if last is not None and batch_id <= last:
             return  # replayed batch: already fully committed
         if mode == "append":
             t.append(batch_df, extra=stamp)

@@ -245,3 +245,28 @@ def test_cdc_sink_into_cdf_table_records_per_batch_changes(spark, tmp_path):
     # replay of batch 0 is a no-op: no extra CDF rows appear
     sink(spark.createDataFrame([(2, 20.0, "upsert"), (3, 3.0, "upsert")], cdc_schema), 0)
     assert t.read_cdf(0).count() == cdf.count()
+
+
+def test_replay_detection_is_tail_scan(spark, tmp_path):
+    """The sink's replay check stops at the NEWEST batch stamp (an
+    O(1) backward scan, not a full log replay per micro-batch), and
+    non-stream maintenance commits between batches don't confuse
+    it."""
+    from lcmap_firebird_spark.streaming.lake_sink import (
+        last_committed_batch_id,
+    )
+
+    root = str(tmp_path / "lake")
+    sink = make_batch_sink(root, ["k"], "append")
+    sink(spark.createDataFrame([(1, 1.0)], SCHEMA), 0)
+    sink(spark.createDataFrame([(2, 2.0)], SCHEMA), 1)
+    t = LakeTable(spark, root)
+    t.compact(target_rows=1_000)  # unstamped maintenance commit
+    assert last_committed_batch_id(t) == 1
+    n = t.snapshot().count()
+    sink(spark.createDataFrame([(1, 1.0)], SCHEMA), 0)  # replays
+    sink(spark.createDataFrame([(2, 2.0)], SCHEMA), 1)
+    assert LakeTable(spark, root).snapshot().count() == n == 2
+    sink(spark.createDataFrame([(3, 3.0)], SCHEMA), 2)  # new batch lands
+    assert LakeTable(spark, root).snapshot().count() == 3
+    assert last_committed_batch_id(LakeTable(spark, root)) == 2

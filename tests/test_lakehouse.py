@@ -1257,3 +1257,76 @@ def test_cluster_on_non_key_column_records_stats(spark, tmp_path):
     assert len(paths) < total
     got = _rows(t.scan({"val": (10.0, 20.0)}))
     assert got == _rows(t.snapshot().filter("val between 10.0 and 20.0"))
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are
+    NOT deleted (NOT(NULL) is NULL — a bare complement filter would
+    silently drop them with no change recorded anywhere)."""
+    root = str(tmp_path / "ntbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, None), (2, 10.0), (3, 2.0)], "id long, val double"
+        ).coalesce(1),
+        key_cols=["id"],
+    )
+    t.delete("val > 5")
+    assert _rows(t.snapshot()) == [(1, None), (3, 2.0)]
+
+
+def test_cdf_and_table_changes_span_schema_evolution(spark, tmp_path):
+    root = str(tmp_path / "etbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a")], "id long, name string"),
+        key_cols=["id"],
+        enable_cdf=True,
+    )
+    t.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    v_pre = t.latest_version()
+    t.add_column("x", "int")
+    t.append(
+        spark.createDataFrame([(3, "c", 7)], "id long, name string, x int")
+    )
+    # read_cdf across the evolution: old-schema parts null-fill up
+    # to the final schema instead of crashing the union
+    cdf = t.read_cdf(0)
+    assert cdf.columns == ["id", "name", "x", "_change_type", "_commit_version"]
+    got = sorted(
+        (r["id"], r["x"], r["_change_type"]) for r in cdf.collect()
+    )
+    assert got == [(1, None, "insert"), (2, None, "insert"), (3, 7, "insert")]
+    # table_changes across the evolution: the old snapshot is
+    # null-filled, so the post-evolution insert registers cleanly
+    tc = t.table_changes(v_pre)
+    assert sorted((r["id"], r["x"], r["_change_type"]) for r in tc.collect()) == [
+        (3, 7, "insert")
+    ]
+
+
+def test_cluster_on_string_keys_lexicographic(spark, tmp_path):
+    """Multi-column clustering on non-numeric keys falls back to
+    lexicographic range clustering instead of crashing on str-str
+    span arithmetic."""
+    root = str(tmp_path / "stbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(f"u{i:04d}", f"g{i % 3}", float(i)) for i in range(3000)],
+            "url string, lang string, val double",
+        ).repartition(5),
+        key_cols=["url", "lang"],
+    )
+    before = _rows(t.snapshot())
+    v = t.cluster()
+    assert v == t.latest_version()
+    assert _rows(t.snapshot()) == before
+    data, _ = t._split_live(t._live()[0])
+    ranges = sorted(r["stats"]["url"] for r in data if r["rows"])
+    assert len(ranges) > 1
+    for (_, a_hi), (b_lo, _) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo

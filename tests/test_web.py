@@ -128,3 +128,35 @@ def test_domain_cap_deterministic_and_bounded(spark):
     # monotone in the cap
     bigger = {r.doc_id for r in W.domain_cap(docs, max_docs=200).collect()}
     assert {r.doc_id for r in out} <= bigger
+
+
+def test_domain_cap_giant_domain_never_vanishes(spark):
+    """A domain whose FIRST occupied hash bucket alone exceeds the
+    cap must keep ~that bucket, not silently drop every document
+    (the Common-Crawl giant-domain case the cap exists for)."""
+    from pyspark.sql import functions as F
+
+    from lcmap_firebird_spark.operators.mixture import mix_bucket
+    from lcmap_firebird_spark.operators.web import domain_cap
+
+    cand = spark.createDataFrame(
+        [(f"doc{i}", "https://giant.com/x", "giant.com") for i in range(2000)],
+        "doc_id string, url string, domain string",
+    )
+    # find the most occupied bucket and take only ITS docs, so the
+    # whole domain collapses into one bucket whose count > max_docs
+    bucketed = cand.withColumn("_b", mix_bucket("doc_id", "domcap"))
+    top_bucket, n_in_bucket = (
+        bucketed.groupBy("_b")
+        .count()
+        .orderBy(F.desc("count"), "_b")
+        .first()
+    )
+    assert n_in_bucket >= 2
+    df = bucketed.filter(F.col("_b") == top_bucket).drop("_b")
+    out = domain_cap(df, max_docs=1)
+    # old behavior: 0 rows. fixed: exactly the one occupied bucket
+    assert out.count() == n_in_bucket
+    # and a domain that DOES fit a prefix is still capped from below
+    ok = domain_cap(cand, max_docs=100)
+    assert 0 < ok.count() <= 100
