@@ -143,6 +143,55 @@ def _probe_dsir(spark, sf):
     return dsir_sample(docs, feature_counts(target), None, k=100)
 
 
+def _probe_lake_cluster(spark, sf):
+    """Transactional maintenance lifecycle at data scale: create a
+    lake table from the scaled customer table, MOR-delete a tenth,
+    OPTIMIZE-ZORDER (cluster) the live set — materializing the DVs —
+    and read the post-cluster snapshot back through the log."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.lakehouse import LakeTable
+
+    cust = read_table(spark, "customer", sf).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="scal_lake_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = LakeTable.create(spark, root, cust, key_cols=["c_custkey"])
+    t.delete_mor("c_custkey % 10 = 0")
+    t.cluster()
+    return t.snapshot()
+
+
+def _probe_lake_cdf(spark, sf):
+    """Change-data-feed lifecycle: cdf-enabled create, a merge that
+    revises a segment, then the exact per-commit change feed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from lcmap_firebird_spark.catalog import read_table
+    from lcmap_firebird_spark.lakehouse import LakeTable
+    from pyspark.sql import functions as F
+
+    cust = read_table(spark, "customer", sf).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="scal_cdf_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = LakeTable.create(
+        spark, root, cust, key_cols=["c_custkey"], enable_cdf=True
+    )
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.lit(0.0)
+    )
+    t.merge(updates)
+    return t.read_cdf(1)
+
+
 EXTRA_PROBES = [
     ("pagerank_events_graph", _probe_pagerank),
     ("bm25_topk_3q", _probe_bm25),
@@ -151,6 +200,8 @@ EXTRA_PROBES = [
     ("semdedup_derived_cells", _probe_semdedup),
     ("bpe_train60_encode", _probe_bpe),
     ("dsir_select_100", _probe_dsir),
+    ("lake_mor_cluster_snapshot", _probe_lake_cluster),
+    ("lake_cdf_merge_feed", _probe_lake_cdf),
 ]
 
 
