@@ -168,30 +168,28 @@ class LakeTable:
 
     def version_at(self, ts: float) -> int:
         """Latest version committed at or before unix-seconds `ts`
-        (Delta's timestampAsOf). Commit times are compared under a
-        running max so a backwards clock step between commits can
-        never make time travel non-monotone in version order; entries
-        from tables written before timestamps were recorded fall back
-        to the entry file's mtime."""
-        best = None
-        mono = float("-inf")
-        for v in self._versions():
+        (Delta's timestampAsOf). `_commit` clamps every stored ts to
+        be >= its predecessor's, so timestamps are non-decreasing in
+        version order and this resolves with a BACKWARD scan from the
+        head that stops at the first commit old enough — O(commits
+        newer than ts), i.e. O(1) for the common near-now timestamp,
+        never a full log replay (PLANS.md rule 25). Entries from
+        tables written before timestamps were recorded fall back to
+        the entry file's mtime."""
+        first = float("inf")
+        for v in reversed(self._versions()):
             with open(_entry_path(self.root, v)) as f:
                 e = json.load(f)
             ets = e.get("ts")
             if ets is None:
                 ets = os.path.getmtime(_entry_path(self.root, v))
-            mono = max(mono, float(ets))
-            if mono <= ts:
-                best = v
-            else:
-                break
-        if best is None:
-            raise ValueError(
-                f"timestamp {ts} predates table {self.root} "
-                f"(first commit at {mono})"
-            )
-        return best
+            first = float(ets)
+            if first <= ts:
+                return v
+        raise ValueError(
+            f"timestamp {ts} predates table {self.root} "
+            f"(first commit at {first})"
+        )
 
     def _live_full(self, version: int | None = None) -> tuple[list[dict], dict]:
         """(live add-records, LATEST entry at/<= version) by FULL log
@@ -293,7 +291,14 @@ class LakeTable:
             entry = {
                 "version": head + 1,
                 "operation": operation,
-                "ts": time.time(),
+                # clamped monotone vs the head so stored timestamps
+                # are ALWAYS non-decreasing in version order (a
+                # backwards clock step can't produce an out-of-order
+                # log) — which lets version_at resolve with a
+                # backward tail scan instead of a full forward replay
+                "ts": max(
+                    time.time(), float(head_entry.get("ts") or 0.0)
+                ),
                 "add": add,
                 "remove": remove,
                 "schema": head_entry["schema"],
@@ -421,6 +426,20 @@ class LakeTable:
         return self.spark.read.schema(_DV_SCHEMA).parquet(
             *[os.path.join(self.root, r["path"]) for r in dvs]
         )
+
+    def _dv_counts(self, dvs: list[dict]) -> dict[str, int]:
+        """{covered file: deleted-position count} — one aggregate
+        over the DV dataset, file-count rows back to the driver
+        (metadata scale). Shared by both maintenance sizers."""
+        if not dvs:
+            return {}
+        return {
+            r["file"]: r["n"]
+            for r in self._dv_df(dvs)
+            .groupBy("file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
 
     def _scan_live(
         self,
@@ -949,15 +968,7 @@ class LakeTable:
         head = self.latest_version()
         live, head_entry = self._live(head)
         data, dvs = self._split_live(live)
-        deleted: dict[str, int] = {}
-        if dvs:
-            deleted = {
-                r["file"]: r["n"]
-                for r in self._dv_df(dvs)
-                .groupBy("file")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
+        deleted = self._dv_counts(dvs)
 
         def _live_rows(rec: dict) -> int:
             return max(rec.get("rows", 0) - deleted.get(rec["path"], 0), 0)
@@ -994,15 +1005,7 @@ class LakeTable:
         if not dvs:
             return head
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
-        # per-file deleted counts: one aggregate over the DV dataset,
-        # file-count rows back to the driver (metadata scale)
-        counts = {
-            r["file"]: r["n"]
-            for r in self._dv_df(dvs)
-            .groupBy("file")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        counts = self._dv_counts(dvs)
         targets = [
             r
             for r in data

@@ -131,7 +131,13 @@ def domain_cap(
         )
         .select(F.col("_dom").alias("_tdom"), "_thr")
     )
+    # LEFT join + explicit NULL pass-through: a doc whose domain
+    # could not be parsed has nothing to cap against and is KEPT —
+    # the same NULL closure blocklist_gate documents (an inner join
+    # would silently delete every NULL-domain row; PLANS.md rule 24)
     out = bucketed.join(
-        F.broadcast(thr), bucketed["_dom"] == thr["_tdom"]
-    ).filter(F.col("_bkt") < F.col("_thr"))
+        F.broadcast(thr), bucketed["_dom"] == thr["_tdom"], "left"
+    ).filter(
+        F.col("_dom").isNull() | (F.col("_bkt") < F.col("_thr"))
+    )
     return out.select(*df.columns)

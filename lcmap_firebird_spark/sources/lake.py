@@ -510,11 +510,11 @@ class LakeStreamReader(DataSourceStreamReader):
         import os as _os
 
         t = self._table()
-        entries = [
-            e
-            for e in t._entries(upto=end["version"])
-            if e["version"] > start["version"]
-        ]
+        # tail read only: opening every entry since version 0 per
+        # micro-batch would be O(history) per batch (PLANS.md rule 25)
+        entries = t._entries(
+            upto=end["version"], since=start["version"]
+        )
         if not entries:
             return []
         sj = _json.dumps(_json.loads(entries[-1]["schema"]))
@@ -599,9 +599,8 @@ def _cdf_partitions(root: str, start_v: int, end_v: int):
             "table was not created with enable_cdf=True; the "
             "plain lake read/stream serves current rows instead"
         )
-    entries = [
-        e for e in t._entries(upto=end_v) if e["version"] > start_v
-    ]
+    # tail read only (PLANS.md rule 25)
+    entries = t._entries(upto=end_v, since=start_v)
     if not entries:
         return []
     schema = _json.loads(entries[-1]["schema"])

@@ -1148,28 +1148,39 @@ def test_timestamp_time_travel(spark, table):
         table.snapshot(version=1, as_of=mid)
 
 
-def test_version_at_monotone_under_clock_step(spark, table):
-    # fabricate a backwards clock step between commits: ts sequence
-    # 100, 90, 110 must behave as the running max 100, 100, 110
-    from lcmap_firebird_spark.lakehouse import _entry_path
+def test_version_at_monotone_under_clock_step(spark, table, monkeypatch):
+    """A backwards wall-clock step between commits cannot produce an
+    out-of-order log: _commit clamps each stored ts to >= its
+    predecessor's, so version_at's backward tail scan stays exact."""
+    import lcmap_firebird_spark.lakehouse as lh
 
+    real_time = lh.time.time
+    # next commit sees a clock 1h in the past
+    monkeypatch.setattr(
+        lh.time, "time", lambda: real_time() - 3600.0
+    )
     table.append(
         spark.createDataFrame(
             [(501, "a", 1.0)], "id long, name string, val double"
         )
     )
-    for v, fake in zip(table._versions(), [100.0, 90.0, 110.0]):
-        p = _entry_path(table.root, v)
-        with open(p) as f:
-            e = json.load(f)
-        e["ts"] = fake
-        with open(p, "w") as f:
-            json.dump(e, f)
+    monkeypatch.setattr(lh.time, "time", real_time)
+    table.append(
+        spark.createDataFrame(
+            [(502, "b", 2.0)], "id long, name string, val double"
+        )
+    )
+    ts = [e["ts"] for e in table._entries()]
+    assert ts == sorted(ts)  # the backwards step was clamped away
+    # the clamped commit resolves at its STORED (monotone) time: a
+    # timestamp between it and the next real commit returns it
+    mid = (ts[2] + ts[3]) / 2
+    assert table.version_at(mid) == 2
+    assert table.snapshot(as_of=mid).count() == 101
+    assert table.version_at(ts[3]) == 3
+    assert table.snapshot(as_of=ts[3]).count() == 102
     with pytest.raises(ValueError):
-        table.version_at(95.0)  # before the monotone first commit
-    assert table.version_at(100.0) == 1  # v1's 90 clamps up to 100
-    assert table.version_at(109.9) == 1
-    assert table.version_at(110.0) == 2
+        table.version_at(ts[0] - 10.0)
 
 
 def test_compact_sizes_by_live_rows(spark, table):

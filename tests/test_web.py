@@ -160,3 +160,27 @@ def test_domain_cap_giant_domain_never_vanishes(spark):
     # and a domain that DOES fit a prefix is still capped from below
     ok = domain_cap(cand, max_docs=100)
     assert 0 < ok.count() <= 100
+
+
+def test_domain_cap_null_domain_passes_through(spark):
+    """An unparseable URL (domain NULL) has nothing to cap against
+    and is KEPT — the same NULL closure blocklist_gate documents;
+    an inner join on domain would silently delete these rows."""
+    from pyspark.sql import functions as F
+
+    from lcmap_firebird_spark.operators.web import domain_cap
+
+    df = spark.createDataFrame(
+        [("d1", "https://a.com/x", "a.com"),
+         ("d2", "not a url", None),
+         ("d3", "", None),
+         ("d4", "https://a.com/y", "a.com")],
+        "doc_id string, url string, domain string",
+    )
+    out = domain_cap(df, max_docs=100)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {"d1", "d2", "d3", "d4"}
+    # NULL rows are exempt from the cap, not counted toward it
+    tight = domain_cap(df, max_docs=1)
+    kept2 = {r["doc_id"] for r in tight.collect()}
+    assert {"d2", "d3"} <= kept2
