@@ -110,7 +110,11 @@ def _file_stats(path: str, key_cols: list[str]) -> dict:
             stats[c] = [min(mins), max(maxs)]
         else:
             stats[c] = None
-    return {"rows": md.num_rows, "stats": stats}
+    return {
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "stats": stats,
+    }
 
 
 class LakeTable:
@@ -160,11 +164,43 @@ class LakeTable:
         return [
             {k: e[k] for k in ("version", "operation")}
             | {
+                "ts": e.get("ts"),
                 "added": len(e.get("add", [])),
                 "removed": len(e.get("remove", [])),
             }
             for e in self._entries()
         ]
+
+    def describe_detail(self) -> dict:
+        """Table-level metrics from log metadata ALONE plus one
+        file-count-sized DV aggregate — Delta's DESCRIBE DETAIL. No
+        data files are read: physical rows and bytes come from the
+        add records' footer stats, live rows subtract the
+        deletion-vector positions. `bytes` sums only records new
+        enough to carry it (older commits predate the field)."""
+        live, head = self._live()
+        data, dvs = self._split_live(live)
+        deleted = self._dv_counts(dvs)
+        physical = sum(r.get("rows", 0) for r in data)
+        # count only DV positions covering files still live: rows
+        # whose file a COW rewrite has since removed are inert
+        live_paths = {r["path"] for r in data}
+        n_deleted = sum(
+            n for f, n in deleted.items() if f in live_paths
+        )
+        return {
+            "version": self.latest_version(),
+            "key_cols": head["key_cols"],
+            "cdf_enabled": self._cdf_enabled(),
+            "num_data_files": len(data),
+            "num_dv_files": len(dvs),
+            "physical_rows": physical,
+            "deleted_rows": n_deleted,
+            "live_rows": physical - n_deleted,
+            "bytes": sum(
+                r["bytes"] for r in data if r.get("bytes") is not None
+            ),
+        }
 
     def version_at(self, ts: float) -> int:
         """Latest version committed at or before unix-seconds `ts`

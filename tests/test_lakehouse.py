@@ -1341,3 +1341,25 @@ def test_cluster_on_string_keys_lexicographic(spark, tmp_path):
     assert len(ranges) > 1
     for (_, a_hi), (b_lo, _) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo
+
+
+def test_describe_detail_metadata_only(spark, table):
+    d0 = table.describe_detail()
+    assert d0["physical_rows"] == d0["live_rows"] == 100
+    assert d0["num_dv_files"] == 0 and d0["deleted_rows"] == 0
+    assert d0["key_cols"] == ["id"] and d0["cdf_enabled"] is False
+    assert d0["bytes"] > 0 and d0["num_data_files"] >= 1
+    table.delete_mor("id < 30")
+    d1 = table.describe_detail()
+    assert d1["physical_rows"] == 100
+    assert d1["deleted_rows"] == 30 and d1["live_rows"] == 70
+    assert d1["num_dv_files"] >= 1
+    assert d1["version"] == table.latest_version()
+    # compaction materializes: metrics collapse back to live-only
+    table.compact(target_rows=1_000_000)
+    d2 = table.describe_detail()
+    assert d2["physical_rows"] == d2["live_rows"] == 70
+    # history rows carry their commit timestamps
+    h = table.history()
+    assert [e["operation"] for e in h][-1] == "compact"
+    assert all(e["ts"] is not None for e in h)
