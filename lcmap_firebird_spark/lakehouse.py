@@ -76,6 +76,11 @@ class ConcurrentWriteError(RuntimeError):
     re-run against the new snapshot."""
 
 
+class ConstraintViolation(ValueError):
+    """Staged rows violate a table CHECK constraint — nothing was
+    committed and the staged files were reclaimed."""
+
+
 def _entry_path(root: str, version: int) -> str:
     return os.path.join(root, _TXN, f"{version:0{_WIDTH}d}.json")
 
@@ -297,7 +302,33 @@ class LakeTable:
         for leftover in os.listdir(tmp):
             os.remove(os.path.join(tmp, leftover))
         os.rmdir(tmp)
+        # CHECK constraints are enforced by _commit (against the
+        # constraint set in force at COMMIT time, not staging time —
+        # the head may move between the two)
         return recs
+
+    def _validate_staged(
+        self, recs: list[dict], cons: dict[str, str]
+    ) -> None:
+        """Enforce CHECK constraints over staged files; on violation
+        the staged files are reclaimed and nothing can reference
+        them. SQL CHECK semantics: a row violates only when the
+        expression evaluates FALSE — NULL passes."""
+        if not cons or not recs:
+            return
+        staged = self.spark.read.parquet(
+            *[os.path.join(self.root, r["path"]) for r in recs]
+        )
+        for cname, expr in sorted(cons.items()):
+            if staged.filter(
+                f"NOT coalesce(({expr}), true)"
+            ).limit(1).count():
+                for r in recs:
+                    os.remove(os.path.join(self.root, r["path"]))
+                raise ConstraintViolation(
+                    f"CHECK constraint {cname!r} ({expr}) "
+                    "violated by staged rows; commit aborted"
+                )
 
     def _commit(
         self,
@@ -311,6 +342,7 @@ class LakeTable:
         non-None = read-dependent commit: raise ConcurrentWriteError
         if the head moved; None = order-independent (append): retry
         against whatever head exists."""
+        staged_cons: dict | None = None
         while True:
             # re-read the head entry on EVERY attempt: an append that
             # loses the O_EXCL race to a concurrent add_column must
@@ -324,6 +356,26 @@ class LakeTable:
                 raise ConcurrentWriteError(
                     f"log advanced to v{head} (expected v{expected_head})"
                 )
+            # CHECK constraints: validate the staged data files (one
+            # scan of the just-written parquet, no lineage recompute)
+            # against the constraint set in force at COMMIT time —
+            # once per distinct set, so an append that loses the
+            # O_EXCL race to a concurrent add_constraint re-validates
+            # under the new set before its entry can land. Only
+            # row-INTRODUCING operations validate: rewrites (compact,
+            # cluster, delete, restore) recombine rows every live
+            # version already satisfies — add_constraint's full-
+            # snapshot check is the induction base — and scanning
+            # them again would turn maintenance into full-table
+            # validation passes.
+            cons = head_entry.get("constraints") or {}
+            if cons != staged_cons and operation in (
+                "create", "append", "merge", "apply_changes"
+            ):
+                self._validate_staged(
+                    [r for r in add if r.get("kind") is None], cons
+                )
+            staged_cons = cons
             entry = {
                 "version": head + 1,
                 "operation": operation,
@@ -339,6 +391,7 @@ class LakeTable:
                 "remove": remove,
                 "schema": head_entry["schema"],
                 "key_cols": head_entry["key_cols"],
+                "constraints": head_entry.get("constraints") or {},
             }
             if extra:
                 entry.update(extra)
@@ -361,11 +414,15 @@ class LakeTable:
         key_cols: list[str],
         extra: dict | None = None,
         enable_cdf: bool = False,
+        constraints: dict[str, str] | None = None,
     ) -> "LakeTable":
         """Create a table from df; `key_cols` are the MERGE keys and
         drive per-file stats pruning. `enable_cdf=True` makes every
         row-changing commit also record its change rows (Delta's
-        enableChangeDataFeed), read back with `read_cdf`."""
+        enableChangeDataFeed), read back with `read_cdf`.
+        `constraints` ({name: SQL boolean expr}) are CHECK
+        constraints enforced on every subsequent commit's staged
+        rows — including this create's initial data."""
         # exist_ok: a crashed create may have left the empty dirs
         # behind; the O_EXCL entry-0 create below is the real guard
         # against two concurrent creates
@@ -380,6 +437,7 @@ class LakeTable:
             "schema": df.schema.json(),
             "key_cols": key_cols,
             "cdf_enabled": bool(enable_cdf),
+            "constraints": constraints or {},
         }
         with open(_entry_path(root, 0), "x") as f:
             json.dump(entry0, f, indent=1)
@@ -1357,6 +1415,47 @@ class LakeTable:
             extra={"schema": new_schema.json(), "added_column": name},
         )
 
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT CHECK: validates the CURRENT
+        snapshot first (existing rows must already satisfy the
+        constraint — Delta's rule), then a metadata-only commit
+        carries it forward; every later commit's staged rows are
+        validated before the entry can land. SQL CHECK semantics: a
+        row violates only when `expr` evaluates FALSE (NULL passes).
+        Read-dependent commit."""
+        head = self.latest_version()
+        cons = dict(self._live(head)[1].get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if (
+            self.snapshot(head)
+            .filter(f"NOT coalesce(({expr}), true)")
+            .limit(1)
+            .count()
+        ):
+            raise ConstraintViolation(
+                f"existing rows violate CHECK {name!r} ({expr}); "
+                "constraint not added"
+            )
+        cons[name] = expr
+        return self._commit(
+            "add_constraint", [], [], expected_head=head,
+            extra={"constraints": cons},
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only commit); time
+        travel to older versions still sees it in force there."""
+        head = self.latest_version()
+        cons = dict(self._live(head)[1].get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r}")
+        cons.pop(name)
+        return self._commit(
+            "drop_constraint", [], [], expected_head=head,
+            extra={"constraints": cons},
+        )
+
     # -- log checkpointing -------------------------------------------------
 
     def checkpoint_log(self) -> int:
@@ -1376,6 +1475,7 @@ class LakeTable:
             "live": live,
             "schema": head_entry["schema"],
             "key_cols": head_entry["key_cols"],
+            "constraints": head_entry.get("constraints") or {},
         }
         path = os.path.join(self.root, _TXN, f"_ckpt.{head:0{_WIDTH}d}.json")
         tmp = path + ".tmp"
@@ -1409,6 +1509,7 @@ class LakeTable:
         schema_entry = {
             "schema": ck["schema"],
             "key_cols": ck["key_cols"],
+            "constraints": ck.get("constraints") or {},
         }
         for e in tail_entries:
             for rec in e.get("add", []):

@@ -1363,3 +1363,104 @@ def test_describe_detail_metadata_only(spark, table):
     h = table.history()
     assert [e["operation"] for e in h][-1] == "compact"
     assert all(e["ts"] is not None for e in h)
+
+
+def test_check_constraints_enforced_on_commits(spark, tmp_path):
+    from lcmap_firebird_spark.lakehouse import ConstraintViolation
+
+    root = str(tmp_path / "contbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, 5.0), (2, None)], "id long, val double"
+        ),
+        key_cols=["id"],
+        constraints={"val_pos": "val > 0"},  # NULL passes (SQL CHECK)
+    )
+    v = t.latest_version()
+    # violating append: rejected atomically, nothing committed,
+    # staged files reclaimed
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(3, -1.0)], "id long, val double"))
+    assert t.latest_version() == v
+    assert t.snapshot().count() == 2
+    data_files = {r["path"] for r in t._live()[0]}
+    on_disk = {
+        "data/" + f for f in os.listdir(os.path.join(root, "data"))
+    }
+    assert on_disk == data_files
+    # valid append (incl. NULL) lands
+    t.append(
+        spark.createDataFrame([(3, 3.0), (4, None)], "id long, val double")
+    )
+    assert t.snapshot().count() == 4
+    # merge with a violating source is rejected too
+    with pytest.raises(ConstraintViolation):
+        t.merge(spark.createDataFrame([(1, -9.0)], "id long, val double"))
+    assert {r["id"]: r["val"] for r in t.snapshot().collect()}[1] == 5.0
+
+
+def test_add_drop_constraint_lifecycle(spark, tmp_path):
+    from lcmap_firebird_spark.lakehouse import ConstraintViolation
+
+    root = str(tmp_path / "contbl2")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 5.0), (2, -2.0)], "id long, val double"),
+        key_cols=["id"],
+    )
+    # existing rows violate: constraint refused, no commit
+    v = t.latest_version()
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint("val_pos", "val > 0")
+    assert t.latest_version() == v
+    t.delete("val <= 0")
+    t.add_constraint("val_pos", "val > 0")
+    with pytest.raises(ValueError):
+        t.add_constraint("val_pos", "val > 1")  # duplicate name
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(7, 0.0)], "id long, val double"))
+    # constraints survive a log checkpoint (compacted replay path)
+    t.checkpoint_log()
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(8, -1.0)], "id long, val double"))
+    t.drop_constraint("val_pos")
+    t.append(spark.createDataFrame([(9, -3.0)], "id long, val double"))
+    assert t.snapshot().filter("val < 0").count() == 1
+    with pytest.raises(ValueError):
+        t.drop_constraint("nope")
+
+
+def test_append_retry_revalidates_new_constraint(spark, tmp_path):
+    """An append that stages (and validates) under the old head,
+    then loses the O_EXCL race to a concurrent add_constraint, must
+    re-validate against the NEW constraint set before landing."""
+    from lcmap_firebird_spark.lakehouse import (
+        ConstraintViolation,
+        _entry_path,
+    )
+
+    root = str(tmp_path / "racetbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 5.0)], "id long, val double"),
+        key_cols=["id"],
+    )
+    # stage a batch that is valid now but violates the constraint a
+    # concurrent writer is about to add
+    add = t._stage_files(
+        spark.createDataFrame([(2, -7.0)], "id long, val double")
+    )
+    t.add_constraint("val_pos", "val > 0")  # lands first
+    with pytest.raises(ConstraintViolation):
+        t._commit("append", add, [], expected_head=None)
+    assert t.snapshot().count() == 1
+    # the losing append's staged files were reclaimed
+    live = {r["path"] for r in t._live()[0]}
+    assert all(r["path"] not in live for r in add)
+    assert not any(
+        os.path.exists(os.path.join(root, r["path"])) for r in add
+    )
