@@ -183,7 +183,8 @@ class LakeTable:
         add records' footer stats, live rows subtract the
         deletion-vector positions. `bytes` sums only records new
         enough to carry it (older commits predate the field)."""
-        live, head = self._live()
+        v = self.latest_version()
+        live, head = self._live(v)
         data, dvs = self._split_live(live)
         deleted = self._dv_counts(dvs)
         physical = sum(r.get("rows", 0) for r in data)
@@ -194,7 +195,7 @@ class LakeTable:
             n for f, n in deleted.items() if f in live_paths
         )
         return {
-            "version": self.latest_version(),
+            "version": v,
             "key_cols": head["key_cols"],
             "cdf_enabled": self._cdf_enabled(),
             "num_data_files": len(data),
@@ -308,15 +309,26 @@ class LakeTable:
         return recs
 
     def _validate_staged(
-        self, recs: list[dict], cons: dict[str, str]
+        self, recs: list[dict], cons: dict[str, str], schema_json: str
     ) -> None:
         """Enforce CHECK constraints over staged files; on violation
         the staged files are reclaimed and nothing can reference
         them. SQL CHECK semantics: a row violates only when the
-        expression evaluates FALSE — NULL passes."""
+        expression evaluates FALSE — NULL passes. The scan runs
+        under the TABLE schema (null-filling columns a pre-evolution
+        writer's files lack) so a constraint on an added column
+        passes as NULL instead of failing to resolve."""
         if not cons or not recs:
             return
-        staged = self.spark.read.parquet(
+        spark = self.spark or SparkSession.getActiveSession()
+        if spark is None:  # spark-less handle (DataSource writer
+            raise RuntimeError(  # off-driver) with no session around
+                "no SparkSession available to validate CHECK "
+                "constraints on a constrained table"
+            )
+        staged = spark.read.schema(
+            StructType.fromJson(json.loads(schema_json))
+        ).parquet(
             *[os.path.join(self.root, r["path"]) for r in recs]
         )
         for cname, expr in sorted(cons.items()):
@@ -370,11 +382,25 @@ class LakeTable:
             # validation passes.
             cons = head_entry.get("constraints") or {}
             if cons != staged_cons and operation in (
-                "create", "append", "merge", "apply_changes"
+                "create", "append", "overwrite", "merge",
+                "apply_changes",
             ):
-                self._validate_staged(
-                    [r for r in add if r.get("kind") is None], cons
-                )
+                try:
+                    self._validate_staged(
+                        [r for r in add if r.get("kind") is None],
+                        cons,
+                        head_entry["schema"],
+                    )
+                except ConstraintViolation:
+                    # reclaim staged CDF change files too — they ride
+                    # in extra['cdf'], not in `add`
+                    cdf_rec = (extra or {}).get("cdf")
+                    for p in (cdf_rec or {}).get("paths", []):
+                        try:
+                            os.remove(os.path.join(self.root, p))
+                        except FileNotFoundError:
+                            pass
+                    raise
             staged_cons = cons
             entry = {
                 "version": head + 1,
@@ -442,8 +468,15 @@ class LakeTable:
         with open(_entry_path(root, 0), "x") as f:
             json.dump(entry0, f, indent=1)
         t = LakeTable(spark, root)
-        add = t._stage_files(df)
-        t._commit("create", add, [], expected_head=0, extra=extra)
+        try:
+            add = t._stage_files(df)
+            t._commit("create", add, [], expected_head=0, extra=extra)
+        except ConstraintViolation:
+            # don't poison the root: reclaim entry 0 so a corrected
+            # create can retry cleanly (staged files were already
+            # reclaimed by the validator)
+            os.remove(_entry_path(root, 0))
+            raise
         return t
 
     def append(self, df: DataFrame, extra: dict | None = None) -> int:
@@ -1372,9 +1405,17 @@ class LakeTable:
         rewritten — restore is metadata-only and O(log size).
 
         Requires the target version's files to still exist (i.e. not
-        vacuumed)."""
+        vacuumed).
+
+        The restore also restores the CHECK-constraint set in force
+        at the target version: the resurrected rows were validated
+        against THAT set, not against constraints added since (which
+        they may violate — carrying the newer set forward would
+        leave the table inconsistent with its own live constraints).
+        The schema deliberately stays the NEWER one: evolution is
+        additive-nullable, so old rows read correctly under it."""
         head = self.latest_version()
-        old_live, _ = self._live(version)
+        old_live, old_entry = self._live(version)
         cur_live, _ = self._live(head)
         for rec in old_live:
             if not os.path.exists(os.path.join(self.root, rec["path"])):
@@ -1387,7 +1428,10 @@ class LakeTable:
         remove = sorted(cur_paths - old_paths)
         return self._commit(
             "restore", add, remove, expected_head=head,
-            extra={"restored_version": version},
+            extra={
+                "restored_version": version,
+                "constraints": old_entry.get("constraints") or {},
+            },
         )
 
     def add_column(self, name: str, dtype: str) -> int:

@@ -444,6 +444,18 @@ class LakeWriter(DataSourceArrowWriter):
         t = LakeTable.__new__(LakeTable)
         t.spark = None
         t.root = self._root
+        # PySpark runs this commit in a session-less Python worker,
+        # so CHECK constraints CANNOT be validated here — refuse
+        # rather than let violating rows slip past enforcement
+        # (Spark then calls abort(), reclaiming the staged task
+        # files). Constrained tables write via LakeTable.append/
+        # merge, which validate under the real session.
+        if t._live()[1].get("constraints"):
+            raise RuntimeError(
+                "table has CHECK constraints; the format('lake') "
+                "writer commits without a SparkSession and cannot "
+                "validate them — use LakeTable.append/merge instead"
+            )
         add = [r for m in messages if m for r in m.recs]
         if self._overwrite:
             head = t.latest_version()

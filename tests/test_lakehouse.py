@@ -1464,3 +1464,132 @@ def test_append_retry_revalidates_new_constraint(spark, tmp_path):
     assert not any(
         os.path.exists(os.path.join(root, r["path"])) for r in add
     )
+
+
+def test_constraints_with_datasource_writer_and_overwrite(spark, tmp_path):
+    """PySpark runs the DataSource commit in a session-less worker
+    where CHECK constraints cannot be validated: writes to a
+    constrained table through format('lake') refuse cleanly (staged
+    task files reclaimed by abort) instead of bypassing enforcement;
+    unconstrained tables keep the writer. LakeTable.append validates
+    'overwrite'-introduced rows through its own path."""
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    try:
+        spark.dataSource.register(LakeDataSource)
+    except Exception:
+        pass
+    root = str(tmp_path / "dstbl")
+    LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 5.0)], "id long, val double"),
+        key_cols=["id"],
+        constraints={"val_pos": "val > 0"},
+    )
+    t = LakeTable(spark, root)
+    ok = spark.createDataFrame([(2, 2.0)], "id long, val double")
+    for mode in ("append", "overwrite"):
+        with pytest.raises(Exception) as e:
+            ok.write.format("lake").mode(mode).option("path", root).save()
+        assert "CHECK constraints" in str(e.value)
+    assert t.latest_version() == 1 and t.snapshot().count() == 1
+    # no orphaned task files: everything on disk is referenced
+    live = {r["path"] for r in t._live()[0]}
+    on_disk = {
+        "data/" + f for f in os.listdir(os.path.join(root, "data"))
+    }
+    assert on_disk == live
+    # the sanctioned constrained-table write path still validates
+    t.append(ok)
+    assert t.snapshot().count() == 2
+
+
+def test_constraint_on_added_column_nullfills(spark, tmp_path):
+    """A constraint on a column added by schema evolution passes as
+    NULL for writers still staging the pre-evolution shape (the
+    validator scans under the TABLE schema, not file inference)."""
+    root = str(tmp_path / "evtbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 1.0)], "id long, val double"),
+        key_cols=["id"],
+    )
+    t.add_column("score", "double")
+    t.add_constraint("score_pos", "score > 0")
+    t.append(spark.createDataFrame([(2, 2.0)], "id long, val double"))
+    assert t.snapshot().count() == 2
+    from lcmap_firebird_spark.lakehouse import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        t.append(
+            spark.createDataFrame(
+                [(3, 3.0, -1.0)], "id long, val double, score double"
+            )
+        )
+
+
+def test_constraint_violation_reclaims_cdf_and_create_root(spark, tmp_path):
+    from lcmap_firebird_spark.lakehouse import ConstraintViolation
+
+    # create-time violation leaves a reusable root
+    root = str(tmp_path / "ctbl")
+    with pytest.raises(ConstraintViolation):
+        LakeTable.create(
+            spark,
+            root,
+            spark.createDataFrame([(1, -1.0)], "id long, val double"),
+            key_cols=["id"],
+            constraints={"val_pos": "val > 0"},
+        )
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 1.0)], "id long, val double"),
+        key_cols=["id"],
+        constraints={"val_pos": "val > 0"},
+        enable_cdf=True,
+    )
+    assert t.snapshot().count() == 1
+    # a violating merge on a CDF table orphans no change files
+    with pytest.raises(ConstraintViolation):
+        t.merge(spark.createDataFrame([(1, -5.0)], "id long, val double"))
+    leftovers = [
+        f
+        for f in os.listdir(os.path.join(root, "data"))
+        if f.endswith(".cdf.parquet")
+    ]
+    referenced = [
+        p
+        for e in t._entries()
+        if e.get("cdf")
+        for p in e["cdf"]["paths"]
+    ]
+    assert len(leftovers) == len(referenced)
+
+
+def test_restore_restores_constraint_set(spark, tmp_path):
+    """Restoring past an add_constraint resurrects rows validated
+    under the OLD set — the restore carries that set back so the
+    table never lives in violation of its own constraints."""
+    from lcmap_firebird_spark.lakehouse import ConstraintViolation
+
+    root = str(tmp_path / "rtbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 5.0), (2, -2.0)], "id long, val double"),
+        key_cols=["id"],
+    )
+    v1 = t.latest_version()
+    t.delete("val <= 0")
+    t.add_constraint("val_pos", "val > 0")
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(3, -3.0)], "id long, val double"))
+    t.restore(v1)
+    # the resurrected negative row is back AND the constraint set is
+    # the one it was validated under (none) — appends are free again
+    assert t.snapshot().filter("val < 0").count() == 1
+    t.append(spark.createDataFrame([(4, -4.0)], "id long, val double"))
+    assert t.snapshot().count() == 3  # v1's two rows + the append
