@@ -479,19 +479,52 @@ class LakeTable:
             raise
         return t
 
+    def _conform(self, df: DataFrame, head: dict) -> DataFrame:
+        """Project df onto the table schema: reject columns the table
+        doesn't have (misspellings must not silently land as a file
+        readers null-fill away), null-fill absent evolution-added
+        columns (pre-evolution writer shapes stay valid), and cast
+        the rest — an unconverted type would commit a file every
+        subsequent scan chokes on."""
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        known = {f.name for f in schema.fields}
+        extra_cols = [c for c in df.columns if c not in known]
+        if extra_cols:
+            raise ValueError(
+                f"columns {extra_cols!r} not in table schema "
+                f"{sorted(known)}"
+            )
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     def append(self, df: DataFrame, extra: dict | None = None) -> int:
         """Atomic multi-file append (order-independent: retries
         transparently if another writer commits first). `extra` keys
         land in the commit entry (e.g. a streaming batch_id for
-        idempotent replay detection) — atomically with the commit."""
-        add = self._stage_files(df)
+        idempotent replay detection) — atomically with the commit.
+        Rows are conformed to the table schema first (cast + null-
+        fill of evolution-added columns; unknown columns raise)."""
+        add = self._stage_files(self._conform(df, self._live()[1]))
         return self._commit("append", add, [], expected_head=None, extra=extra)
 
     def _affected_files(
-        self, live: list[dict], keys: DataFrame, key_cols: list[str]
+        self,
+        live: list[dict],
+        keys: DataFrame,
+        key_cols: list[str],
+        schema: StructType,
     ) -> list[str]:
         """Files that can contain a source key: footer-stats prune,
-        then exact input_file_name semi-join confirmation."""
+        then exact input_file_name semi-join confirmation. `schema`
+        is the caller's PINNED head schema — re-reading the head here
+        would cost another log replay and could pick up a racing
+        add_column's different schema mid-operation."""
         ranges = keys.agg(
             *[F.min(c).alias(f"_mn_{c}") for c in key_cols],
             *[F.max(c).alias(f"_mx_{c}") for c in key_cols],
@@ -512,8 +545,6 @@ class LakeTable:
                 cands.append(rec["path"])
         if not cands:
             return []
-        head = self._live()[1]
-        schema = StructType.fromJson(json.loads(head["schema"]))
         scan = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, p) for p in cands]
         )
@@ -680,11 +711,8 @@ class LakeTable:
                 "table_changes() for snapshot-diff changes"
             )
         to_v = to_version if to_version is not None else self.latest_version()
-        entries = [
-            e
-            for e in self._entries(upto=to_v)
-            if e["version"] > from_version
-        ]
+        # tail read only (PLANS.md rule 25)
+        entries = self._entries(upto=to_v, since=from_version)
         parts: list[DataFrame] = []
         for e in entries:
             v = e["version"]
@@ -924,7 +952,7 @@ class LakeTable:
                     "dedupe_source=True to keep an arbitrary one"
                 )
         keys = source.select(*key_cols)
-        affected = self._affected_files(data, keys, key_cols)
+        affected = self._affected_files(data, keys, key_cols, schema)
         cols = [f.name for f in schema.fields]
         cdf_extra: dict = {}
         if affected:
@@ -1034,30 +1062,45 @@ class LakeTable:
 
         `retention_seconds=0` restores the aggressive
         everything-unreferenced sweep for controlled maintenance
-        windows (the caller asserts no concurrent activity)."""
+        windows (the caller asserts no concurrent activity).
+
+        A concurrent restore() can re-reference files from OUTSIDE
+        the window (they'd look unreferenced here): the reference set
+        is recomputed until the log holds still, so any restore that
+        commits before the sweep starts is seen and protected. A
+        restore to a beyond-retention version that commits DURING the
+        sweep remains unsupported — the same contract as Delta, where
+        VACUUM breaks time travel (and thus restore) past the
+        window."""
         now = time.time()
-        vs = self._versions()
-        protect = set(vs[-keep_last:]) if keep_last else set()
-        # newest entry at-or-beyond retention age: it and everything
-        # after were the head at some point inside the window
-        cutoff_idx = 0
-        for i, v in enumerate(vs):
-            age = now - os.path.getmtime(_entry_path(self.root, v))
-            if age >= retention_seconds:
-                cutoff_idx = i
-        protect.update(vs[cutoff_idx:])
-        referenced: set[str] = set()
-        for v in sorted(protect):
-            for rec in self._live(v)[0]:
-                referenced.add(rec["path"])
-                if rec.get("bloom"):
-                    referenced.add(rec["bloom"]["path"])
-            # change-data-feed files belong to exactly one commit and
-            # stay readable while that commit is protected
-            with open(_entry_path(self.root, v)) as f:
-                e = json.load(f)
-            for p in (e.get("cdf") or {}).get("paths", []):
-                referenced.add(p)
+        head_seen: int | None = None
+        while True:
+            vs = self._versions()
+            if vs and vs[-1] == head_seen:
+                break  # log held still since `referenced` was built
+            head_seen = vs[-1] if vs else None
+            protect = set(vs[-keep_last:]) if keep_last else set()
+            # newest entry at-or-beyond retention age: it and
+            # everything after were the head at some point inside
+            # the window
+            cutoff_idx = 0
+            for i, v in enumerate(vs):
+                age = now - os.path.getmtime(_entry_path(self.root, v))
+                if age >= retention_seconds:
+                    cutoff_idx = i
+            protect.update(vs[cutoff_idx:])
+            referenced: set[str] = set()
+            for v in sorted(protect):
+                for rec in self._live(v)[0]:
+                    referenced.add(rec["path"])
+                    if rec.get("bloom"):
+                        referenced.add(rec["bloom"]["path"])
+                # change-data-feed files belong to exactly one commit
+                # and stay readable while that commit is protected
+                with open(_entry_path(self.root, v)) as f:
+                    e = json.load(f)
+                for p in (e.get("cdf") or {}).get("paths", []):
+                    referenced.add(p)
         removed = []
         d = os.path.join(self.root, _DATA)
         for f in os.listdir(d):
@@ -1360,6 +1403,55 @@ class LakeTable:
         key_cols = head["key_cols"]
         cols = new.columns
         val_cols = [c for c in cols if c not in key_cols]
+
+        # the keyed diff below assumes key uniqueness WITHIN each
+        # snapshot — append can legally commit duplicate keys, and
+        # pairing duplicates would emit phantom update pre/post rows
+        # (and collapse live duplicates in any consumer applying the
+        # feed). Detect duplicates with one aggregate per side and
+        # fall back to an exact MULTISET full-row diff: per-row-value
+        # count deltas become insert/delete rows (update attribution
+        # genuinely needs unique keys, so none is fabricated).
+        def _has_dup_keys(df: DataFrame) -> bool:
+            return bool(
+                df.groupBy(*key_cols)
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .count()
+            )
+
+        if _has_dup_keys(old) or _has_dup_keys(new):
+            oc = old.groupBy(*cols).agg(F.count("*").alias("_oc"))
+            nc = new.groupBy(*cols).agg(F.count("*").alias("_nc"))
+            cond = None
+            for c in cols:
+                term = oc[c].eqNullSafe(nc[c])
+                cond = term if cond is None else (cond & term)
+            j = oc.join(nc, cond, "full_outer").select(
+                *[F.coalesce(oc[c], nc[c]).alias(c) for c in cols],
+                (
+                    F.coalesce(nc["_nc"], F.lit(0))
+                    - F.coalesce(oc["_oc"], F.lit(0))
+                ).alias("_d"),
+            )
+            order = key_cols + val_cols
+
+            def _times(df: DataFrame, n: Column, label: str) -> DataFrame:
+                return df.withColumn(
+                    "_r", F.explode(F.sequence(F.lit(1), n))
+                ).select(
+                    *order, F.lit(label).alias("_change_type")
+                )
+
+            return _times(
+                j.filter(F.col("_d") > 0), F.col("_d"), "insert"
+            ).unionByName(
+                _times(
+                    j.filter(F.col("_d") < 0), -F.col("_d"), "delete"
+                )
+            )
+
         o = old.select(
             *key_cols,
             F.struct(*[F.col(c) for c in val_cols]).alias("_o"),
@@ -1405,7 +1497,14 @@ class LakeTable:
         rewritten — restore is metadata-only and O(log size).
 
         Requires the target version's files to still exist (i.e. not
-        vacuumed).
+        vacuumed). A vacuum racing this restore could sweep the
+        resurrected beyond-retention files between the existence
+        precheck and the commit — so after the entry lands the files
+        are RE-verified; if any vanished, a compensating commit rolls
+        the table forward to its pre-restore state and the restore
+        raises, leaving every snapshot readable (silent head
+        corruption is the one unacceptable outcome; vacuum's own
+        recompute loop catches the opposite ordering).
 
         The restore also restores the CHECK-constraint set in force
         at the target version: the resurrected rows were validated
@@ -1416,7 +1515,7 @@ class LakeTable:
         additive-nullable, so old rows read correctly under it."""
         head = self.latest_version()
         old_live, old_entry = self._live(version)
-        cur_live, _ = self._live(head)
+        cur_live, cur_entry = self._live(head)
         for rec in old_live:
             if not os.path.exists(os.path.join(self.root, rec["path"])):
                 raise FileNotFoundError(
@@ -1426,13 +1525,35 @@ class LakeTable:
         old_paths = {r["path"] for r in old_live}
         add = [r for r in old_live if r["path"] not in cur_paths]
         remove = sorted(cur_paths - old_paths)
-        return self._commit(
+        v_new = self._commit(
             "restore", add, remove, expected_head=head,
             extra={
                 "restored_version": version,
                 "constraints": old_entry.get("constraints") or {},
             },
         )
+        missing = [
+            r["path"]
+            for r in old_live
+            if not os.path.exists(os.path.join(self.root, r["path"]))
+        ]
+        if missing:
+            self._commit(
+                "restore",
+                [r for r in cur_live if r["path"] in set(remove)],
+                sorted(old_paths - cur_paths),
+                expected_head=v_new,
+                extra={
+                    "restored_version": head,
+                    "constraints": cur_entry.get("constraints") or {},
+                },
+            )
+            raise FileNotFoundError(
+                f"concurrent vacuum swept {missing[:3]}... during "
+                f"restore to v{version}; rolled forward to the "
+                f"pre-restore state (v{head})"
+            )
+        return v_new
 
     def add_column(self, name: str, dtype: str) -> int:
         """Schema evolution: add a NULLABLE column as a metadata-only
@@ -1522,7 +1643,11 @@ class LakeTable:
             "constraints": head_entry.get("constraints") or {},
         }
         path = os.path.join(self.root, _TXN, f"_ckpt.{head:0{_WIDTH}d}.json")
-        tmp = path + ".tmp"
+        # unique tmp per writer: two concurrent checkpoint_log calls
+        # at the same head must never interleave into one file (a
+        # shared '.tmp' would corrupt the published checkpoint and
+        # brick every read path through _latest_checkpoint)
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(ckpt, f, indent=1)
         os.replace(tmp, path)
@@ -1701,7 +1826,7 @@ class LakeTable:
                 f"invalid {op_col} values {bad!r}: expected 'upsert' or 'delete'"
             )
         keys = ops.select(*key_cols)
-        affected = self._affected_files(data, keys, key_cols)
+        affected = self._affected_files(data, keys, key_cols, schema)
         upserts = ops.filter(F.col("_op") != "delete").drop("_op")
         cols = [f.name for f in schema.fields]
         cdf_extra: dict = {}

@@ -533,12 +533,16 @@ class LakeStreamReader(DataSourceStreamReader):
         # kind='dv' adds are deletion-vector datasets, not row data:
         # the append-only stream skips them (deletes don't stream —
         # the Delta source's ignoreDeletes posture; CDC consumers
-        # read batches written via mode="cdc" instead)
+        # read batches written via mode="cdc" instead). bloom_index
+        # commits RE-ADD every live record purely to attach sidecar
+        # pointers — zero new rows, so emitting their adds would
+        # replay the whole table into the stream.
         return [
             LakeFilePartition(
                 _os.path.join(self._root, rec["path"]), sj
             )
             for e in entries
+            if e.get("operation") != "bloom_index"
             for rec in e.get("add", [])
             if rec.get("rows") and rec.get("kind") != "dv"
         ]

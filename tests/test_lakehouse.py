@@ -1593,3 +1593,129 @@ def test_restore_restores_constraint_set(spark, tmp_path):
     assert t.snapshot().filter("val < 0").count() == 1
     t.append(spark.createDataFrame([(4, -4.0)], "id long, val double"))
     assert t.snapshot().count() == 3  # v1's two rows + the append
+
+
+def test_append_conforms_to_table_schema(spark, table):
+    # unknown column: rejected up front, not committed as a file
+    # readers would silently null-fill away
+    with pytest.raises(ValueError):
+        table.append(
+            spark.createDataFrame(
+                [(700, "x", 1.0, 9)],
+                "id long, name string, val double, extra int",
+            )
+        )
+    # wrong-typed column is cast at the boundary, so the committed
+    # parquet stays readable by every scan
+    table.append(
+        spark.createDataFrame(
+            [("701", "y", "2.5")], "id string, name string, val string"
+        )
+    )
+    got = table.snapshot().filter("id = 701").collect()
+    assert got[0]["val"] == 2.5
+    assert dict(table.snapshot().dtypes)["val"] == "double"
+
+
+def test_bloom_index_commit_does_not_reemit_stream(spark, tmp_path):
+    """build_bloom_index re-adds every live record to attach sidecar
+    pointers (zero new rows) — the plain streaming source must not
+    replay the table because of it."""
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    try:
+        spark.dataSource.register(LakeDataSource)
+    except Exception:
+        pass
+    root = str(tmp_path / "btbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "k long, v double"
+        ),
+        key_cols=["k"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("lake")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.schema("k long, v double").parquet(out).count()
+        )
+
+    assert drain() == 50
+    t.build_bloom_index()
+    t.append(spark.createDataFrame([(100, 1.0)], "k long, v double"))
+    # resumed stream delivers ONLY the appended row, not a replay
+    assert drain() == 51
+
+
+def test_table_changes_with_duplicate_keys_multiset_diff(spark, tmp_path):
+    root = str(tmp_path / "duptbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        key_cols=["k"],
+    )
+    v1 = t.latest_version()
+    # duplicate key lands legally via append
+    t.append(spark.createDataFrame([(1, "b"), (2, "c")], "k long, v string"))
+    tc = t.table_changes(v1)
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in tc.collect())
+    # exact multiset diff: two inserts, no phantom update pair for
+    # k=1 and no spurious delete of the original row
+    assert got == [(1, "b", "insert"), (2, "c", "insert")]
+    # removing one of the two k=1 rows shows as exactly one delete
+    v2 = t.latest_version()
+    t.delete("v = 'b'")
+    tc2 = t.table_changes(v2)
+    assert sorted(
+        (r["k"], r["v"], r["_change_type"]) for r in tc2.collect()
+    ) == [(1, "b", "delete")]
+
+
+def test_restore_detects_concurrent_vacuum_sweep(spark, table, monkeypatch):
+    """A vacuum racing a restore can sweep the resurrected files
+    between restore's precheck and its commit: the post-commit
+    verification must roll the table forward to its pre-restore
+    state and raise, never leave a head referencing deleted files."""
+    v1 = table.latest_version()
+    table.delete("id >= 50")
+    pre = _rows(table.snapshot())
+    head = table.latest_version()
+    # the v1 files the restore will resurrect (not in current live)
+    cur = {r["path"] for r in table._live(head)[0]}
+    resurrected = [
+        r["path"] for r in table._live(v1)[0] if r["path"] not in cur
+    ]
+    assert resurrected
+    orig_commit = LakeTable._commit
+    state = {"fired": False}
+
+    def commit_hook(self, operation, add, remove, expected_head, extra=None):
+        v = orig_commit(self, operation, add, remove, expected_head, extra)
+        if operation == "restore" and not state["fired"]:
+            state["fired"] = True  # simulate the vacuum sweep window
+            os.remove(os.path.join(self.root, resurrected[0]))
+        return v
+
+    monkeypatch.setattr(LakeTable, "_commit", commit_hook)
+    with pytest.raises(FileNotFoundError, match="rolled forward"):
+        table.restore(v1)
+    monkeypatch.undo()
+    # the head is the compensating commit: pre-restore state, readable
+    assert _rows(table.snapshot()) == pre
+    assert table.history()[-1]["operation"] == "restore"
