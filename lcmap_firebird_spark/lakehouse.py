@@ -132,6 +132,19 @@ class LakeTable:
         if not os.path.isdir(os.path.join(root, _TXN)):
             raise FileNotFoundError(f"no lakehouse table at {root}")
 
+    @classmethod
+    def attach(cls, root: str) -> "LakeTable":
+        """Session-less handle for metadata-only use (log replay is
+        pure filesystem) — the DataSource's planning/commit workers
+        run without a SparkSession. Anything that builds a DataFrame
+        (snapshot, merge, ...) still needs the real constructor."""
+        t = cls.__new__(cls)
+        t.spark = None
+        t.root = root
+        if not os.path.isdir(os.path.join(root, _TXN)):
+            raise FileNotFoundError(f"no lakehouse table at {root}")
+        return t
+
     # -- log ---------------------------------------------------------------
 
     def _versions(self) -> list[int]:

@@ -100,18 +100,20 @@ class LakeDataSource(DataSource):
 
         from ..lakehouse import LakeTable
 
+        # memoized: schema() and reader() both need the resolution —
+        # resolving twice would replay the log twice AND open a
+        # schema/data race if a commit landed between the two calls
+        # (partitions under a newer schema than Spark planned)
+        if getattr(self, "_res", None) is not None:
+            return self._res
         root = self._root()
         version = self.options.get("version")
         version = int(version) if version is not None else None
-        # attach without a SparkSession: LakeTable only needs one for
-        # snapshot(); log replay is pure filesystem
-        t = LakeTable.__new__(LakeTable)
-        t.spark = None
-        t.root = root
-        if not _os.path.isdir(_os.path.join(root, "_txn")):
-            raise FileNotFoundError(f"no lakehouse table at {root}")
+        # session-less attach: log replay is pure filesystem
+        t = LakeTable.attach(root)
         live, head = t._live(version)
-        return root, live, _json.loads(head["schema"])
+        self._res = (root, live, _json.loads(head["schema"]))
+        return self._res
 
     def _cdf_requested(self) -> bool:
         return str(
@@ -144,7 +146,10 @@ class LakeDataSource(DataSource):
                 )
             end = self.options.get("endingVersion")
             return LakeCDFReader(
-                root, int(start), int(end) if end is not None else None
+                root,
+                int(start),
+                int(end) if end is not None else None,
+                schema,
             )
         if str(self.options.get("pushdown", "false")).lower() in (
             "true",
@@ -154,14 +159,23 @@ class LakeDataSource(DataSource):
         return LakeReader(self._resolved())
 
     def streamReader(self, schema) -> "DataSourceStreamReader":
+        # the PLANNED schema rides into every partition: deriving it
+        # from the log at partitions() time instead would wedge crash
+        # recovery (a replayed offset range planned under the old
+        # schema would yield batches that no longer match after an
+        # add_column lands — an unrecoverable restart loop)
         root = self._root()
+        start = int(self.options.get("startingVersion", 0))
         if self._cdf_requested():
-            return LakeCDFStreamReader(root)
-        return LakeStreamReader(root)
+            return LakeCDFStreamReader(root, schema, start)
+        return LakeStreamReader(root, schema, start)
 
     def writer(self, schema, overwrite: bool) -> "LakeWriter":
         import json as _json
         import os as _os
+        import time as _time
+
+        from ..lakehouse import LakeTable
 
         root = self._root()
         txn = _os.path.join(root, "_txn")
@@ -177,24 +191,56 @@ class LakeDataSource(DataSource):
             ]
             _os.makedirs(txn, exist_ok=True)
             _os.makedirs(_os.path.join(root, "data"), exist_ok=True)
+            # same entry-0 fields LakeTable.create writes, so tables
+            # born through either surface are indistinguishable
             entry0 = {
                 "version": 0,
                 "operation": "create",
+                "ts": _time.time(),
                 "add": [],
                 "remove": [],
                 "schema": schema.json(),
                 "key_cols": keys,
+                "cdf_enabled": False,
+                "constraints": {},
             }
-            with open(_os.path.join(txn, f"{0:020d}.json"), "x") as f:
-                _json.dump(entry0, f, indent=1)
-        else:
-            from ..lakehouse import LakeTable
-
-            t = LakeTable.__new__(LakeTable)
-            t.spark = None
-            t.root = root
-            _, head = t._live()
+            try:
+                with open(
+                    _os.path.join(txn, f"{0:020d}.json"), "x"
+                ) as f:
+                    _json.dump(entry0, f, indent=1)
+            except FileExistsError:
+                fresh = False  # lost the bootstrap race: table exists
+        if not fresh:
+            _, head = LakeTable.attach(root)._live()
             keys = head["key_cols"]
+            # plan-time schema compatibility: the writer stages task
+            # batches verbatim (no engine to cast with), so reject a
+            # frame whose columns the table doesn't have or whose
+            # types differ — a mistyped file would brick every later
+            # scan, a misspelled column would be silently null-filled
+            # away at read time. Absent table columns are fine
+            # (evolution null-fill, the pre-add_column writer shape).
+            table_schema = StructType.fromJson(
+                _json.loads(head["schema"])
+            )
+            table_fields = {f.name: f.dataType for f in table_schema.fields}
+            problems = []
+            for f in schema.fields:
+                if f.name not in table_fields:
+                    problems.append(f"unknown column {f.name!r}")
+                elif f.dataType != table_fields[f.name]:
+                    problems.append(
+                        f"{f.name!r} is {f.dataType.simpleString()}, "
+                        f"table has "
+                        f"{table_fields[f.name].simpleString()}"
+                    )
+            if problems:
+                raise ValueError(
+                    "DataFrame schema incompatible with lake table "
+                    f"{root}: {'; '.join(problems)} (cast/rename "
+                    "before writing)"
+                )
         return LakeWriter(root, keys, overwrite)
 
 
@@ -294,18 +340,21 @@ class LakeReader(DataSourceReader):
         # filters before partitions())
         self._bounds = {}
         dvs = [r for r in self._live if r.get("kind") == "dv"]
-        covered = set()
+        # each covered file gets ONLY the DV datasets whose `covers`
+        # list names it — attaching every live DV file to every
+        # covered partition would make each worker re-read all DV
+        # parquet (F x D reads instead of O(total coverage))
+        dv_for: dict[str, list] = {}
         for r in dvs:
-            covered.update(r.get("covers", []))
-        dv_abs = tuple(
-            _os.path.join(self._root, r["path"]) for r in dvs
-        )
+            p = _os.path.join(self._root, r["path"])
+            for c in r.get("covers", []):
+                dv_for.setdefault(c, []).append(p)
         return [
             LakeFilePartition(
                 _os.path.join(self._root, rec["path"]),
                 sj,
                 rel=rec["path"],
-                dv_paths=dv_abs if rec["path"] in covered else (),
+                dv_paths=tuple(dv_for.get(rec["path"], ())),
             )
             for rec in data
         ]
@@ -441,9 +490,7 @@ class LakeWriter(DataSourceArrowWriter):
         """Driver side: one atomic log entry for every task's files."""
         from ..lakehouse import LakeTable
 
-        t = LakeTable.__new__(LakeTable)
-        t.spark = None
-        t.root = self._root
+        t = LakeTable.attach(self._root)
         # PySpark runs this commit in a session-less Python worker,
         # so CHECK constraints CANNOT be validated here — refuse
         # rather than let violating rows slip past enforcement
@@ -498,21 +545,24 @@ from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
 
 
 class LakeStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str):
+    def __init__(self, root: str, schema, start: int = 0):
+        import json as _json
+
         self._root = root
+        self._sj = _json.dumps(schema.jsonValue())
+        self._start = start
 
     def _table(self):
         from ..lakehouse import LakeTable
 
-        t = LakeTable.__new__(LakeTable)
-        t.spark = None
-        t.root = self._root
-        return t
+        return LakeTable.attach(self._root)
 
     def initialOffset(self) -> dict:
-        # start of history: the whole current table arrives as the
-        # first micro-batch, then the stream tails new commits
-        return {"version": 0}
+        # default 0 = start of history (the whole current table
+        # arrives as the first micro-batch, then the stream tails
+        # new commits); option startingVersion skips ahead — e.g. to
+        # resume past a commit the stream cannot express
+        return {"version": self._start}
 
     def latestOffset(self) -> dict:
         return {"version": self._table().latest_version()}
@@ -529,7 +579,7 @@ class LakeStreamReader(DataSourceStreamReader):
         )
         if not entries:
             return []
-        sj = _json.dumps(_json.loads(entries[-1]["schema"]))
+        sj = self._sj  # the PLANNED schema, never the log head's
         # kind='dv' adds are deletion-vector datasets, not row data:
         # the append-only stream skips them (deletes don't stream —
         # the Delta source's ignoreDeletes posture; CDC consumers
@@ -566,26 +616,30 @@ class LakeCDFStreamReader(DataSourceStreamReader):
     (read_cdf computes their snapshot diff), which is Delta's posture
     for non-additive changes without CDF data."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, schema, start: int = 0):
+        import json as _json
+
         self._root = root
+        self._sj = _json.dumps(schema.jsonValue())
+        self._start = start
 
     def _table(self):
         from ..lakehouse import LakeTable
 
-        t = LakeTable.__new__(LakeTable)
-        t.spark = None
-        t.root = self._root
-        return t
+        return LakeTable.attach(self._root)
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        # option startingVersion makes a restore/overwrite commit
+        # recoverable: start a fresh checkpoint just past it (the
+        # batch surfaces read its snapshot diff)
+        return {"version": self._start}
 
     def latestOffset(self) -> dict:
         return {"version": self._table().latest_version()}
 
     def partitions(self, start: dict, end: dict):
         return _cdf_partitions(
-            self._root, start["version"], end["version"]
+            self._root, start["version"], end["version"], self._sj
         )
 
     def read(self, partition):
@@ -595,21 +649,22 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         pass
 
 
-def _cdf_partitions(root: str, start_v: int, end_v: int):
+def _cdf_partitions(root: str, start_v: int, end_v: int, sj: str):
     """Change-feed file partitions for commits in (start_v, end_v] —
     shared by the streaming tail and the batch
-    startingVersion/endingVersion reader. cdf files carry their own
+    startingVersion/endingVersion reader. `sj` is the PLANNED output
+    schema (table schema + change columns) — never derived from the
+    log head here, which would desynchronize replayed offset ranges
+    from the schema Spark planned. cdf files carry their own
     _change_type; append/create adds become derived inserts;
     restore/overwrite have no change file and fail fast (their
-    changes are snapshot diffs — LakeTable.read_cdf computes them)."""
-    import json as _json
+    changes are snapshot diffs — LakeTable.read_cdf computes them;
+    a fresh stream resumes past them via option startingVersion)."""
     import os as _os
 
     from ..lakehouse import LakeTable
 
-    t = LakeTable.__new__(LakeTable)
-    t.spark = None
-    t.root = root
+    t = LakeTable.attach(root)
     if not t._cdf_enabled():
         raise ValueError(
             "table was not created with enable_cdf=True; the "
@@ -619,22 +674,6 @@ def _cdf_partitions(root: str, start_v: int, end_v: int):
     entries = t._entries(upto=end_v, since=start_v)
     if not entries:
         return []
-    schema = _json.loads(entries[-1]["schema"])
-    schema["fields"] = schema["fields"] + [
-        {
-            "name": "_change_type",
-            "type": "string",
-            "nullable": False,
-            "metadata": {},
-        },
-        {
-            "name": "_commit_version",
-            "type": "long",
-            "nullable": False,
-            "metadata": {},
-        },
-    ]
-    sj = _json.dumps(schema)
     parts = []
     for e in entries:
         v = e["version"]
@@ -679,19 +718,20 @@ class LakeCDFReader(DataSourceReader):
     the DataSource twin of LakeTable.read_cdf (same per-commit
     attribution, usable from plain reader options / SQL)."""
 
-    def __init__(self, root: str, start_v: int, end_v: int | None):
+    def __init__(self, root: str, start_v: int, end_v: int | None, schema):
+        import json as _json
+
         self._root = root
         self._start = start_v
         self._end = end_v
+        self._sj = _json.dumps(schema.jsonValue())
 
     def partitions(self):
         from ..lakehouse import LakeTable
 
-        t = LakeTable.__new__(LakeTable)
-        t.spark = None
-        t.root = self._root
+        t = LakeTable.attach(self._root)
         end = self._end if self._end is not None else t.latest_version()
-        return _cdf_partitions(self._root, self._start, end)
+        return _cdf_partitions(self._root, self._start, end, self._sj)
 
     def read(self, part: LakeFilePartition):
         yield from _read_file_partition(part)

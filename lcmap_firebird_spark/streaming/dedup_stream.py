@@ -49,7 +49,6 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
-from pyspark.errors import AnalysisException
 
 from ..operators.incremental import (
     incremental_pairs,
@@ -107,13 +106,17 @@ def _read_store(
     spark: SparkSession, work_dir: str, version: int, num_perm: int
 ) -> DataFrame:
     """Store snapshot `version`, or the empty store for version 0 /
-    a never-written path (first batch, or a replay racing ahead of
-    the snapshot its crashed predecessor didn't finish)."""
-    if version > 0:
-        try:
-            return spark.read.parquet(_store_path(work_dir, version))
-        except AnalysisException:
-            pass
+    a never-written or UNCOMMITTED path (first batch, a replay racing
+    ahead of the snapshot its crashed predecessor didn't finish, or a
+    crash mid-write that left part-files without the `_SUCCESS`
+    marker — the same commit-marker discipline as
+    rollup._committed_versions; a bare parquet read would silently
+    return a partial store)."""
+    import os as _os
+
+    p = _store_path(work_dir, version)
+    if version > 0 and _os.path.isfile(_os.path.join(p, "_SUCCESS")):
+        return spark.read.parquet(p)
     return spark.createDataFrame([], signature_schema(num_perm))
 
 
@@ -177,8 +180,23 @@ def continuous_dedup(
 
 
 def read_pairs(spark: SparkSession, work_dir: str) -> DataFrame:
-    """All near-dup pairs emitted so far (union over batches)."""
-    return spark.read.parquet(f"{work_dir}/pairs/b*")
+    """All near-dup pairs emitted by COMMITTED batches so far.
+    `_SUCCESS`-gated: this reader may run concurrently with the
+    stream, and a batch crashed (or still in flight) mid-write must
+    not surface a partial pair set as if it were complete."""
+    import os as _os
+
+    root = f"{work_dir}/pairs"
+    dirs = sorted(
+        _os.path.join(root, d)
+        for d in (_os.listdir(root) if _os.path.isdir(root) else [])
+        if d.startswith("b")
+        and _os.path.isfile(_os.path.join(root, d, "_SUCCESS"))
+    )
+    if dirs:
+        return spark.read.parquet(*dirs)
+    # no committed batch yet: preserve the historical error shape
+    return spark.read.parquet(f"{root}/b*")
 
 
 # driver-side foreachBatch closures reference this module; keep the

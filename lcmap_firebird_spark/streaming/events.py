@@ -73,6 +73,20 @@ def stream_events(
     from ..catalog import micros_expr, ts_unit
 
     unit = ts_unit(sf_dir, glob=glob)
+    # STREAMING twist: the unit decision is baked into the plan, but
+    # a live directory can accrete files of another generation after
+    # the stream starts (exactly the regen hazard ts_unit exists
+    # for). For a µs-pinned dataset, widen to the per-row magnitude
+    # CASE: µs rows pass through unchanged (modern values are far
+    # below the 1e17 cutoff) while a legacy ns file arriving
+    # mid-stream is still divided correctly — the sniff's only blind
+    # spot (pre-1973 ns rows) cannot occur in a µs-pinned dataset
+    # gaining ns stragglers with modern data. A ns-pinned dataset
+    # keeps the exact pinned conversion: µs rows are numerically
+    # indistinguishable from pre-1973 ns there, so no per-row rule
+    # could help (documented irreducible ambiguity).
+    if unit == "us":
+        unit = "sniff"
     return df.withColumn("ts", F.expr(f"timestamp_micros({micros_expr(unit)})"))
 
 

@@ -44,21 +44,31 @@ def committed_batch_ids(table: LakeTable) -> set[int]:
     }
 
 
-def last_committed_batch_id(table: LakeTable) -> int | None:
-    """The newest batch_id stamped in the log, scanning BACKWARD
-    from the head and stopping at the first stamp — O(commits since
-    the last stream batch), typically one or two entries, instead of
-    re-parsing the whole history on every micro-batch. Structured
-    Streaming batch_ids are monotone per checkpoint, so
-    `batch_id <= last stamp` is exactly `already committed` (a new
-    checkpoint dir restarts ids at 0 — point it at a new table, the
-    same contract as Delta's txnAppId/txnVersion)."""
+def last_committed_batch_id(
+    table: LakeTable, app_id: str | None = None
+) -> int | None:
+    """The newest batch_id stamped in the log BY THIS STREAM,
+    scanning BACKWARD from the head and stopping at the first
+    matching stamp — O(commits since this stream's last batch),
+    typically one or two entries, instead of re-parsing the whole
+    history on every micro-batch. Structured Streaming batch_ids are
+    monotone per checkpoint, so `batch_id <= last stamp` is exactly
+    `already committed`.
+
+    `app_id` is the stream identity (Delta's txnAppId): two streams
+    writing one table MUST use distinct app_ids, or the second
+    stream's batches 0..N would satisfy the first stream's
+    high-water mark and be silently dropped. A stamp without app_id
+    only matches a sink without app_id (the single-stream default).
+    A new checkpoint dir restarts batch ids at 0 — pair it with a
+    new app_id (or table), the same contract as Delta's
+    txnAppId/txnVersion."""
     from ..lakehouse import _entry_path
 
     for v in reversed(table._versions()):
         with open(_entry_path(table.root, v)) as f:
             e = json.load(f)
-        if e.get("batch_id") is not None:
+        if e.get("batch_id") is not None and e.get("app_id") == app_id:
             return e["batch_id"]
     return None
 
@@ -67,6 +77,7 @@ def make_batch_sink(
     root: str,
     key_cols: list[str],
     mode: str = "append",
+    app_id: str | None = None,
 ):
     """A foreachBatch function writing each micro-batch as one
     idempotent lakehouse commit. Usable directly::
@@ -80,23 +91,52 @@ def make_batch_sink(
         raise ValueError(f"mode must be append|merge|cdc, got {mode!r}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         spark = batch_df.sparkSession
         stamp = {"batch_id": batch_id}
+        if app_id is not None:
+            stamp["app_id"] = app_id
         txn = os.path.join(root, "_txn")
         fresh = not os.path.isdir(txn) or not any(
             f.endswith(".json") for f in os.listdir(txn)
         )
         if fresh:
+            # bootstrap must apply the SAME per-mode key discipline
+            # later batches get, or batch 0 poisons the table: merge
+            # requires one row per key, cdc validates _op up front
+            # (apply_changes would raise on NULL/typo ops — silently
+            # filtering them here would instead DROP the rows)
             first = batch_df
-            if mode == "cdc":
-                # bootstrap: the first batch's upserts create the table
+            if mode == "merge":
+                first = batch_df.dropDuplicates(key_cols)
+            elif mode == "cdc":
+                bad = batch_df.filter(
+                    F.col("_op").isNull()
+                    | ~F.col("_op").isin("upsert", "delete")
+                )
+                if bad.limit(1).count():
+                    raise ValueError(
+                        "invalid _op values in bootstrap batch: "
+                        "expected 'upsert' or 'delete'"
+                    )
                 first = batch_df.filter("_op != 'delete'").drop("_op")
+                dups = (
+                    first.groupBy(*key_cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                )
+                if dups.limit(1).count():
+                    raise ValueError(
+                        "duplicate keys among bootstrap upserts "
+                        "(ambiguous, like apply_changes)"
+                    )
             LakeTable.create(
                 spark, root, first, key_cols=key_cols, extra=stamp
             )
             return
         t = LakeTable(spark, root)
-        last = last_committed_batch_id(t)
+        last = last_committed_batch_id(t, app_id)
         if last is not None and batch_id <= last:
             return  # replayed batch: already fully committed
         if mode == "append":
@@ -115,13 +155,16 @@ def stream_to_lake(
     key_cols: list[str],
     checkpoint: str,
     mode: str = "append",
+    app_id: str | None = None,
 ):
     """Run a stream into a lakehouse table with availableNow
     semantics; returns the StreamingQuery (await it, then read
-    `LakeTable(spark, root).snapshot()`)."""
+    `LakeTable(spark, root).snapshot()`). Give each distinct stream
+    writing the same table its own `app_id` (see
+    last_committed_batch_id)."""
     return (
         stream_df.writeStream.foreachBatch(
-            make_batch_sink(root, key_cols, mode)
+            make_batch_sink(root, key_cols, mode, app_id=app_id)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -270,3 +270,70 @@ def test_replay_detection_is_tail_scan(spark, tmp_path):
     sink(spark.createDataFrame([(3, 3.0)], SCHEMA), 2)  # new batch lands
     assert LakeTable(spark, root).snapshot().count() == 3
     assert last_committed_batch_id(LakeTable(spark, root)) == 2
+
+
+def test_two_streams_one_table_need_app_ids(spark, tmp_path):
+    """Stream identity (Delta's txnAppId): without it a second
+    stream's early batch ids satisfy the first stream's high-water
+    mark; with distinct app_ids both streams land every batch."""
+    from lcmap_firebird_spark.streaming.lake_sink import (
+        last_committed_batch_id,
+    )
+
+    root = str(tmp_path / "lake")
+    a = make_batch_sink(root, ["k"], "append", app_id="streamA")
+    b = make_batch_sink(root, ["k"], "append", app_id="streamB")
+    a(spark.createDataFrame([(1, 1.0)], SCHEMA), 0)
+    a(spark.createDataFrame([(2, 2.0)], SCHEMA), 1)
+    # stream B starts fresh at batch 0 — must NOT be skipped
+    b(spark.createDataFrame([(10, 10.0)], SCHEMA), 0)
+    b(spark.createDataFrame([(11, 11.0)], SCHEMA), 1)
+    t = LakeTable(spark, root)
+    assert t.snapshot().count() == 4
+    # per-stream high-water marks are independent
+    assert last_committed_batch_id(t, "streamA") == 1
+    assert last_committed_batch_id(t, "streamB") == 1
+    assert last_committed_batch_id(t, None) is None
+    # replays of each stream are still idempotent
+    a(spark.createDataFrame([(1, 1.0)], SCHEMA), 0)
+    b(spark.createDataFrame([(10, 10.0)], SCHEMA), 1)
+    assert t.snapshot().count() == 4
+
+
+def test_bootstrap_applies_mode_discipline(spark, tmp_path):
+    # merge bootstrap dedupes keys like every later batch
+    root_m = str(tmp_path / "m")
+    sink_m = make_batch_sink(root_m, ["k"], "merge")
+    sink_m(
+        spark.createDataFrame([(1, 1.0), (1, 9.0), (2, 2.0)], SCHEMA), 0
+    )
+    assert LakeTable(spark, root_m).snapshot().count() == 2
+    # cdc bootstrap validates _op (NULL/typo must raise, not drop)
+    root_c = str(tmp_path / "c")
+    sink_c = make_batch_sink(root_c, ["k"], "cdc")
+    cdc_schema = "k long, v double, _op string"
+    with pytest.raises(ValueError, match="_op"):
+        sink_c(
+            spark.createDataFrame([(1, 1.0, "upsrt")], cdc_schema), 0
+        )
+    with pytest.raises(ValueError, match="_op"):
+        sink_c(
+            spark.createDataFrame([(1, 1.0, None)], cdc_schema), 0
+        )
+    # duplicate bootstrap upserts are ambiguous, like apply_changes
+    with pytest.raises(ValueError, match="duplicate"):
+        sink_c(
+            spark.createDataFrame(
+                [(1, 1.0, "upsert"), (1, 2.0, "upsert")], cdc_schema
+            ),
+            0,
+        )
+    sink_c(
+        spark.createDataFrame(
+            [(1, 1.0, "upsert"), (9, 0.0, "delete")], cdc_schema
+        ),
+        0,
+    )
+    assert {
+        r["k"] for r in LakeTable(spark, root_c).snapshot().collect()
+    } == {1}

@@ -1719,3 +1719,95 @@ def test_restore_detects_concurrent_vacuum_sweep(spark, table, monkeypatch):
     # the head is the compensating commit: pre-restore state, readable
     assert _rows(table.snapshot()) == pre
     assert table.history()[-1]["operation"] == "restore"
+
+
+def test_datasource_writer_schema_compat_and_bootstrap_fields(spark, tmp_path):
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    try:
+        spark.dataSource.register(LakeDataSource)
+    except Exception:
+        pass
+    root = str(tmp_path / "wtbl2")
+    spark.createDataFrame([(1, 1.0)], "id long, val double").write.format(
+        "lake"
+    ).mode("append").option("path", root).option("keys", "id").save()
+    # writer bootstrap writes the same entry-0 fields create() does
+    with open(os.path.join(root, "_txn", f"{0:020d}.json")) as f:
+        e0 = json.load(f)
+    assert e0["cdf_enabled"] is False and e0["constraints"] == {}
+    assert isinstance(e0["ts"], float)
+    t = LakeTable(spark, root)
+    # unknown column and mistyped column are rejected at PLAN time
+    # with a clear message (the writer stages batches verbatim — a
+    # bad file would brick or silently null away)
+    with pytest.raises(Exception, match="unknown column"):
+        spark.createDataFrame(
+            [(2, 2.0, "x")], "id long, val double, extra string"
+        ).write.format("lake").mode("append").option("path", root).save()
+    with pytest.raises(Exception, match="cast/rename"):
+        spark.createDataFrame(
+            [(2, "oops")], "id long, val string"
+        ).write.format("lake").mode("append").option("path", root).save()
+    # a pre-evolution shape (missing nullable column) still lands
+    t.add_column("score", "double")
+    spark.createDataFrame([(3, 3.0)], "id long, val double").write.format(
+        "lake"
+    ).mode("append").option("path", root).save()
+    got = {r["id"]: r["score"] for r in t.snapshot().collect()}
+    assert got == {1: None, 3: None}
+
+
+def test_cdf_stream_startingversion_resumes_past_restore(spark, tmp_path):
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    try:
+        spark.dataSource.register(LakeDataSource)
+    except Exception:
+        pass
+    root = str(tmp_path / "cdfres")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        key_cols=["k"],
+        enable_cdf=True,
+    )
+    t.append(spark.createDataFrame([(2, 2.0)], "k long, v double"))
+    v_pre = t.latest_version()
+    t.restore(v_pre - 1)  # non-streamable commit
+    t.append(spark.createDataFrame([(3, 3.0)], "k long, v double"))
+
+    def drain(ckpt, out, start=None):
+        r = (
+            spark.readStream.format("lake")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+        )
+        if start is not None:
+            r = r.option("startingVersion", start)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.schema(
+            "k long, v double, _change_type string, _commit_version long"
+        ).parquet(out)
+
+    # from history start the range spans the restore: fail fast
+    with pytest.raises(Exception, match="restore"):
+        drain(str(tmp_path / "c0"), str(tmp_path / "o0"))
+    # startingVersion just past the restore resumes the feed
+    out = drain(
+        str(tmp_path / "c1"), str(tmp_path / "o1"), start=v_pre + 1
+    )
+    rows = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in out.collect()
+    )
+    assert rows == [(3, "insert", v_pre + 2)]

@@ -94,3 +94,44 @@ def test_append_mode_withholds_open_windows(spark, sf_dir, mode, expect_all):
         .count()
     )
     assert (got == full) if expect_all else (got < full)
+
+
+def test_stream_handles_mixed_generation_accretion(spark, tmp_path):
+    """A live stream directory can accrete a file of ANOTHER ts
+    generation after the stream's unit decision was made (the regen
+    hazard). For a µs-pinned dataset the conversion widens to the
+    per-row magnitude CASE, so a legacy ns file arriving mid-stream
+    still converts correctly instead of landing in year ~56000."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "mixsrc"
+    src.mkdir()
+    base_us = int(datetime(2024, 1, 1, 9, 10).timestamp() * 1_000_000)
+
+    def _write(name, ts_val):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1], pa.int64()),
+                    "ts": pa.array([ts_val], pa.int64()),
+                    "user_id": pa.array([1], pa.int64()),
+                    "event_type": pa.array(["click"], pa.string()),
+                    "value": pa.array([1.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            ),
+            str(src / name),
+        )
+
+    _write("a_current_us.parquet", base_us + 60_000_000)  # 09:11 in µs
+    # the unit decision reads the first matching file (a_... sorts
+    # first) -> 'us'; now a legacy ns-generation file drops in
+    _write("b_legacy_ns.parquet", (base_us + 120_000_000) * 1000)  # 09:12 in ns
+    stream = ST.stream_events(spark, str(src), glob="*.parquet")
+    agg = ST.tumbling_counts(stream, "1 hour", watermark="1 hour")
+    out = ST.run_available_now(agg, spark, mode="complete").collect()
+    nine = int(datetime(2024, 1, 1, 9).timestamp() * 1_000_000)
+    by_win = {(r.win_start_us, r.event_type): r.n for r in out}
+    # both rows land in the real 09:00 window — no year-56000 window
+    assert by_win == {(nine, "click"): 2}

@@ -72,3 +72,41 @@ def test_empty_store_first_batch(spark, docs, tmp_path):
     sub = docs.filter(F.col("doc_id") % 3 == 0)
     got = _pairs_set(S.read_pairs(spark, work).drop("batch_id"))
     assert got == _pairs_set(minhash_dedup(sub, threshold=THRESH, exact_first=False))
+
+
+def test_partial_uncommitted_dirs_are_invisible(spark, tmp_path):
+    """A crash mid-write leaves part-files without Spark's _SUCCESS
+    marker: the store reader must treat such a snapshot as absent and
+    read_pairs must skip the batch dir (partial data must never
+    surface as committed — rollup's commit-marker discipline)."""
+    import os
+
+    from lcmap_firebird_spark.streaming.dedup_stream import (
+        _read_store,
+        _store_path,
+        read_pairs,
+        signature_schema,
+    )
+
+    work = str(tmp_path / "work")
+    # fabricate a partial (uncommitted) store snapshot v3
+    sigs = spark.createDataFrame([], signature_schema(16))
+    p = _store_path(work, 3)
+    sigs.write.mode("overwrite").parquet(p)
+    os.remove(os.path.join(p, "_SUCCESS"))
+    got = _read_store(spark, work, 3, 16)
+    assert got.count() == 0  # falls back to the empty store
+    # committed snapshot is read normally
+    sigs.write.mode("overwrite").parquet(_store_path(work, 4))
+    assert _read_store(spark, work, 4, 16).count() == 0
+    # pairs: one committed dir, one partial — only committed is read
+    pairs_schema = "a long, b long, sim double, batch_id long"
+    spark.createDataFrame([(1, 2, 0.9, 0)], pairs_schema).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/pairs/b000000")
+    spark.createDataFrame([(3, 4, 0.8, 1)], pairs_schema).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/pairs/b000001")
+    os.remove(f"{work}/pairs/b000001/_SUCCESS")
+    got = read_pairs(spark, work).collect()
+    assert [(r["a"], r["b"]) for r in got] == [(1, 2)]
