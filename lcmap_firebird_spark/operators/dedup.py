@@ -114,6 +114,18 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def hash60_hi(col: Column) -> Column:
+    """A second, independent 60 bits of the SAME md5 (hex chars
+    16-30). Pairing it with `hash60` yields a 120-bit fingerprint at
+    zero extra hashing cost — one md5, two slices. Use the pair when
+    the keyed population is large enough that 2^60 birthday math
+    gets uncomfortable (e.g. gram-level keys: ~10^13 distinct grams
+    at 100 TB → ~4·10^7 expected 60-bit collisions, but ~4·10^-11
+    at 120 bits). DuckDB twin:
+    `CAST('0x' || substr(md5(x), 16, 15) AS BIGINT)`."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("bigint")
+
+
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 
 
@@ -299,14 +311,55 @@ def band_keys(signatures: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame
 
 
 def lsh_candidates(
-    signatures: DataFrame, bands: int = 4, rows: int = 4
+    signatures: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all `rows` hashes of any band
     become a candidate pair. One explode + one self-join on the band
-    bucket — the join key is (band_id, md5-of-band), so the shuffle is
-    tiny and uniform even when documents are skewed.
-    """
+    bucket. The md5 band key uniformizes byte-DISTINCT content, but
+    near-identical docs (templated corpora differing by one token —
+    exactly what survives the exact-first rung) legitimately share
+    band values, so a hot bucket of n docs would emit n²/2 pairs in
+    one straggler task. `max_bucket` bounds that quadratic: a bucket
+    over the cap is split into ceil(n/max_bucket) deterministic
+    hash cells that pair internally (the bucket-size aggregate runs
+    over distinct band keys — metadata scale). Pairs across cells of
+    ONE oversize bucket are traded away; with `bands` independent
+    band keys per doc, a true near-dup pair has `bands` chances to
+    land in some same cell, and the cap only activates past
+    max_bucket co-hashing docs. `max_bucket=None` disables the
+    split (byte-level plan parity with the uncapped form)."""
     banded = band_keys(signatures, bands, rows)
+    cell_cond = F.lit(True)
+    if max_bucket is not None:
+        splits = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .select(
+                "band_id",
+                "band_key",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("_n") / F.lit(max_bucket)),
+                ).cast("bigint").alias("_splits"),
+            )
+        )
+        banded = (
+            banded.join(splits, ["band_id", "band_key"])
+            .withColumn(
+                "_cell",
+                hash60(
+                    F.concat_ws(
+                        ":", F.lit("bcell"), F.col("doc_id").cast("string")
+                    )
+                )
+                % F.col("_splits"),
+            )
+            .drop("_splits")
+        )
+        cell_cond = F.col("a._cell") == F.col("b._cell")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -314,6 +367,7 @@ def lsh_candidates(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
+            & cell_cond
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -324,12 +378,21 @@ def lsh_candidates(
 def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, rep) membership map of byte-identical token streams:
     rep = min doc_id in each content-fingerprint group. The shuffle
-    key is the 60-bit fingerprint (8 bytes/doc, never the text)."""
+    key is the 60-bit fingerprint (8 bytes/doc, never the text).
+
+    NULL-text docs fingerprint to NULL; groupBy treats NULLs as one
+    group (exact_dedup's semantics), so the join back must be
+    NULL-SAFE — a bare equi-join would never match the NULL group
+    and those docs would silently vanish from the membership map
+    (and from every consumer: minhash_clusters, the corpus plan's
+    keep semi-join)."""
     from .text import fingerprint
 
     fpd = df.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
     reps = fpd.groupBy("fp").agg(F.min("doc_id").alias("rep"))
-    return fpd.join(reps, "fp").select("doc_id", "rep")
+    return fpd.join(
+        reps, fpd["fp"].eqNullSafe(reps["fp"])
+    ).select("doc_id", "rep")
 
 
 def _rep_ladder(

@@ -49,8 +49,15 @@ def cosine_q(a: Column, b: Column) -> Column:
     Norms are sqrt'd separately — their BIGINT product could overflow
     at 64 dims × 1e4 scale; two doubles multiply deterministically.
     """
-    return dot_q(a, b).cast("double") / (
-        F.sqrt(dot_q(a, a).cast("double")) * F.sqrt(dot_q(b, b).cast("double"))
+    denom = F.sqrt(dot_q(a, a).cast("double")) * F.sqrt(
+        dot_q(b, b).cast("double")
+    )
+    # zero-norm guard: an all-zero (or quantized-to-zero) vector has
+    # no direction — define its cosine as 0.0 instead of letting
+    # Spark 4's default ANSI mode kill the whole job with
+    # DIVIDE_BY_ZERO (the oracle SQL carries the same CASE)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_q(a, b).cast("double") / denom
     )
 
 
@@ -67,8 +74,14 @@ def norm_q(a: Column) -> Column:
 
 def cosine_pre(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine from a pair dot product and precomputed per-vector
-    norms (see `norm_q`)."""
-    return dot.cast("double") / (norm_a * norm_b)
+    norms (see `norm_q`). Zero-norm vectors (all-zero, or every
+    |x| < half the quantization step) score 0.0 — under Spark 4's
+    default ANSI mode a bare division would abort the job with
+    DIVIDE_BY_ZERO on the first such row."""
+    denom = norm_a * norm_b
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot.cast("double") / denom
+    )
 
 
 def normalize(col: str | Column = "embedding") -> Column:
@@ -354,8 +367,17 @@ def _ivf_ranked(
     else:
         if num_cells is None:
             num_cells = derive_num_cells(embeddings.count())
-        seeds = embeddings.filter(F.col(id_col) < num_cells).select(
-            F.col(id_col).alias("seed_id"), quantize(vec_col).alias("seed_vec")
+        # the num_cells LOWEST ids — a TakeOrdered, not a filter on
+        # `id < num_cells`, which assumes dense 0-based ids and
+        # silently returns an EMPTY seed set (and thus zero output
+        # rows downstream) for sparse/offset/hash-derived ids
+        seeds = (
+            embeddings.select(
+                F.col(id_col).alias("seed_id"),
+                quantize(vec_col).alias("seed_vec"),
+            )
+            .orderBy("seed_id")
+            .limit(num_cells)
         )
     corpus = spread(embeddings, id_col).select(
         F.col(id_col).alias("vec_id"), quantize(vec_col).alias("qv")
@@ -448,11 +470,25 @@ def _bucket_pairs(
     vec_col: str,
     num_tables: int,
     symmetric: bool,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Candidate (a_id, b_id) pairs sharing a bucket in ANY of
     `num_tables` independent plane sets; multi-table unions are
     deduplicated. symmetric=True emits both directions (k-NN),
-    False emits a_id < b_id once (dedup pairs)."""
+    False emits a_id < b_id once (dedup pairs).
+
+    `max_bucket` bounds the hot-bucket quadratic exactly like
+    lsh_candidates: a clustered corpus can legitimately co-hash far
+    more vectors than derive_num_planes' uniform expectation, and an
+    n-vector bucket would emit n² pairs in one task. Oversize
+    buckets split into deterministic hash cells pairing internally —
+    multi-table unions give a true neighbor num_tables chances to
+    share a cell."""
+    from .dedup import hash60
+
+    if num_planes is None:
+        # derive ONCE: the count() job is identical for every table
+        num_planes = derive_num_planes(embeddings.count())
     pairs: DataFrame | None = None
     for t in range(num_tables):
         # the bucket frame is self-joined; eager materialization keeps
@@ -460,7 +496,33 @@ def _bucket_pairs(
         # vector (concurrent scan stages would each recompute it)
         b = lsh_buckets(
             embeddings, num_planes, dim, id_col, vec_col, table=t
-        ).localCheckpoint(eager=True)
+        )
+        cell_cond = F.lit(True)
+        if max_bucket is not None:
+            splits = (
+                b.groupBy("bucket")
+                .agg(F.count("*").alias("_n"))
+                .select(
+                    "bucket",
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(F.col("_n") / F.lit(max_bucket)),
+                    ).cast("bigint").alias("_splits"),
+                )
+            )
+            b = b.join(splits, "bucket").withColumn(
+                "_cell",
+                hash60(
+                    F.concat_ws(
+                        ":",
+                        F.lit(f"vcell:{t}"),
+                        F.col("vec_id").cast("string"),
+                    )
+                )
+                % F.col("_splits"),
+            ).drop("_splits")
+            cell_cond = F.col("a._cell") == F.col("c._cell")
+        b = b.localCheckpoint(eager=True)
         a = b.alias("a")
         c = b.alias("c")
         ident = (
@@ -468,7 +530,10 @@ def _bucket_pairs(
             if symmetric
             else F.col("a.vec_id") < F.col("c.vec_id")
         )
-        p = a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & ident).select(
+        p = a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket")) & cell_cond & ident,
+        ).select(
             F.col("a.vec_id").alias("a_id"), F.col("c.vec_id").alias("b_id")
         )
         pairs = p if pairs is None else pairs.unionByName(p)

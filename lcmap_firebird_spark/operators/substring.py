@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import hash60
+from .dedup import hash60, hash60_hi
 from .text import gram_array, tokens
 
 
@@ -57,9 +57,15 @@ def gram_positions(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, pos, gfp): the 60-bit fingerprint of the k-token gram
-    starting at 0-based token position ``pos``. Documents shorter
-    than k tokens contribute nothing.
+    """(doc_id, pos, gfp, gfp2): the 120-bit fingerprint (two 60-bit
+    slices of ONE md5) of the k-token gram starting at 0-based token
+    position ``pos``. Documents shorter than k tokens contribute
+    nothing. 120 bits matter here: gram-level keys are ~3 orders of
+    magnitude more numerous than doc-level keys (~10^13 distinct
+    grams at the 100 TB design point), where 60-bit birthday math
+    expects ~4·10^7 collisions — each one silently deleting >= k
+    real tokens from two unrelated docs. At 120 bits the expectation
+    is ~4·10^-11.
 
     `spread` first: a compact corpus arrives as ONE parquet split and
     the explode+md5 pipeline would run on a single core (measured 3 s
@@ -71,7 +77,11 @@ def gram_positions(
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(gram_array(tokens(text_col), k)).alias("pos", "g"),
-    ).select("doc_id", "pos", hash60(F.col("g")).alias("gfp"))
+    ).select(
+        "doc_id", "pos",
+        hash60(F.col("g")).alias("gfp"),
+        hash60_hi(F.col("g")).alias("gfp2"),
+    )
 
 
 def duplicated_positions(
@@ -92,7 +102,7 @@ def duplicated_positions(
     # exactly once
     gp = gram_positions(df, k=k, id_col=id_col, text_col=text_col)
     gp = gp.localCheckpoint(eager=True)
-    grouped = gp.groupBy("gfp").agg(
+    grouped = gp.groupBy("gfp", "gfp2").agg(
         F.min("doc_id").alias("_mn"),
         F.max("doc_id").alias("_mx"),
         F.count("*").alias("_n"),
@@ -101,8 +111,10 @@ def duplicated_positions(
         (F.col("_mn") != F.col("_mx"))
         if cross_doc_only
         else (F.col("_n") >= min_count)
-    ).select("gfp")
-    return gp.join(flagged, "gfp", "left_semi").select("doc_id", "pos")
+    ).select("gfp", "gfp2")
+    return gp.join(
+        flagged, ["gfp", "gfp2"], "left_semi"
+    ).select("doc_id", "pos")
 
 
 def duplicate_spans(
@@ -121,6 +133,14 @@ def duplicate_spans(
     covered by duplicated grams. ``n_grams`` counts the flagged grams
     inside the span (== span length - k + 1 when the whole span is
     contiguous duplication, smaller never happens by construction).
+
+    ALL occurrences are flagged — including the first: this is
+    Lee et al.'s ExactSubstr posture (shared boilerplate is noise in
+    every copy), NOT keep-one dedup. A corpus of fully identical
+    docs would therefore strip to empty clean_text everywhere —
+    which is why the corpus plan runs the DOC-level exact rung
+    first: after it, no byte-identical documents remain, and what
+    this pass flags is genuinely repeated boilerplate.
     """
     pos = duplicated_positions(
         df,

@@ -136,6 +136,8 @@ QUERIES = {
 # oracle SQL builders
 
 _HASH60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+# second 60-bit slice of the same md5 — operators/dedup.hash60_hi
+_HASH60_HI = "CAST(('0x' || substr(md5({expr}), 16, 15)) AS BIGINT)"
 
 _SHINGLES_CTE = f"""
 toks AS (SELECT doc_id, {TOK} AS t FROM documents),
@@ -293,12 +295,14 @@ def _d6_oracle() -> str:
 ORACLES["d6_semdedup"] = _d6_oracle()
 
 def _d8_oracle() -> str:
-    """Same k-gram inverted index + island merge, in DuckDB. The two
-    lockstep unnests produce (pos, gram-fingerprint) per token
+    """Same k-gram inverted index + island merge, in DuckDB. The
+    lockstep unnests produce (pos, 120-bit gram fingerprint — two
+    60-bit slices of one md5, mirroring hash60/hash60_hi) per token
     position; all arithmetic is exact integers — no quantization."""
     k = SPAN_K
     gram = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(k)) + ")"
     gfp = _HASH60.format(expr=gram)
+    gfp2 = _HASH60_HI.format(expr=gram)
     return f"""
     WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
     gp AS (
@@ -306,13 +310,16 @@ def _d8_oracle() -> str:
                unnest(list_transform(
                    generate_series(1, len(t) - {k - 1}), i -> i - 1)) AS pos,
                unnest(list_transform(
-                   generate_series(1, len(t) - {k - 1}), i -> {gfp})) AS gfp
+                   generate_series(1, len(t) - {k - 1}), i -> {gfp})) AS gfp,
+               unnest(list_transform(
+                   generate_series(1, len(t) - {k - 1}), i -> {gfp2})) AS gfp2
         FROM toks WHERE len(t) >= {k}
     ),
-    flag AS (SELECT gfp FROM gp GROUP BY gfp
+    flag AS (SELECT gfp, gfp2 FROM gp GROUP BY gfp, gfp2
              HAVING min(doc_id) <> max(doc_id)),
     dup AS (SELECT doc_id, pos FROM gp
-            WHERE gfp IN (SELECT gfp FROM flag)),
+            WHERE EXISTS (SELECT 1 FROM flag f
+                          WHERE f.gfp = gp.gfp AND f.gfp2 = gp.gfp2)),
     isl AS (
         SELECT doc_id, pos,
                CASE WHEN pos > coalesce(max(pos + {k}) OVER (

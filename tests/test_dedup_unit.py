@@ -251,3 +251,51 @@ def test_minhash_clusters_equals_expanded_pipeline(spark, sf_dir):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, slow.collect())
     )
+
+
+def test_exact_groups_keeps_null_text_docs(spark):
+    from lcmap_firebird_spark.operators.dedup import exact_groups
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, "x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rep"] for r in exact_groups(df).collect()}
+    # no doc vanishes; NULL-text docs form ONE group (exact_dedup's
+    # groupBy semantics — a bare equi-join would drop them entirely)
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == got[2] == 1
+    assert got[3] == got[4] == 3
+    assert got[5] == 5
+
+
+def test_lsh_candidates_hot_bucket_cap(spark):
+    from lcmap_firebird_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signature,
+    )
+
+    # 60 byte-distinct near-identical docs (template + counter) —
+    # they share most shingles, so band buckets run hot
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog " * 3
+             + f"tail{i}")
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signature(docs)
+    uncapped = lsh_candidates(sigs, max_bucket=None)
+    capped = lsh_candidates(sigs, max_bucket=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    # the cap bounds the per-bucket quadratic...
+    assert 0 < n_cap <= n_un
+    # ...with recall recovered across bands: a healthy share of the
+    # uncapped candidate set survives even a tiny demo cap
+    assert n_cap >= n_un * 0.2
+    # a cap above every bucket size is pair-identical to uncapped
+    same = lsh_candidates(sigs, max_bucket=100_000)
+    assert sorted(map(tuple, same.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
