@@ -189,9 +189,13 @@ def encode_docs(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(text_col)).alias("pos", "w"),
     )
+    # posed feeds BOTH the distinct-word model side and the join
+    # probe side — materialize once or the corpus tokenize+explode
+    # executes twice (PLANS.md rule 15, the dominant encode cost)
+    posed = posed.localCheckpoint(eager=True)
     seg = segment_words(posed.select("w").distinct(), merges)
     joined = posed.join(seg, "w")
-    return (
+    encoded = (
         joined.groupBy("_id")
         .agg(
             F.flatten(
@@ -203,11 +207,21 @@ def encode_docs(
                 )
             ).alias("bpe_tokens")
         )
+    )
+    # empty/NULL-text docs explode to zero rows and would VANISH
+    # from the grouped output — left-join every input id back in
+    # with an empty encoding (row-count preserving, like
+    # chunk_documents' empty chunk)
+    ids = docs.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        ids.join(encoded, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            "bpe_tokens",
-            F.size("bpe_tokens").alias("n_bpe"),
+            F.coalesce(
+                "bpe_tokens", F.array().cast("array<string>")
+            ).alias("bpe_tokens"),
         )
+        .withColumn("n_bpe", F.size("bpe_tokens"))
     )
 
 

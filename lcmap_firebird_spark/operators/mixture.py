@@ -85,6 +85,15 @@ def bucket_thresholds(
     Returns (domain, _thr, achieved_tokens): buckets [0, _thr) are
     selected. The aggregate is domains × occupied-buckets rows — tiny
     — so the window cumsum is safe; the corpus never sees a window.
+
+    A domain whose budget is below even its FIRST occupied bucket's
+    token mass gets no threshold row and contributes ZERO docs —
+    deliberate: the mixture contract is approached-from-below budget
+    adherence (tests + the x3 oracle pin `achieved <= budget`), and
+    keeping one bucket would overshoot by ~n_tokens/MIX_BUCKETS.
+    Bucket resolution is the floor: a 10^10-token domain quantizes
+    at ~2.4M tokens/bucket, so give such a domain a budget above
+    that (or raise MIX_BUCKETS) if it must contribute.
     """
     spark = bucketed.sparkSession
     items = [(d, int(b)) for d, b in budgets.items()]
@@ -120,11 +129,14 @@ def token_budget_sample(
     from `budgets` are dropped; a domain whose budget exceeds its
     tokens is kept whole (use `compose_mixture` for upsampling)."""
     bucketed = _bucketed(df, domain_col, key_col, text_col, salt)
+    # alias the threshold key: a df that itself carries a column
+    # named 'domain' (web curation output) would otherwise make the
+    # join condition AMBIGUOUS_REFERENCE
     thr = bucket_thresholds(bucketed, budgets, domain_col).select(
-        "domain", "_thr"
+        F.col("domain").alias("_tdomain"), "_thr"
     )
     out = bucketed.join(
-        F.broadcast(thr), bucketed[domain_col] == thr["domain"]
+        F.broadcast(thr), bucketed[domain_col] == thr["_tdomain"]
     ).filter(F.col("_bkt") < F.col("_thr"))
     return out.select(*df.columns)
 

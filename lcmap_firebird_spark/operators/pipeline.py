@@ -45,15 +45,29 @@ def chunk_documents(
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
     staged = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        # NULL text tokenizes to NULL; coalesce to the empty array so
+        # such docs yield one empty chunk (n_tokens=0) instead of a
+        # NULL row that crashes downstream packing
+        F.coalesce(
+            tokens(text_col), F.array().cast("array<string>")
+        ).alias("_toks"),
     )
     starts = F.sequence(
         F.lit(0),
-        # last window start: largest multiple of stride < n_tokens
-        # (empty docs get a single empty chunk via greatest(0, ...))
+        # last window start: the SMALLEST stride multiple whose
+        # window reaches the document end. The previous formula
+        # (largest multiple < n_tokens) kept emitting starts after a
+        # window already covered the tail, so with overlap > 0 the
+        # final chunks were strict suffixes of an earlier chunk —
+        # duplicated training text, up to (chunk_tokens/stride - 1)
+        # copies per doc.
         F.greatest(
             F.lit(0),
-            ((F.size("_toks") - 1) / F.lit(stride)).cast("int") * F.lit(stride),
+            F.ceil(
+                (F.size("_toks") - F.lit(chunk_tokens)) / F.lit(stride)
+            ).cast("int")
+            * F.lit(stride),
         ),
         F.lit(stride),
     )
@@ -340,7 +354,7 @@ def pack_sequences(
             for doc_id, chunk_id, n_tok in zip(
                 pdf["doc_id"], pdf["chunk_id"], pdf["n_tokens"]
             ):
-                n_tok = int(n_tok)
+                n_tok = 0 if pd.isna(n_tok) else int(n_tok)
                 if cur_members and cur_tok + n_tok > seq_len:
                     rows_out.append(
                         (next_id, len(cur_members), cur_tok, cur_members)

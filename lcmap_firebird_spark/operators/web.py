@@ -63,11 +63,20 @@ def blocklist_gate(
     `arrays_overlap(parent_suffixes(domain), blocked)` in place —
     the document side is never shuffled, no equi-join keys exist to
     trip over NULLs, and text never leaves its scan partition. Rows
-    with a NULL/absent domain are KEPT (nothing to match). Blocklists
-    are dimension-scale by contract (the old plan already broadcast
-    them); one row of ~millions of short strings is fine."""
+    with a NULL/absent domain are KEPT (nothing to match). A
+    pre-existing domain column is lower-cased before matching (the
+    list side always is — a case mismatch would silently bypass the
+    gate for crawler output that preserves host case).
+
+    Cost model: ArraysOverlap iterates the LARGER array per row, so
+    each document pays O(|blocklist|) probes — the zero-shuffle
+    trade. That is the right shape for curated lists (10^2–10^5
+    entries). For a truly corpus-scale list (millions+), prefer an
+    explode+join: suffixes explode to ≤ depth rows/doc, semi-join
+    the broadcast list for hit ids, anti-join back by id — O(1) per
+    suffix but shuffles the doc ids."""
     dom = (
-        F.col(domain_col)
+        F.lower(F.col(domain_col))
         if domain_col in df.columns
         else extract_domain(url_col)
     )
@@ -96,7 +105,7 @@ def domain_cap(
     resolution, membership independent of partition layout, no
     per-domain sort or window anywhere)."""
     dom = (
-        F.col(domain_col)
+        F.lower(F.col(domain_col))
         if domain_col in df.columns
         else extract_domain(url_col)
     )
@@ -134,9 +143,13 @@ def domain_cap(
     # LEFT join + explicit NULL pass-through: a doc whose domain
     # could not be parsed has nothing to cap against and is KEPT —
     # the same NULL closure blocklist_gate documents (an inner join
-    # would silently delete every NULL-domain row; PLANS.md rule 24)
+    # would silently delete every NULL-domain row; PLANS.md rule 24).
+    # NO broadcast hint: thr is one row per DISTINCT CORPUS DOMAIN —
+    # unbounded (~10^8 registrable domains at Common-Crawl scale),
+    # not a config-sized dimension like the mixture's budget frame.
+    # AQE still broadcasts it when it measures small.
     out = bucketed.join(
-        F.broadcast(thr), bucketed["_dom"] == thr["_tdom"], "left"
+        thr, bucketed["_dom"] == thr["_tdom"], "left"
     ).filter(
         F.col("_dom").isNull() | (F.col("_bkt") < F.col("_thr"))
     )

@@ -211,10 +211,20 @@ def corpus_manifest(
     df: DataFrame, text_col: str = "text", domain_col: str = "source"
 ) -> dict:
     """Reproducibility manifest: per-(split, domain) doc and token
-    counts plus an order-independent content checksum (bit-XOR of
-    the 60-bit text fingerprints — partition-layout-proof, unlike a
-    sum that depends on overflow wraparound order being benign).
-    One aggregation job over the final corpus."""
+    counts plus an order-independent content checksum
+    (partition-layout-proof, unlike a sum that depends on overflow
+    wraparound order being benign). The checksum XORs the hash of
+    (fingerprint, occurrence-index) rather than raw fingerprints:
+    bit-XOR self-cancels even multiplicities, and compose_mixture's
+    epoch replication makes duplicate docs ROUTINE — raw-fp XOR
+    would rate two different upsampled corpora identical. The
+    occurrence index (row_number within equal fingerprints) is a
+    deterministic function of the multiset, so the checksum stays
+    layout- and order-independent."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import hash60
+
     has_domain = domain_col in df.columns
     keys = ["split"] + ([domain_col] if has_domain else [])
     staged = df.select(
@@ -222,12 +232,23 @@ def corpus_manifest(
         T.token_count(text_col).alias("_tc"),
         T.fingerprint(text_col).alias("_fp"),
     )
+    w = Window.partitionBy(*keys, "_fp").orderBy("_fp")
+    staged = staged.withColumn(
+        "_h",
+        hash60(
+            F.concat_ws(
+                ":",
+                F.col("_fp").cast("string"),
+                F.row_number().over(w).cast("string"),
+            )
+        ),
+    )
     rows = (
         staged.groupBy(*keys)
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("_tc").alias("n_tokens"),
-            F.expr("bit_xor(_fp)").alias("checksum"),
+            F.expr("bit_xor(_h)").alias("checksum"),
         )
         .collect()
     )

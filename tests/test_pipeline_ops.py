@@ -221,8 +221,12 @@ from hypothesis import strategies as st
 )
 def test_chunking_matches_python_model(spark, n_tokens, chunk_tokens, overlap_frac):
     """Random documents: Spark chunking equals the obvious sequential
-    model (windows every chunk_tokens-overlap, last window keeps the
-    tail, empty docs yield one empty chunk)."""
+    model — windows every chunk_tokens-overlap, stopping at the
+    FIRST window that reaches the document end (no redundant tail
+    windows fully contained in an earlier chunk), empty docs yield
+    one empty chunk."""
+    import math
+
     overlap = min(int(chunk_tokens * overlap_frac), chunk_tokens - 1)
     stride = chunk_tokens - overlap
     rows = [
@@ -237,9 +241,86 @@ def test_chunking_matches_python_model(spark, n_tokens, chunk_tokens, overlap_fr
     want = {}
     for i, n in enumerate(n_tokens):
         toks = [f"w{i}x{j}" for j in range(n)]
-        starts = range(0, max(1, n), stride) if n > 0 else [0]
-        for cid, s in enumerate(starts):
-            if s >= n and n > 0:
-                break
+        last = max(0, math.ceil((n - chunk_tokens) / stride)) * stride
+        for cid, s in enumerate(range(0, last + 1, stride)):
             want[(i, cid)] = toks[s : s + chunk_tokens]
     assert got == want
+
+
+def test_chunking_overlap_no_redundant_tails_and_null_text(spark):
+    from lcmap_firebird_spark.operators import pipeline as P2
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(10))), (2, None)],
+        "doc_id long, text string",
+    )
+    out = P2.chunk_documents(df, chunk_tokens=8, overlap=6).collect()
+    one = sorted(
+        (r.chunk_id, r.chunk) for r in out if r.doc_id == 1
+    )
+    # minimal cover: [t0..t7], [t2..t9] — the old formula emitted
+    # three more chunks that were strict suffixes of the first
+    assert one == [
+        (0, " ".join(f"t{j}" for j in range(8))),
+        (1, " ".join(f"t{j}" for j in range(2, 10))),
+    ]
+    # NULL text: one empty chunk with n_tokens=0 (not NULL), so
+    # pack_sequences survives it
+    null_rows = [r for r in out if r.doc_id == 2]
+    assert len(null_rows) == 1 and null_rows[0].n_tokens == 0
+    packed = P2.pack_sequences(
+        spark.createDataFrame(out), seq_len=16
+    )
+    assert packed.count() >= 1
+
+
+def test_token_budget_sample_with_domain_column(spark):
+    """A frame already carrying a 'domain' column (web curation
+    output) used to crash the threshold join with
+    AMBIGUOUS_REFERENCE."""
+    from lcmap_firebird_spark.operators.mixture import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "domain", "w " * 50) for i in range(20)],
+        "doc_id long, domain string, text string",
+    )
+    out = token_budget_sample(
+        df, {"domain": 500}, domain_col="domain"
+    )
+    assert 0 < out.count() <= 20
+    assert out.columns == df.columns
+
+
+def test_encode_docs_keeps_empty_docs(spark):
+    from lcmap_firebird_spark.operators.bpe import encode_docs, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs.filter("doc_id = 1"), num_merges=5)
+    out = {r["doc_id"]: r["n_bpe"] for r in encode_docs(docs, merges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == 0 and out[3] == 0 and out[1] > 0
+
+
+def test_manifest_checksum_sees_multiplicity(spark):
+    """bit-XOR of raw fingerprints self-cancels even multiplicities
+    (routine under mixture upsampling); the occurrence-indexed
+    checksum distinguishes which doc was duplicated."""
+    from lcmap_firebird_spark.plans.corpus import corpus_manifest
+
+    a = spark.createDataFrame(
+        [("train", "A A"), ("train", "A A"), ("train", "B")],
+        "split string, text string",
+    )
+    b = spark.createDataFrame(
+        [("train", "A A"), ("train", "B"), ("train", "B")],
+        "split string, text string",
+    )
+    ma, mb = corpus_manifest(a), corpus_manifest(b)
+    assert ma["n_docs"] == mb["n_docs"]
+    assert ma["checksum"] != mb["checksum"]
+    # identical corpus, different layout -> identical checksum
+    ma2 = corpus_manifest(a.repartition(7))
+    assert ma2["checksum"] == ma["checksum"]
