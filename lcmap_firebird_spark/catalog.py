@@ -197,7 +197,10 @@ def register_views(
     the tables a query actually references — each registration opens
     the parquet footer for schema, so registering all 10 tables costs
     ~10 metadata reads per call."""
-    for name in only or TABLES:
+    # `is None` test: an explicit empty tuple means register NOTHING
+    # (the falsy-empty fallback would register all 10 — footer reads
+    # the caller tried to avoid)
+    for name in TABLES if only is None else only:
         read_table(spark, name, base).createOrReplaceTempView(name)
 
 

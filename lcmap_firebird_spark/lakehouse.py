@@ -1288,7 +1288,8 @@ class LakeTable:
         scaled = []
         for c in cluster_by:
             mn = stats[f"mn_{c}"]
-            span = max(stats[f"mx_{c}"] - mn, 1)
+            raw = stats[f"mx_{c}"] - mn
+            span = raw if raw > 0 else 1  # true span; guard constants only
             scaled.append(
                 ((F.col(c) - F.lit(mn)).cast("double") * top / span)
                 .cast("bigint")

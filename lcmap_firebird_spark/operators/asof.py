@@ -44,22 +44,47 @@ def asof_join_backward(
 
     Output: all left columns + `right_value_cols` (null when no
     right row precedes, or the newest one is outside tolerance).
+
+    The carry is ONE struct per right row — never per-column
+    last(ignorenulls): per-column carries skip a genuinely-NULL
+    value and attach an older row's value instead, and with several
+    value columns can stitch a chimera row that never existed (while
+    the tolerance anchor still tracks the newest row). The struct is
+    non-null for every right row, so the newest right ROW wins
+    atomically — exactly the `ORDER BY ts DESC ... LIMIT 1` oracle
+    semantics, NULLs included.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    clash = set(right_value_cols) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"right_value_cols {sorted(clash)} collide with left "
+            "columns; rename one side before the as-of join"
+        )
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    row_t = StructType(
+        [StructField(c, rtypes[c], True) for c in right_value_cols]
+    )
     l = left.select(
-        *lcols, F.lit(1).alias("_side"), *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_value_cols]
+        *lcols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(row_t).alias("_r_row"),
     )
     r = right.select(
         *[F.col(c) for c in by],
         F.col(ts_col),
         *[F.col(c) for c in order_cols],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        F.struct(
+            *[F.col(c).alias(c) for c in right_value_cols]
+        ).alias("_r_row"),
     )
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    r = r.select(*lcols, "_side", *[f"_r_{c}" for c in right_value_cols])
+    r = r.select(*lcols, "_side", "_r_row")
     unioned = l.unionByName(r)
     # right rows (_side=0) sort before left rows at equal ts → a right
     # row at exactly left.ts is visible to that left row ("at or
@@ -70,17 +95,16 @@ def asof_join_backward(
         .orderBy(ts_col, "_side", *order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-        for c in right_value_cols
-    ]
+    carried_row = F.last("_r_row", ignorenulls=True).over(w).alias("_c_row")
     carried_ts = F.last(
         F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True
     ).over(w).alias("_c_ts")
-    out = unioned.select("*", *carried, carried_ts).filter(F.col("_side") == 1)
+    out = unioned.select("*", carried_row, carried_ts).filter(
+        F.col("_side") == 1
+    )
     sel = [F.col(c) for c in lcols]
     for c in right_value_cols:
-        v = F.col(f"_c_{c}")
+        v = F.col("_c_row")[c]
         if tolerance is not None:
             v = F.when(
                 F.col(ts_col) - F.col("_c_ts") <= tolerance, v

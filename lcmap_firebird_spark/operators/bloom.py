@@ -57,16 +57,34 @@ def bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _positions(cols: list[str], m: int, k: int) -> list:
-    """k bit positions per row (double hashing, overflow-safe)."""
-    h1 = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(m))
+def _canon(df: DataFrame, c: str):
+    """Hash-canonical form of a key column: xxhash64 hashes a 4-byte
+    int and the same value as an 8-byte long DIFFERENTLY, so an
+    int-vs-bigint dtype mismatch between the ids frame and the big
+    side would hash true members to different positions — silent
+    FALSE NEGATIVES, the one failure mode a bloom filter must never
+    have (the verifying equi-join would have inserted the cast).
+    Integers widen to bigint, float to double, before hashing."""
+    t = dict(df.dtypes)[c]
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return F.col(c).cast("bigint")
+    if t == "float":
+        return F.col(c).cast("double")
+    return F.col(c)
+
+
+def _positions(df: DataFrame, cols: list[str], m: int, k: int) -> list:
+    """k bit positions per row (double hashing, overflow-safe),
+    over type-canonicalized key columns."""
+    canon = [_canon(df, c) for c in cols]
+    h1 = F.pmod(F.xxhash64(*canon), F.lit(m))
     # salting with a literal column gives an independent second hash.
     # Draw the stride from [1, m-1]: a stride ≡ 0 (mod m) would
     # collapse all k probe positions onto h1 (effective k=1 →
     # inflated fpp). The earlier `pmod(h,m)|1` form could still
     # yield m (≡ 0) when m is odd — round-3 advice + round-4 review.
     h2 = F.pmod(
-        F.xxhash64(F.lit("bloom:h2"), *[F.col(c) for c in cols]),
+        F.xxhash64(F.lit("bloom:h2"), *canon),
         F.lit(m - 1),
     ) + F.lit(1)
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
@@ -82,7 +100,7 @@ def bloom_build(
     if n is None:
         n = ids.count()
     m, k = bloom_params(n, fpp)
-    pos = F.explode(F.array(*_positions(keys, m, k))).alias("pos")
+    pos = F.explode(F.array(*_positions(ids, keys, m, k))).alias("pos")
     words = (
         ids.select(pos)
         .select(
@@ -113,7 +131,7 @@ def bloom_prune(
     # stage each probe position as a real column so the word/bit
     # arithmetic references it once (PLANS.md rule 14d), then test the
     # bit with the SQL shift form (column shift amounts)
-    pcols = {f"_bp{i}": p for i, p in enumerate(_positions(keys, m, k))}
+    pcols = {f"_bp{i}": p for i, p in enumerate(_positions(big, keys, m, k))}
     probed = probed.withColumns(pcols)
     cond = F.lit(True)
     for i in range(k):

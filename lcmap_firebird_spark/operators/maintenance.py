@@ -145,6 +145,7 @@ def compact(
     from .. import catalog
 
     target = os.path.abspath(path.rstrip("/"))
+    stale_names = set()
     for cache in catalog._FRAMES.values():
         for key in [
             (base, name)
@@ -152,7 +153,17 @@ def compact(
             if os.path.abspath(os.path.join(base, f"{name}.parquet"))
             == target
         ]:
+            stale_names.add(key[1])
             del cache[key]
+    # a temp view registered from one of those cached plans pins the
+    # PRE-compaction file list in its analyzed plan — dropping the
+    # memo alone would leave `spark.sql(... FROM name)` pointing at
+    # deleted files; drop the view so the next register re-resolves
+    for name in stale_names:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
     return len(dataset_files(path))
 
 

@@ -52,7 +52,14 @@ def mix_bucket(key: Column | str, salt: str = "") -> Column:
     split_bucket first would leave buckets 0..1807 carrying ~1.5× the
     mass of 1808..4095 (10000 % 4096 = 1808)."""
     c = F.col(key) if isinstance(key, str) else key
-    return hash60(F.concat(F.lit(salt), c.cast("string"))) % MIX_BUCKETS
+    # NULL keys coalesce to a sentinel (one deterministic bucket)
+    # rather than propagating NULL out of the membership function —
+    # same convention as sampling.split_bucket
+    return hash60(
+        F.concat(
+            F.lit(salt), F.coalesce(c.cast("string"), F.lit("\x00null"))
+        )
+    ) % MIX_BUCKETS
 
 
 def _bucketed(

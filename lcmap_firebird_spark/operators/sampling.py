@@ -28,9 +28,20 @@ SAMPLE_MOD = 10_000
 def split_bucket(key: Column | str, salt: str = "") -> Column:
     """Deterministic bucket in [0, SAMPLE_MOD) from a key column
     (md5-derived — portable to any engine, incl. the DuckDB oracle).
-    `salt` decorrelates independent splits over the same key."""
+    `salt` decorrelates independent splits over the same key.
+
+    NULL keys coalesce to a sentinel before hashing, so they share
+    ONE deterministic bucket instead of propagating NULL — which
+    made hash_sample silently DROP null-key rows (NULL < t filters
+    false) while train_val_test routed them all to 'test' via its
+    otherwise() branch: two split surfaces disagreeing on the same
+    keys. (Oracle twins hash non-null doc_id, so parity holds.)"""
     c = F.col(key) if isinstance(key, str) else key
-    return hash60(F.concat(F.lit(salt), c.cast("string"))) % SAMPLE_MOD
+    return hash60(
+        F.concat(
+            F.lit(salt), F.coalesce(c.cast("string"), F.lit("\x00null"))
+        )
+    ) % SAMPLE_MOD
 
 
 def hash_sample(

@@ -106,10 +106,20 @@ def quality_features(
     n_distinct = distinct_token_count(col)
     n_punct = punct_count(col)
     n_stop = stopword_hits(col, "en")
-    # fixed-order double arithmetic (identical expression both engines)
-    diversity = n_distinct.cast("double") / n_tok.cast("double")
-    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
-    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    # fixed-order double arithmetic (identical expression both
+    # engines), with zero-denominator guards MIRRORED in the t3
+    # oracle: Spark's x/0.0 is NULL while DuckDB's is inf/NaN, so an
+    # empty/whitespace-only doc would otherwise break value-hash
+    # parity (the fraction helpers below already guard)
+    diversity = F.when(
+        n_tok > 0, n_distinct.cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0, n_stop.cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
     score = diversity * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2
     return df.select(
         "doc_id",

@@ -84,11 +84,22 @@ def write_zordered(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
     ).first()
+    if any(stats[f"mn_{c}"] is None for c in cols):
+        # empty frame or all-NULL cluster column: nothing to order —
+        # write as-is instead of raising TypeError on None arithmetic
+        df.write.mode("overwrite").parquet(path)
+        return
     top = (1 << bits) - 1
     scaled = []
     for c in cols:
         mn = stats[f"mn_{c}"]
-        span = max(stats[f"mx_{c}"] - mn, 1)
+        raw = stats[f"mx_{c}"] - mn
+        # the TRUE span, not max(span, 1): flooring a fractional
+        # domain (say [0.0, 0.5]) at 1 would squeeze its scaled
+        # values into half the grid and degrade the interleave
+        # toward a single-column sort; only a constant column (span
+        # 0) needs the guard
+        span = raw if raw > 0 else 1
         scaled.append(
             ((F.col(c) - F.lit(mn)).cast("double") * top / span).cast("bigint")
         )

@@ -157,11 +157,19 @@ ORACLES = {
                               AS BIGINT) AS fp
                   FROM toks)
         SELECT f.doc_id, n_chars_m, n_tokens, n_distinct, n_punct,
-               CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS diversity,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                    ELSE 0.0 END AS diversity,
                round(
-                 (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
-                 + (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
-                 + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) * 0.2,
+                 (CASE WHEN n_tokens > 0
+                       THEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       ELSE 0.0 END) * 0.5
+                 + (CASE WHEN n_tokens > 0
+                         THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                         ELSE 0.0 END) * 0.3
+                 + (1.0 - CASE WHEN n_chars_m > 0
+                               THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+                               ELSE 0.0 END) * 0.2,
                  6) AS quality_score,
                round(r.rep_2gram_frac, 6) AS rep_2gram_frac,
                round(r.top_2gram_frac, 6) AS top_2gram_frac,

@@ -65,3 +65,43 @@ def test_fetch_explode_shape_and_throttle(spark):
     rows = sorted((r.id, r.j, r.payload) for r in out.collect())
     assert len(rows) == 30  # 1 id → 3 records, exploded
     assert rows[0] == (0, 0, 0) and rows[-1] == (9, 2, 92)
+
+
+def test_asof_carries_whole_row_not_per_column(spark):
+    """The newest right row wins AS A ROW: a genuinely-NULL value in
+    it must be attached as NULL (not skipped for an older row's
+    value), and multiple value columns must never stitch a chimera
+    from different right rows."""
+    from lcmap_firebird_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 12)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 42.0, 0.0), (1, 10, None, None)],
+        "k long, ts long, a double, b double",
+    )
+    out = asof_join_backward(
+        left, right, by=["k"], ts_col="ts", right_value_cols=["a", "b"]
+    ).collect()
+    assert len(out) == 1
+    # the ts=10 row is the match; its NULLs are the answer
+    assert out[0]["a"] is None and out[0]["b"] is None
+    # chimera check: ts=10 has a set, b NULL; ts=5 has both set —
+    # output must be exactly the ts=10 row's values
+    right2 = spark.createDataFrame(
+        [(1, 5, 0.5, 5.0), (1, 10, 1.5, None)],
+        "k long, ts long, a double, b double",
+    )
+    out2 = asof_join_backward(
+        left, right2, by=["k"], ts_col="ts", right_value_cols=["a", "b"]
+    ).collect()
+    assert out2[0]["a"] == 1.5 and out2[0]["b"] is None
+    # colliding value-column names are rejected loudly
+    import pytest as _pytest
+
+    left2 = left.withColumn("a", left["ts"] * 1.0)
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join_backward(
+            left2, right, by=["k"], ts_col="ts", right_value_cols=["a"]
+        )

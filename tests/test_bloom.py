@@ -86,3 +86,21 @@ def test_probe_stage_is_shuffle_free(spark, sf_dir):
         ln for ln in plan.splitlines() if re.search(r"Exchange (hash|range)", ln)
     ]
     assert shuffles == [], shuffles
+
+
+def test_bloom_no_false_negatives_across_int_widths(spark):
+    """xxhash64 hashes a 4-byte int differently from the same value
+    as bigint — without type canonicalization an ids frame typed int
+    probed against a bigint big side loses true members silently."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from lcmap_firebird_spark.operators.bloom import bloom_semi_join
+
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")  # bigint
+    ids = spark.createDataFrame(
+        [(i,) for i in range(0, 1000, 7)],
+        StructType([StructField("doc_id", IntegerType())]),
+    )
+    got = bloom_semi_join(big, ids, ["doc_id"]).count()
+    want = big.join(ids, "doc_id", "left_semi").count()
+    assert got == want == len(range(0, 1000, 7))

@@ -63,3 +63,28 @@ def test_stratified_hash_sample_deterministic_and_proportional(spark, sf_dir):
         if totals.get(lang, 0) >= 50:
             rate = kept.get(lang, 0) / totals[lang]
             assert abs(rate - frac) < 0.15, (lang, rate, frac)
+
+
+def test_null_keys_split_consistently(spark):
+    """NULL keys hash to one deterministic bucket: hash_sample no
+    longer silently drops them and train_val_test no longer dumps
+    them all into 'test' by default — both surfaces agree."""
+    from lcmap_firebird_spark.operators.sampling import (
+        hash_sample,
+        train_val_test,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "doc_id long"
+    )
+    kept = hash_sample(df, "doc_id", 1.0)
+    assert kept.count() == 4  # keep-everything keeps NULL keys too
+    split = {
+        (r["doc_id"], r["split"])
+        for r in train_val_test(df, "doc_id").collect()
+    }
+    null_splits = {s for k, s in split if k is None}
+    assert len(null_splits) == 1  # both NULL rows land together
+    # and membership in hash_sample matches the split thresholds:
+    # fraction 0 keeps nothing, NULLs included
+    assert hash_sample(df, "doc_id", 0.0).count() == 0
