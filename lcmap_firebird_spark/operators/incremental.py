@@ -50,7 +50,10 @@ def signature_table(
     signature + shingle count. One explode + one groupBy (single
     shuffle); the output is ~150 bytes/doc regardless of text size —
     the thing that makes persisting it at corpus scale cheap."""
-    sh = shingle_sets(df, id_col, text_col, k)
+    # sh feeds TWO consumers (signature agg + size agg): materialize
+    # once or the tokenize+shingle explode runs twice per batch
+    # (PLANS.md rule 15)
+    sh = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=True)
     sig = minhash_signature(df, id_col, text_col, num_perm, k, sh_precomputed=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     fp = df.select(
@@ -79,7 +82,15 @@ def merge_batch(
     """Upsert batch signatures into the store: batch rows win on
     doc_id collision (re-ingested documents refresh their state).
     Anti-join + union — the MERGE core of `relational.upsert`, here
-    over signature state instead of fact rows."""
+    over signature state instead of fact rows.
+
+    REFRESH CAVEAT: replacing a doc's signature updates all FUTURE
+    pairing, but pairs already accumulated for the doc's OLD content
+    are not retracted by anything here — the union-of-batches
+    equivalence below holds for append-only ingests (disjoint
+    doc_ids). A consumer that re-ingests changed content must drop
+    accumulated pairs touching the refreshed doc_ids (one anti-join
+    over the pair log) before unioning the new batch's pairs."""
     keep = store.join(batch_sigs.select("doc_id"), "doc_id", "left_anti")
     return keep.unionByName(batch_sigs)
 
@@ -94,6 +105,7 @@ def incremental_pairs(
     rows: int = 4,
     k: int = 3,
     batch_sigs: DataFrame | None = None,
+    include_fp_exact: bool = False,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING the batch: batch×store ∪ batch×batch.
 
@@ -110,11 +122,25 @@ def incremental_pairs(
     Full-corpus pairs = pairs(previous corpus) ∪ incremental_pairs
     (new batch) — the union over successive batches reproduces the
     one-shot pipeline exactly (deterministic signatures ⇒ identical
-    candidacy and scores). Tested in tests/test_incremental_dedup.py.
+    candidacy and scores), for APPEND-ONLY ingests and under the
+    uncapped candidate semantics (lsh_candidates' max_bucket=None):
+    the batch-mode hot-bucket cell split is sized from the final
+    corpus's bucket occupancy, which no incremental run can know, so
+    a capped one-shot may drop cross-cell pairs this path emits —
+    the cap is a batch-mode scale valve, not part of the answer.
+    Tested in tests/test_incremental_dedup.py.
 
     `batch_sigs` passes a precomputed (cached) signature table for the
     batch so callers that also MERGE it into the store — the streaming
     runner in streaming/dedup_stream.py — compute signatures once.
+
+    `include_fp_exact=True` additionally emits byte-identical pairs
+    among docs TOO SHORT to shingle (no signature, so no band can
+    ever catch them) via the store's content fingerprint, as
+    (doc_a, doc_b, n_common=0, jaccard=1.0) rows. Off by default:
+    the one-shot PAIR pipeline shares the blind spot (its exact
+    coverage lives in the ladder's exact rung), and the invariant
+    above is pinned against it.
     """
     if batch_sigs is None:
         # two consumers (store merge + band projection) launch in
@@ -149,10 +175,50 @@ def incremental_pairs(
             F.greatest("n.doc_id", "s.doc_id").alias("doc_b"),
         )
         .distinct()
-        # round-4: candidate-driven verification consumes this frame
-        # exactly once — no materialization needed
+        # two consumers now (candidate-id projection + verification):
+        # materialize once (PLANS.md rule 15)
+        .localCheckpoint(eager=True)
     )
-    return jaccard_pairs(df_all, threshold, k=k, candidates=touching)
+    # verification re-shingles ONLY the candidate docs: feeding the
+    # whole df_all would re-tokenize and eagerly materialize the
+    # ENTIRE corpus every batch — the full-scan-per-ingest this
+    # module exists to avoid (cost must scale with the batch's
+    # candidate set, never the corpus)
+    cand_ids = (
+        touching.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(touching.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    verify_src = df_all.join(cand_ids, "doc_id", "left_semi")
+    pairs = jaccard_pairs(verify_src, threshold, k=k, candidates=touching)
+    if include_fp_exact:
+        short_b = batch_sigs.filter(
+            F.col(sig_cols[0]).isNull()
+        ).select("doc_id", "fp")
+        short_m = merged.filter(F.col(sig_cols[0]).isNull()).select(
+            "doc_id", "fp"
+        )
+        fp_pairs = (
+            short_b.alias("n")
+            .join(
+                short_m.alias("s"),
+                (F.col("n.fp") == F.col("s.fp"))
+                & (F.col("n.doc_id") != F.col("s.doc_id")),
+            )
+            .select(
+                F.least("n.doc_id", "s.doc_id").alias("doc_a"),
+                F.greatest("n.doc_id", "s.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .select(
+                "doc_a",
+                "doc_b",
+                F.lit(0).cast("long").alias("n_common"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        pairs = pairs.unionByName(fp_pairs)
+    return pairs
 
 
 # pandas-free module, but keep the foreign-cwd pickling contract

@@ -26,8 +26,14 @@ once and the model refit on the inliers (pyccd's Tmask screens with
 robust thresholds before fitting, same intent). Break when the
 cross-band mean normalized residual of `peek` consecutive clear
 observations exceeds `chi` (pyccd's consecutive-observation test,
-aggregated across bands). Schema, masking, sentinel, and date
-semantics are exact (ccdc/pyccd.py:39-148).
+aggregated across bands). Schema, masking, and the sentinel/date
+SHAPE follow ccdc/pyccd.py:39-148, with two deliberate deviations:
+the sentinel writes chprob=0.0 and curqa=<clear-obs count> where the
+reference's default()/format() leaves both NULL (typed values beat
+absent keys for SQL consumers), and dates/mask arrays are ASCENDING
+time order with ISO dates rendered alongside ordinals — fixing the
+reference's string-vs-int comparison bug (SURVEY §7.5) rather than
+replicating its delivered-DESC order. Pinned by tests/test_pyccd.py.
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ from datetime import date, timedelta
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..schemas import segment_schema
 
@@ -188,12 +195,16 @@ def _segment_row(
     all_dates: np.ndarray,
     mask: np.ndarray,
     harmonics: int = 0,
+    fits: dict | None = None,
 ) -> dict:
     """One 40-field segment dict (pyccd.format, ccdc/pyccd.py:106-148).
 
     coef = [trend, sin1, cos1, ...] with the intercept in {b}int —
     the reference's split between coefficient array and intercept
-    (ccdc/pyccd.py:64-77)."""
+    (ccdc/pyccd.py:64-77). `fits` reuses the caller's per-band
+    (beta, rmse) for EXACTLY this [start:end) window (the break
+    branch already computed them — refitting would double the
+    hottest solves); None recomputes (the tail segment)."""
     row = dict(keys)
     row["sday"] = _iso(ts[start])
     row["eday"] = _iso(ts[end - 1])
@@ -202,7 +213,11 @@ def _segment_row(
     row["curqa"] = int(end - start)
     for col, pre in BAND_MAP.items():
         vs = band_vals[col]
-        beta, rmse = _fit(ts[start:end], vs[start:end], harmonics)
+        beta, rmse = (
+            fits[col]
+            if fits is not None
+            else _fit(ts[start:end], vs[start:end], harmonics)
+        )
         if peek_slice is not None:
             pred = _predict(ts[peek_slice], beta, harmonics)
             mag = float(np.abs(vs[peek_slice] - pred).mean())
@@ -288,10 +303,6 @@ def detect(
         rows: list[dict] = []
         start, i, n = 0, min_obs, len(ts)
         while i < n:
-            fits = {
-                c: _fit(ts[start:i], bands[c][start:i], harmonics)
-                for c in band_cols
-            }
             # harmonic terms are only constrained once the window
             # spans a full annual cycle (pyccd's year-span
             # initialization requirement) — never break-test before
@@ -299,6 +310,13 @@ def detect(
                 ts[i - 1] - ts[start] >= ANNUAL_DAYS
             )
             if i - start >= min_obs and i + peek <= n and span_ok:
+                # the 7 lasso fits are only needed when the break
+                # test can actually run — fitting unconditionally
+                # wasted ~a year of spin-up iterations per segment
+                fits = {
+                    c: _fit(ts[start:i], bands[c][start:i], harmonics)
+                    for c in band_cols
+                }
                 # cross-band mean normalized residual over the peek
                 # window (pyccd's consecutive-obs test, aggregated)
                 scores = np.zeros(peek)
@@ -317,6 +335,7 @@ def detect(
                     _segment_row(
                         keys, ts, bands, start, i, int(ts[i]), 1.0,
                         slice(i, i + peek), dates_sorted, mask, harmonics,
+                        fits=fits,
                     )
                 )
                 start = i
@@ -331,16 +350,31 @@ def detect(
         )
         return rows
 
+    # CPU-bound pandas stage: a compact source (one parquet split)
+    # would otherwise run every pixel's lasso fits on a single core —
+    # pin parallelism like segmentation.ccd_segments does (PLANS.md:
+    # AQE's byte heuristic mis-sizes CPU-bound pandas stages)
+    n_parts = ard.sparkSession.sparkContext.defaultParallelism
+    if ard.rdd.getNumPartitions() < n_parts:
+        ard = ard.repartition(n_parts)
     return ard.mapInPandas(kernel, schema)
 
 
 def chip_table(segments: DataFrame) -> DataFrame:
     """Chip projection under the exact reference schema
-    (ccdc/chip.py:25-36: select cx, cy, dates)."""
+    (ccdc/chip.py:25-36: select cx, cy, dates). Deterministic: the
+    reference guarantees one dates array per chip, but a chip
+    assembled from a long table could carry per-pixel variations —
+    keep the MAX dates array (a total order) instead of
+    dropDuplicates' partition-order-dependent pick."""
     from ..schemas import chip_schema
     from .relational import conform
 
-    return conform(segments, chip_schema()).dropDuplicates(["cx", "cy"])
+    c = conform(segments, chip_schema())
+    other = [f for f in c.columns if f not in ("cx", "cy")]
+    return c.groupBy("cx", "cy").agg(
+        *[F.max(f).alias(f) for f in other]
+    ).select(*c.columns)
 
 
 def pixel_table(segments: DataFrame) -> DataFrame:

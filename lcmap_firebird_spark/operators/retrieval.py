@@ -13,8 +13,9 @@ Spark-first shape — a distributed inverted index, no UDFs:
 - document frequency per term is a groupBy on the postings;
 - the QUERY side (a handful of rows) is tokenized, exploded, and
   broadcast, so scoring is one equi-join on term against the
-  postings — the corpus shuffles once to build postings and never
-  again;
+  postings — the corpus TEXT shuffles once to build postings and
+  never again (the scoring join still carries the ~16-byte/doc
+  length frame, metadata scale, not text);
 - top-k per query is the standard rank-window over (query, score).
 
 Scoring: score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl))
@@ -76,12 +77,29 @@ def bm25_topk(
     broken by doc_id (deterministic). Query terms are deduplicated
     (standard bag-of-words query model: each distinct query term
     contributes once)."""
-    post = postings(corpus, id_col, text_col)
-    dl = doc_lengths(corpus, id_col, text_col)
-
-    stats = corpus.agg(
+    # ONE tokenization pass: doc lengths and corpus stats derive
+    # from the postings (sum of tf per doc == token count exactly),
+    # not from re-running the tokenizer over the corpus two more
+    # times. The left join from the id projection restores the
+    # token-less docs the postings lack — empty text as dl=0 and
+    # NULL text as dl=NULL, bit-identical to size(tokens(text)) —
+    # so n_docs/avgdl (and therefore every idf and score) are
+    # unchanged.
+    post = postings(corpus, id_col, text_col).localCheckpoint(eager=True)
+    sums = post.groupBy("doc_id").agg(F.sum("tf").alias("_dl"))
+    ids = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).isNotNull().alias("_ht"),
+    )
+    dl = ids.join(sums, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            F.col("_dl"), F.when(F.col("_ht"), F.lit(0))
+        ).alias("dl"),
+    )
+    stats = dl.agg(
         F.count("*").alias("n_docs"),
-        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
 
     qterms = queries.select(
