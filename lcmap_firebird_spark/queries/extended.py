@@ -83,7 +83,14 @@ def f6_semistructured(spark: SparkSession, sf: str) -> DataFrame:
         parsed.getField("k").alias("k_int"),
         F.element_at(m, "et").alias("et"),
         F.size(F.map_keys(m)).alias("n_keys"),
-        F.array_contains(F.map_values(m), F.col("event_type")).alias("has_type"),
+        # coalesce: with a NULL event_type, array_contains(values,
+        # NULL) is NULL — define has_type as FALSE there (and the
+        # oracle mirrors with event_type IS NOT NULL, which is the
+        # same predicate since the map always carries the et entry)
+        F.coalesce(
+            F.array_contains(F.map_values(m), F.col("event_type")),
+            F.lit(False),
+        ).alias("has_type"),
     )
 
 
@@ -460,10 +467,13 @@ ORACLES = {
     "f6_semistructured": """
         SELECT event_id,
                json_extract_string(props, '$.k') AS k_str,
-               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               -- TRY_CAST mirrors from_json's leniency: a non-int k
+               -- payload yields NULL on both engines instead of
+               -- erroring only in DuckDB
+               TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
                event_type AS et,
                2 AS n_keys,
-               TRUE AS has_type
+               (event_type IS NOT NULL) AS has_type
         FROM events
     """,
     "a10_pivot": """

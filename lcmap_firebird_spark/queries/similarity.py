@@ -31,8 +31,14 @@ def _sql_dot(a: str, b: str) -> str:
 
 
 def _sql_cosine(a: str, b: str) -> str:
+    # zero-norm guard mirrors operators/similarity.cosine_pre: a
+    # vector that quantizes to all-zero scores 0.0 on BOTH engines
+    # (unguarded, DuckDB emits NaN/inf where Spark's guard emits 0.0
+    # — a latent value-hash break waiting for degenerate embeddings)
+    denom = f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
     return (
-        f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+        f"CASE WHEN {denom} = 0.0 THEN 0.0 "
+        f"ELSE {_sql_dot(a, b)} / {denom} END"
     )
 
 

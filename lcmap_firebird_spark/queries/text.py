@@ -42,12 +42,20 @@ def t1_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         T.char_count("text").cast("bigint").alias("n_chars_m"),
         T.token_count("text").cast("bigint").alias("n_tokens"),
         T.distinct_token_count("text").cast("bigint").alias("n_distinct"),
-        (sum_len.cast("double") / T.token_count("text").cast("double")).alias(
-            "avg_token_len"
-        ),
+        # zero-token guard MIRRORED in the oracle: one empty or
+        # whitespace-only doc in a regenerated testdata would abort
+        # the query under Spark 4 ANSI (DIVIDE_BY_ZERO) and diverge
+        # from DuckDB even with ANSI off
+        F.when(
+            T.token_count("text") > 0,
+            sum_len.cast("double") / T.token_count("text").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("avg_token_len"),
         T.bpe_token_count("text").alias("n_bpe_tokens"),
-        (T.bpe_token_count("text").cast("double") / T.token_count("text"))
-        .alias("tokens_per_word"),
+        F.when(
+            T.token_count("text") > 0,
+            T.bpe_token_count("text").cast("double")
+            / T.token_count("text"),
+        ).otherwise(F.lit(0.0)).alias("tokens_per_word"),
     )
 
 
@@ -103,14 +111,18 @@ ORACLES = {
                CAST(n_chars_m AS BIGINT) AS n_chars_m,
                CAST(len(t) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
-               CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-                   / CAST(len(t) AS DOUBLE) AS avg_token_len,
+               CASE WHEN len(t) > 0
+                    THEN CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                         / CAST(len(t) AS DOUBLE)
+                    ELSE 0.0 END AS avg_token_len,
                CAST(len(regexp_extract_all(text,
                    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS INT)
                    AS n_bpe_tokens,
-               CAST(len(regexp_extract_all(text,
-                   ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS DOUBLE)
-                   / len(t) AS tokens_per_word
+               CASE WHEN len(t) > 0
+                    THEN CAST(len(regexp_extract_all(text,
+                        ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS DOUBLE)
+                         / len(t)
+                    ELSE 0.0 END AS tokens_per_word
         FROM toks
     """,
     "t2_language_id": f"""

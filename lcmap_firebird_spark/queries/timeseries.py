@@ -30,7 +30,7 @@ from ..operators.timeseries import assemble
 
 GAP_MIN = 30
 LEVEL_T = 200.0
-EPOCH_ORDINAL = 719_163  # date(1970,1,1).toordinal()
+from ..functions.dates import EPOCH_ORDINAL  # noqa: E402  (719163 = date(1970,1,1).toordinal(); single shared constant)
 
 
 def u3_sessionize_threshold(spark: SparkSession, sf: str) -> DataFrame:
@@ -154,6 +154,7 @@ ORACLES = {
                    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
                              > {GAP_MIN} * 60000000
                          OR LAG(ts) OVER w IS NULL
+                         OR ts IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -169,9 +170,14 @@ ORACLES = {
                FROM events),
         tflag AS (
             SELECT user_id, event_id, t_us, value,
+                   -- value IS NULL mirrors Spark's delta.isNull()
+                   -- branch (a NULL current value also breaks);
+                   -- without it a regenerated events table with one
+                   -- NULL value diverges from that row onward
                    CASE WHEN ABS(CAST(value AS DOUBLE)
                                  - CAST(LAG(value) OVER w AS DOUBLE)) > {LEVEL_T}
                          OR LAG(value) OVER w IS NULL
+                         OR value IS NULL
                         THEN 1 ELSE 0 END AS brk
             FROM ev
             WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
@@ -326,8 +332,13 @@ ORACLES = {
     "x2_assemble_series": """
         WITH s AS (
             SELECT user_id, epoch_us(ts) AS t_us, value,
+                   -- NULLS FIRST mirrors Spark's struct sort
+                   -- (sort_array puts a NULL value field smallest);
+                   -- DuckDB's default NULLS LAST would swap pos for
+                   -- NULL-value ties
                    ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY epoch_us(ts), value) - 1 AS pos,
+                                      ORDER BY epoch_us(ts),
+                                               value NULLS FIRST) - 1 AS pos,
                    COUNT(*) OVER (PARTITION BY user_id) AS n_obs
             FROM events)
         SELECT user_id, CAST(n_obs AS INT) AS n_obs, CAST(pos AS INT) AS pos,

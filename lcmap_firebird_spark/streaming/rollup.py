@@ -117,7 +117,13 @@ def merge_rollup(store: DataFrame, partial: DataFrame) -> DataFrame:
     order-independent, so chunked merges reproduce the one-shot
     sketch exactly), and KLL compaction merge with bounded rank error
     along any merge path. The sketch merges are binary scalar
-    functions, which is why this is a join, not a union+groupBy."""
+    functions, which is why this is a join, not a union+groupBy.
+
+    The key join is NULL-SAFE: a NULL event_type is a legitimate
+    bucket (batch GROUP BY treats NULLs as one group), and a plain
+    equi-join would never match it — the store would re-insert a
+    fresh (win, NULL) row every micro-batch instead of merging,
+    silently breaking chunked == one-shot."""
     s, p = store.alias("s"), partial.alias("p")
     keys = ["win_start_us", "event_type"]
 
@@ -130,8 +136,15 @@ def merge_rollup(store: DataFrame, partial: DataFrame) -> DataFrame:
             F.when(a.isNull(), b).when(b.isNull(), a).otherwise(fn(a, b))
         ).alias(col)
 
-    return s.join(p, keys, "full_outer").select(
-        *keys,
+    cond = None
+    for k in keys:
+        term = F.col(f"s.{k}").eqNullSafe(F.col(f"p.{k}"))
+        cond = term if cond is None else (cond & term)
+    return s.join(p, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"s.{k}"), F.col(f"p.{k}")).alias(k)
+            for k in keys
+        ],
         _merge("n", lambda a, b: a + b),
         _merge(
             "sum_value", lambda a, b: (a + b).cast("decimal(28,2)")

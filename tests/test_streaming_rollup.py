@@ -220,3 +220,31 @@ def test_uncommitted_snapshot_is_invisible(spark, sf_dir, tmp_path):
 
     assert R.latest_version(work) == committed
     assert R.read_rollup(spark, work).count() == n_committed
+
+
+def test_merge_rollup_null_key_buckets_merge(spark):
+    """A NULL event_type is one legitimate GROUP BY bucket: the
+    store merge must be null-safe, or every micro-batch re-inserts a
+    fresh (win, NULL) row instead of merging (chunked != one-shot)."""
+    from lcmap_firebird_spark.streaming.rollup import (
+        merge_rollup,
+        partial_rollup,
+    )
+
+    def batch(ts_s, et, val):
+        return spark.createDataFrame(
+            [(1, ts_s, 7, et, val, "{}")],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 9, 10)
+    p1 = partial_rollup(batch(t, None, 1.0))
+    p2 = partial_rollup(batch(t, None, 2.0))
+    merged = merge_rollup(p1, p2)
+    rows = merged.collect()
+    assert len(rows) == 1  # ONE merged NULL bucket, not two rows
+    assert rows[0]["n"] == 2
+    assert float(rows[0]["sum_value"]) == 3.0
