@@ -221,8 +221,10 @@ ORACLES = {
     "d1_exact_dedup": f"""
         WITH toks AS (SELECT doc_id, {TOK} AS t FROM documents),
         fp AS (SELECT doc_id,
-                      CAST(('0x' || substr(md5(array_to_string(t, ' ')), 1, 15))
-                           AS BIGINT) AS fp
+                      CASE WHEN t IS NULL THEN NULL
+                           ELSE CAST(('0x' || substr(md5(
+                                    coalesce(array_to_string(t, ' '), '')),
+                                    1, 15)) AS BIGINT) END AS fp
                FROM toks)
         SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
         FROM fp GROUP BY fp

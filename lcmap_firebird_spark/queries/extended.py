@@ -467,10 +467,14 @@ ORACLES = {
     "f6_semistructured": """
         SELECT event_id,
                json_extract_string(props, '$.k') AS k_str,
-               -- TRY_CAST mirrors from_json's leniency: a non-int k
-               -- payload yields NULL on both engines instead of
-               -- erroring only in DuckDB
-               TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               -- mirror from_json's strictness exactly: only an
+               -- INTEGRAL k parses (Spark yields NULL for 3.5 or
+               -- 'notanint'; a bare DuckDB CAST would error on text
+               -- and ROUND 3.5 to 4)
+               CASE WHEN regexp_matches(
+                        json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                    END AS k_int,
                event_type AS et,
                2 AS n_keys,
                (event_type IS NOT NULL) AS has_type

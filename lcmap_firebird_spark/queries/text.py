@@ -165,8 +165,10 @@ ORACLES = {
                          length(text) - length(regexp_replace(text,
                              '[^\\w\\s]', '', 'g')) AS n_punct,
                          {_sql_stop_hits('en')} AS n_stop,
-                         CAST(('0x' || substr(md5(array_to_string(t, ' ')), 1, 15))
-                              AS BIGINT) AS fp
+                         CASE WHEN t IS NULL THEN NULL
+                           ELSE CAST(('0x' || substr(md5(
+                                    coalesce(array_to_string(t, ' '), '')),
+                                    1, 15)) AS BIGINT) END AS fp
                   FROM toks)
         SELECT f.doc_id, n_chars_m, n_tokens, n_distinct, n_punct,
                CASE WHEN n_tokens > 0
