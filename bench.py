@@ -51,17 +51,24 @@ def main() -> None:
     queries, _ = merged()
 
     # untimed warmup: JVM/codegen/Python-worker spin-up is a fixed
-    # cost irrelevant to per-query throughput at scale
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    queries["a4_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # cost irrelevant to per-query throughput at scale. Contained:
+    # nothing before the final print is allowed to abort the run.
+    try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        warm = queries.get("a4_pricing_summary")
+        if warm is not None:
+            warm(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup failed: {exc}", file=sys.stderr)
 
     names = [n for n in HEADLINE if n in queries]
     # extend with everything else that exists, cheap coverage signal
     names += [n for n in sorted(queries) if n not in names]
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = queries[name]
         # Headline queries: MEDIAN-of-3 — the box shows ±10-20% run-
@@ -77,15 +84,24 @@ def main() -> None:
         # cold — no query reads a previous run's (or query's) cached
         # data.
         attempts = []
-        for _ in range(3 if name in HEADLINE else 2):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop write: full evaluation of EVERY output column —
-            # count() would let Catalyst prune unreferenced
-            # projection/window expressions
-            df.write.format("noop").mode("overwrite").save()
-            attempts.append(time.perf_counter() - t0)
+        try:
+            for _ in range(3 if name in HEADLINE else 2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # noop write: full evaluation of EVERY output column
+                # — count() would let Catalyst prune unreferenced
+                # projection/window expressions
+                df.write.format("noop").mode("overwrite").save()
+                attempts.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            # CONTAIN the failure: one regressed/OOMing query must
+            # not abort the process and lose the round's entire
+            # bench signal (the one-JSON-line contract survives any
+            # single query; round 2 lost its numbers to exactly this)
+            errors[name] = str(exc).split("\n")[0][:200]
+            print(f"query {name} failed: {errors[name]}", file=sys.stderr)
+            continue
         attempts.sort()
         timings[name] = round(
             attempts[1] if len(attempts) == 3 else attempts[0], 4
@@ -94,18 +110,17 @@ def main() -> None:
     # value = the FIXED headline set (stable across rounds as the
     # registry grows); per-query timings cover everything.
     headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_time",
-                "value": headline_total,
-                "unit": "sec",
-                "queries": timings,
-                "total_all_queries": round(sum(timings.values()), 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_time",
+        "value": headline_total,
+        "unit": "sec",
+        "queries": timings,
+        "total_all_queries": round(sum(timings.values()), 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

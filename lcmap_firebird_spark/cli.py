@@ -28,6 +28,11 @@ def _cmd_changedetection(args: argparse.Namespace) -> int:
     spark = session("firebird-changedetection")
     obs = spark.read.parquet(args.observations)
     ids = None
+    if (args.x is None) != (args.y is None):
+        # one-of-two is a malformed invocation: silently ignoring it
+        # would CCD-segment the ENTIRE table instead of one tile
+        print("--x and --y must be given together", file=sys.stderr)
+        return 2
     if args.x is not None and args.y is not None:
         t = grid.tile(args.x, args.y)
         xys = t["chips"][: args.number] if args.number else t["chips"]
@@ -55,8 +60,18 @@ def _cmd_classification(args: argparse.Namespace) -> int:
     if args.predictions_out:
         from pyspark.sql import functions as F
 
+        from .operators.relational import filter_not_in
+
+        # same gates the model was FIT under: the trends filter
+        # (shared helper, not an inline re-implementation) AND the
+        # msday/meday segment window — out-of-window segments can
+        # carry category values VectorIndexer never saw, and its
+        # default handleInvalid='error' would throw at write time
         fdf = features(
-            aux.filter(~F.element_at("trends", 1).isin(0, 9)), segments
+            filter_not_in(aux, F.element_at("trends", 1), [0, 9]),
+            segments.filter(
+                (F.col("sday") >= args.msday) & (F.col("eday") <= args.meday)
+            ),
         )
         classify(model, fdf).write.mode("overwrite").parquet(args.predictions_out)
     return 0
@@ -79,10 +94,26 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
     if args.substring_k:
         kwargs["substring_k"] = args.substring_k
     if args.mixture:
-        weights = {
-            kv.split("=")[0]: float(kv.split("=")[1])
-            for kv in args.mixture.split(",")
-        }
+        weights = {}
+        for kv in args.mixture.split(","):
+            if not kv.strip():
+                continue  # tolerate a trailing comma
+            name_val = kv.split("=", 1)
+            if len(name_val) != 2:
+                print(
+                    f"malformed --mixture entry {kv!r}: expected "
+                    "domain=weight[,domain=weight...]",
+                    file=sys.stderr,
+                )
+                return 2
+            try:
+                weights[name_val[0].strip()] = float(name_val[1])
+            except ValueError:
+                print(
+                    f"malformed --mixture weight in {kv!r}",
+                    file=sys.stderr,
+                )
+                return 2
         kwargs["mixture"] = weights
         kwargs["mixture_tokens"] = args.mixture_tokens
         kwargs["domain_col"] = args.domain_col

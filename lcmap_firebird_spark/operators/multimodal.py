@@ -85,13 +85,15 @@ def to_media_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     document payloads standing in for image bytes)."""
     from .dedup import spread
 
+    # coalesce NULL text to the empty payload: media_schema declares
+    # payload non-nullable but nothing enforces it, and every
+    # downstream kernel (len/md5/frombuffer) dies on a None payload
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8")
     return spread(df, id_col).select(
         F.col(id_col).cast("long").alias("media_id"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        payload.alias("payload"),
         F.lit("application/octet-stream").alias("media_type"),
-        F.octet_length(F.encode(F.col(text_col), "utf-8"))
-        .cast("long")
-        .alias("n_bytes"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
     )
 
 
@@ -117,13 +119,19 @@ def _decode_image(payload: bytes) -> tuple[int | None, int | None]:
 def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    mapInPandas streams `batch_size`-row Arrow batches through the
-    Python worker — payload bytes never materialize on the driver and
-    never pickle row-at-a-time.
+    mapInPandas streams Arrow batches through the Python worker —
+    payload bytes never materialize on the driver and never pickle
+    row-at-a-time. Arrow's own batch size tops out at
+    spark.sql.execution.arrow.maxRecordsPerBatch (10k default) —
+    far too many rows when each payload is megabytes — so the kernel
+    additionally re-slices every incoming batch to `batch_size` rows,
+    bounding worker memory to ~batch_size × payload bytes.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for big in batches:
+          for lo in range(0, len(big), batch_size):
+            pdf = big.iloc[lo : lo + batch_size]
             payloads = pdf["payload"]
             dims = [_decode_image(p) for p in payloads]
             yield pd.DataFrame(
@@ -259,6 +267,12 @@ def chunk_audio(
             for mid, payload, rate in zip(
                 pdf["media_id"], pdf["payload"], rates
             ):
+                # a NULL (NaN) or non-positive per-row rate cannot be
+                # windowed: emit zero chunks for that row instead of
+                # killing the whole task with ZeroDivisionError /
+                # NaN-to-int deep in the kernel
+                if rate is None or pd.isna(rate) or int(rate) <= 0:
+                    continue
                 bpms = int(rate) * sample_width / 1000.0
                 win = max(1, int(window_ms * bpms))
                 step = max(1, int(hop * bpms))

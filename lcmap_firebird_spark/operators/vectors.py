@@ -9,7 +9,10 @@ no Python worker at all.
 Fidelity note (SURVEY §7.5): the reference's densify takes only
 `first(x)` of any array-valued feature (ccdc/udfs.py:19-21) — a lossy
 flatten. `densify(..., compat=True)` reproduces that exactly;
-compat=False keeps full arrays by exploding them into slots.
+compat=False REFUSES array-valued features with a clear error —
+callers wanting every element pre-explode the array into scalar
+columns themselves (a deliberate non-feature: silent multi-slot
+expansion would change feature-vector width under the caller).
 """
 
 from __future__ import annotations

@@ -102,7 +102,13 @@ def changedetection_ard(
     }
     if output_base:
         for name, df in tables.items():
-            write_partitioned(df, f"{output_base}/{name}", ("cx", "cy"))
+            # overwrite: a re-run (operator retry, partial failure) must
+            # be idempotent like the Cassandra upsert this mirrors —
+            # the default parquet append would silently double rows
+            write_partitioned(
+                df, f"{output_base}/{name}", ("cx", "cy"),
+                mode="overwrite",
+            )
         seg.unpersist()
     return tables
 
@@ -123,6 +129,12 @@ def changedetection(
     }
     if output_base:
         for name, df in tables.items():
-            write_partitioned(df, f"{output_base}/{name}", ("cx", "cy"))
+            # overwrite: a re-run (operator retry, partial failure) must
+            # be idempotent like the Cassandra upsert this mirrors —
+            # the default parquet append would silently double rows
+            write_partitioned(
+                df, f"{output_base}/{name}", ("cx", "cy"),
+                mode="overwrite",
+            )
         seg.unpersist()
     return tables

@@ -31,6 +31,10 @@ def config(overrides: dict | None = None) -> dict:
       real cluster you'd raise it to ~2-3× total cores.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    if not cpus.isdigit():
+        # '*' is valid for the local[...] master but would poison
+        # spark.sql.shuffle.partitions (must be an integer)
+        cpus = str(os.cpu_count() or 8)
     conf = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
