@@ -108,8 +108,15 @@ def main() -> None:
         )
 
     # value = the FIXED headline set (stable across rounds as the
-    # registry grows); per-query timings cover everything.
-    headline_total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
+    # registry grows); per-query timings cover everything. If ANY
+    # headline member failed, value is null — summing only the
+    # survivors would make a breaking regression read as a speedup.
+    if any(n in errors for n in HEADLINE):
+        headline_total = None
+    else:
+        headline_total = round(
+            sum(timings[n] for n in HEADLINE if n in timings), 4
+        )
     payload = {
         "metric": "headline_query_time",
         "value": headline_total,

@@ -221,6 +221,12 @@ def write_partitioned(
     writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
+    if mode == "overwrite" and partition_cols:
+        # DYNAMIC partition overwrite: replace only the partitions
+        # this df carries (the Cassandra-upsert-like retry semantics
+        # callers want) — Spark's default STATIC mode would truncate
+        # the WHOLE table, deleting every other tile's results
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.option("maxRecordsPerFile", 5_000_000).parquet(path)
 
 

@@ -601,9 +601,28 @@ class LakeTable:
     def _dv_counts(self, dvs: list[dict]) -> dict[str, int]:
         """{covered file: deleted-position count} — one aggregate
         over the DV dataset, file-count rows back to the driver
-        (metadata scale). Shared by both maintenance sizers."""
+        (metadata scale). Shared by both maintenance sizers and
+        describe_detail. Session-less handles (LakeTable.attach)
+        fall back to a pyarrow read — DV datasets are metadata
+        scale, and describe_detail promises to work from metadata
+        alone."""
         if not dvs:
             return {}
+        if self.spark is None:
+            import collections
+
+            import pyarrow.parquet as pq
+
+            counts: dict[str, int] = collections.defaultdict(int)
+            for r in dvs:
+                t = pq.read_table(
+                    os.path.join(self.root, r["path"]), columns=["file"]
+                )
+                for f, n in (
+                    t.column("file").to_pandas().value_counts().items()
+                ):
+                    counts[f] += int(n)
+            return dict(counts)
         return {
             r["file"]: r["n"]
             for r in self._dv_df(dvs)
@@ -1089,7 +1108,9 @@ class LakeTable:
         head_seen: int | None = None
         while True:
             vs = self._versions()
-            if vs and vs[-1] == head_seen:
+            if not vs:
+                return []  # empty/aborted-create log: nothing to do
+            if vs[-1] == head_seen:
                 break  # log held still since `referenced` was built
             head_seen = vs[-1] if vs else None
             protect = set(vs[-keep_last:]) if keep_last else set()
@@ -1426,16 +1447,18 @@ class LakeTable:
         # fall back to an exact MULTISET full-row diff: per-row-value
         # count deltas become insert/delete rows (update attribution
         # genuinely needs unique keys, so none is fabricated).
-        def _has_dup_keys(df: DataFrame) -> bool:
-            return bool(
-                df.groupBy(*key_cols)
-                .agg(F.count("*").alias("_n"))
-                .filter(F.col("_n") > 1)
-                .limit(1)
-                .count()
-            )
+        tagged = old.select(
+            *key_cols, F.lit(0).alias("_side")
+        ).unionByName(new.select(*key_cols, F.lit(1).alias("_side")))
+        has_dups = bool(
+            tagged.groupBy(*key_cols, "_side")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )  # ONE job over both snapshots' key projections
 
-        if _has_dup_keys(old) or _has_dup_keys(new):
+        if has_dups:
             oc = old.groupBy(*cols).agg(F.count("*").alias("_oc"))
             nc = new.groupBy(*cols).agg(F.count("*").alias("_nc"))
             cond = None
@@ -1552,11 +1575,17 @@ class LakeTable:
             if not os.path.exists(os.path.join(self.root, r["path"]))
         ]
         if missing:
+            # the compensation MUST land even if another commit beat
+            # it to v_new+1 (expected_head=None retries like append):
+            # raising here would leave the head permanently
+            # referencing swept files — the one unacceptable outcome.
+            # An interloper's added files are not in the remove list,
+            # so its rows survive the roll-forward.
             self._commit(
                 "restore",
                 [r for r in cur_live if r["path"] in set(remove)],
                 sorted(old_paths - cur_paths),
-                expected_head=v_new,
+                expected_head=None,
                 extra={
                     "restored_version": head,
                     "constraints": cur_entry.get("constraints") or {},

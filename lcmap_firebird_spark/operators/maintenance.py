@@ -158,8 +158,17 @@ def compact(
     # a temp view registered from one of those cached plans pins the
     # PRE-compaction file list in its analyzed plan — dropping the
     # memo alone would leave `spark.sql(... FROM name)` pointing at
-    # deleted files; drop the view so the next register re-resolves
-    for name in stale_names:
+    # deleted files. Drop the view ONLY when no memo entry binds the
+    # same name to a DIFFERENT base: the live view of that name may
+    # belong to the other base (temp views carry no path metadata to
+    # check), and dropping it would break an unrelated registration.
+    other_bases = {
+        key[1]
+        for cache in catalog._FRAMES.values()
+        for key in cache
+        if key[1] in stale_names
+    }
+    for name in stale_names - other_bases:
         try:
             spark.catalog.dropTempView(name)
         except Exception:

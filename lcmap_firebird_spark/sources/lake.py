@@ -586,7 +586,13 @@ class LakeStreamReader(DataSourceStreamReader):
         # read batches written via mode="cdc" instead). bloom_index
         # commits RE-ADD every live record purely to attach sidecar
         # pointers — zero new rows, so emitting their adds would
-        # replay the whole table into the stream.
+        # replay the whole table into the stream. COW rewrite
+        # commits (merge/delete/compact/compact_deletes/cluster) DO
+        # re-emit their rewritten files — Delta's ignoreChanges
+        # posture, documented: a maintenance rewrite mid-stream
+        # re-delivers rewritten rows, so run table maintenance
+        # against streamed tables in windows or consume the CDF
+        # source instead.
         return [
             LakeFilePartition(
                 _os.path.join(self._root, rec["path"]), sj

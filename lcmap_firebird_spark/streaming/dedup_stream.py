@@ -187,15 +187,24 @@ def read_pairs(spark: SparkSession, work_dir: str) -> DataFrame:
     import os as _os
 
     root = f"{work_dir}/pairs"
-    dirs = sorted(
+    all_dirs = sorted(
         _os.path.join(root, d)
         for d in (_os.listdir(root) if _os.path.isdir(root) else [])
         if d.startswith("b")
-        and _os.path.isfile(_os.path.join(root, d, "_SUCCESS"))
     )
+    dirs = [
+        d for d in all_dirs
+        if _os.path.isfile(_os.path.join(d, "_SUCCESS"))
+    ]
     if dirs:
         return spark.read.parquet(*dirs)
-    # no committed batch yet: preserve the historical error shape
+    if all_dirs:
+        # only UNCOMMITTED partials exist: the correct answer is the
+        # EMPTY pair set (reading the bare glob would surface the
+        # partial data the _SUCCESS gate exists to exclude); the
+        # partial footers still provide the schema via limit(0)
+        return spark.read.parquet(*all_dirs).limit(0)
+    # nothing at all: preserve the historical error shape
     return spark.read.parquet(f"{root}/b*")
 
 
