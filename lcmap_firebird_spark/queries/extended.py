@@ -220,22 +220,51 @@ def x3_mixture_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 X4_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "zh": 0.1}
+X4_DSIR_K = 120  # top-k of 500 docs: exercises a real selection boundary
 
 
-def x4_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-stratum sampling with DIFFERENT fractions per language.
+def x4_dsir_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sampling, two operator families in one slot
+    (round-5 consolidation, same pattern as x3_mixture_split):
 
-    Registered over `stratified_hash_sample` (membership = pure
-    function of doc_id) so the DuckDB oracle is exact; the seeded
-    `sampleBy` twin remains in operators/sampling.py as the
-    documented exploration path (partition-layout dependent, so it
-    can never earn an oracle)."""
+    - `strat` rows: per-stratum hash sampling with DIFFERENT fractions
+      per language (`stratified_hash_sample` — membership a pure
+      function of doc_id; the seeded `sampleBy` twin remains in
+      operators/sampling.py as the documented exploration path, which
+      is partition-layout dependent and can never earn an oracle).
+    - `dsir` rows: DSIR importance resampling (Xie et al. 2023) in the
+      oracle-exact quantized mode — hashed unigram+bigram models
+      (target = the 'en' slice, raw = whole corpus), per-bucket log
+      ratios and Gumbel noise rounded to integers at DSIR_QUANT, so
+      the per-doc score is an order-independent integer sum and the
+      Gumbel top-k ranks identical bigints on both engines. `skey` is
+      the selection key itself, so the oracle verifies the weights,
+      not just the membership."""
+    from ..operators.dsir import DSIR_QUANT, dsir_sample, gumbel_key_q
     from ..operators.sampling import stratified_hash_sample
 
     docs = read_table(spark, "documents", sf)
-    return stratified_hash_sample(docs, "lang", "doc_id", X4_FRACTIONS).select(
-        "doc_id", "lang"
+    strat = stratified_hash_sample(docs, "lang", "doc_id", X4_FRACTIONS).select(
+        F.lit("strat").alias("method"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("bigint").alias("skey"),
     )
+    # target_pred: the target model is the 'en' slice of the raw
+    # corpus, so ONE checkpointed gram explode feeds the raw model,
+    # the target model, and the scoring (operator-proven identical to
+    # explicit feature_counts frames)
+    sel = dsir_sample(
+        docs, None, None, k=X4_DSIR_K, quantize_scale=DSIR_QUANT,
+        target_pred=F.col("lang") == "en",
+    )
+    dsir = sel.select(
+        F.lit("dsir").alias("method"),
+        "doc_id",
+        "lang",
+        (F.col("log_w") + gumbel_key_q("doc_id")).alias("skey"),
+    )
+    return strat.unionByName(dsir)
 
 
 def j9_parts_suppliers(spark: SparkSession, sf: str) -> DataFrame:
@@ -369,7 +398,7 @@ QUERIES = {
     "sql1_tpch_q3": sql1_tpch_q3,
     "sql2_correlated_subquery": sql2_correlated_subquery,
     "x3_mixture_split": x3_mixture_split,
-    "x4_stratified_sample": x4_stratified_sample,
+    "x4_dsir_stratified": x4_dsir_stratified,
     "p5_array_ops": p5_array_ops,
     "f5_string_functions": f5_string_functions,
     "f6_semistructured": f6_semistructured,
@@ -384,14 +413,80 @@ _X4_CASE = " ".join(
     f"WHEN '{s}' THEN {int(f * 10_000)}" for s, f in X4_FRACTIONS.items()
 )
 
-ORACLES = {
-    "x4_stratified_sample": f"""
-        SELECT doc_id, lang
+
+def _x4_oracle() -> str:
+    """DuckDB twin of x4_dsir_stratified: identical tokenizer →
+    unigram+bigram hash60 % B buckets → add-1 smoothed log ratios
+    quantized at DSIR_QUANT → integer per-doc sums → quantized
+    deterministic Gumbel top-k. The only doubles are per-bucket
+    ln()/÷ with fixed operand order before quantization; model
+    totals are exact integers computed in-SQL (Spark computes them
+    as 1-row driver aggregates — same values)."""
+    from ..operators.dsir import DSIR_BUCKETS, DSIR_QUANT
+    from .text import TOK
+
+    h = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+    B = DSIR_BUCKETS
+    S = f"{DSIR_QUANT}.0"
+    gum_u = (
+        f"(CAST({h.format(e=chr(39) + 'dsir' + chr(39) + ' || CAST(d.doc_id AS VARCHAR)')} "
+        f"AS DOUBLE) + 0.5) / {1 << 60}.0"
+    )
+    floor_diff = (
+        f"CAST(round((ln(1.0 / (tot_t + {B}.0)) - ln(1.0 / (tot_r + {B}.0)))"
+        f" * {S}) AS BIGINT)"
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, lang, {TOK} AS t FROM documents),
+        gr AS (SELECT doc_id, lang,
+                      CASE WHEN t IS NULL THEN NULL
+                           ELSE t || CASE WHEN len(t) >= 2
+                                 THEN list_transform(
+                                     generate_series(1, len(t) - 1),
+                                     i -> concat_ws(' ', t[i], t[i+1]))
+                                 ELSE [] END
+                      END AS g
+               FROM toks),
+        occ AS (SELECT doc_id, lang,
+                       unnest(list_transform(g, x -> {h.format(e='x')} % {B}))
+                           AS bucket
+                FROM gr),
+        tgt AS (SELECT bucket, COUNT(*) AS n FROM occ
+                WHERE lang = 'en' GROUP BY bucket),
+        raw AS (SELECT bucket, COUNT(*) AS n FROM occ GROUP BY bucket),
+        tots AS (SELECT (SELECT COALESCE(SUM(n), 0) FROM tgt) AS tot_t,
+                        (SELECT COALESCE(SUM(n), 0) FROM raw) AS tot_r),
+        ratio AS (SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+                         CAST(round((
+                             COALESCE(ln((t.n + 1.0) / (tot_t + {B}.0)),
+                                      ln(1.0 / (tot_t + {B}.0)))
+                           - COALESCE(ln((r.n + 1.0) / (tot_r + {B}.0)),
+                                      ln(1.0 / (tot_r + {B}.0)))
+                         ) * {S}) AS BIGINT) AS rq
+                  FROM tgt t FULL JOIN raw r ON t.bucket = r.bucket, tots),
+        docw AS (SELECT occ.doc_id,
+                        SUM(COALESCE(ratio.rq, {floor_diff})) AS wq
+                 FROM occ LEFT JOIN ratio USING (bucket), tots
+                 GROUP BY occ.doc_id),
+        keyed AS (SELECT d.doc_id, d.lang,
+                         COALESCE(w.wq, 0)
+                         + CAST(round(-ln(-ln({gum_u})) * {S}) AS BIGINT)
+                             AS skey
+                  FROM documents d LEFT JOIN docw w ON w.doc_id = d.doc_id),
+        sel AS (SELECT doc_id, lang, skey FROM keyed
+                ORDER BY skey DESC, doc_id LIMIT {X4_DSIR_K})
+        SELECT 'strat' AS method, doc_id, lang, CAST(NULL AS BIGINT) AS skey
         FROM documents
         WHERE CAST(('0x' || substr(md5('strata' || CAST(doc_id AS VARCHAR)),
                    1, 15)) AS BIGINT) % 10000
               < CASE lang {_X4_CASE} ELSE 0 END
-    """,
+        UNION ALL
+        SELECT 'dsir' AS method, doc_id, lang, skey FROM sel
+    """
+
+
+ORACLES = {
+    "x4_dsir_stratified": _x4_oracle(),
     "j9_parts_suppliers": f"""
         SELECT p_brand, s_name,
                COUNT(*) AS n_items,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from lcmap_firebird_spark.operators.dsir import (
     DSIR_BUCKETS,
+    DSIR_QUANT,
     dsir_sample,
     feature_counts,
     importance_weights,
@@ -141,6 +142,78 @@ def test_selection_is_biased_toward_target(spark, corpora):
     }
     # the en-target model should weight en docs above every other lang
     assert means["en"] == max(means.values())
+
+
+def _round_half_up(x: float) -> int:
+    """Spark's ROUND (HALF_UP, away from zero) — Python round() is
+    banker's and would diverge at exact .5 boundaries."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _log_w_q(text, tc, rc, B, scale=DSIR_QUANT, k: float = 1.0) -> int:
+    tt, tr = sum(tc.values()), sum(rc.values())
+    w = 0
+    for b, n in _buckets(text, B).items():
+        lp_t = math.log((tc.get(b, 0) + k) / (tt + k * B))
+        lp_r = math.log((rc.get(b, 0) + k) / (tr + k * B))
+        w += n * _round_half_up((lp_t - lp_r) * scale)
+    return w
+
+
+def test_quantized_mode_matches_pure_python(spark, corpora):
+    """quantize_scale: log_w becomes an exact integer sum of rounded
+    per-bucket ratios and the Gumbel top-k ranks integers — the
+    oracle-exact mode x4_dsir_stratified registers (the DuckDB twin
+    is the cross-engine half of this check)."""
+    docs, target, raw = corpora
+    tc, rc = feature_counts(target), feature_counts(raw)
+    w = importance_weights(docs, tc, rc, quantize_scale=DSIR_QUANT)
+    assert dict(w.dtypes)["log_w"] == "bigint"
+    t_texts = [r["text"] for r in target.collect()]
+    r_texts = [r["text"] for r in raw.collect()]
+    tpy, rpy = _counts(t_texts, DSIR_BUCKETS), _counts(r_texts, DSIR_BUCKETS)
+    got = {r["doc_id"]: r["log_w"] for r in w.collect()}
+    want = {
+        r["doc_id"]: _log_w_q(r["text"], tpy, rpy, DSIR_BUCKETS)
+        for r in docs.collect()
+    }
+    assert got == want
+    # quantized selection == pure-Python integer Gumbel top-k
+    sel = dsir_sample(docs, tc, rc, k=40, quantize_scale=DSIR_QUANT)
+    ids = {r["doc_id"] for r in sel.collect()}
+    keys = {
+        i: lw + _round_half_up(_gumbel(i) * DSIR_QUANT)
+        for i, lw in want.items()
+    }
+    assert ids == set(sorted(keys, key=lambda i: (-keys[i], i))[:40])
+
+
+def test_target_pred_equals_explicit_models(spark, corpora):
+    """target_pred (target = subset of the raw corpus, one shared
+    explode) is row-identical to passing explicit feature_counts
+    frames for the same slice — in both double and quantized modes."""
+    docs, target, raw = corpora
+    pred = F.col("lang") == "en"
+    en = docs.filter(pred)
+    for q in (None, DSIR_QUANT):
+        explicit = {
+            r["doc_id"]: r["log_w"]
+            for r in importance_weights(
+                docs, feature_counts(en), feature_counts(docs),
+                quantize_scale=q,
+            ).collect()
+        }
+        pred_mode = {
+            r["doc_id"]: r["log_w"]
+            for r in importance_weights(
+                docs, None, None, quantize_scale=q, target_pred=pred
+            ).collect()
+        }
+        assert explicit == pred_mode
+    with pytest.raises(ValueError):
+        importance_weights(docs, feature_counts(en), target_pred=pred)
+    with pytest.raises(ValueError):
+        importance_weights(docs, None, None)
 
 
 def test_plan_no_udf_no_cartesian_and_topk_not_full_sort(spark, corpora):
