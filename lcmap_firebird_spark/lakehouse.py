@@ -85,6 +85,54 @@ def _entry_path(root: str, version: int) -> str:
     return os.path.join(root, _TXN, f"{version:0{_WIDTH}d}.json")
 
 
+# -- column mapping (Delta's columnMapping design on the commit log) ---------
+#
+# Every column has a STABLE PHYSICAL NAME — the name actually written
+# in parquet files and stats records, assigned at column birth and
+# never changed. The entry's `column_mapping` ({logical: physical},
+# sparse — absent means identical) translates the user-facing logical
+# schema to physical storage, so RENAME and DROP are metadata-only
+# commits that touch no data file. `retired_cols` lists physical names
+# whose column was dropped: a later add_column with the same logical
+# name gets a FRESH physical name, so old files' bytes can never
+# resurrect under the new column. Tables written before this feature
+# have no mapping key anywhere — absent mapping is identity, so every
+# old log stays readable unchanged.
+
+
+def _dv_key(rec_path: str) -> str:
+    """The key deletion-vector rows use for a data file:
+    'data/<basename>'. Identical to the record path for ordinary
+    (root-relative) records; for shallow-clone records (absolute
+    paths into the source table) it still matches the DV rows those
+    files were recorded under — basenames are uuid-hex, so they
+    never collide across tables."""
+    return f"{_DATA}/{os.path.basename(rec_path)}"
+
+
+def _entry_mapping(entry: dict) -> dict:
+    return entry.get("column_mapping") or {}
+
+
+def _phys(entry: dict, logical: str) -> str:
+    return _entry_mapping(entry).get(logical, logical)
+
+
+def _physical_schema(schema: StructType, mapping: dict) -> StructType:
+    """The schema as stored in data files: logical field names
+    replaced by their physical names (types/nullability unchanged)."""
+    if not mapping:
+        return schema
+    return StructType(
+        [
+            StructField(
+                mapping.get(f.name, f.name), f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 def _file_stats(path: str, key_cols: list[str]) -> dict:
     """Per-file row count + [min,max] per key column from the parquet
     footer (no data read). Missing stats -> None (file is always a
@@ -203,9 +251,9 @@ class LakeTable:
         physical = sum(r.get("rows", 0) for r in data)
         # count only DV positions covering files still live: rows
         # whose file a COW rewrite has since removed are inert
-        live_paths = {r["path"] for r in data}
+        live_keys = {_dv_key(r["path"]) for r in data}
         n_deleted = sum(
-            n for f, n in deleted.items() if f in live_paths
+            n for f, n in deleted.items() if f in live_keys
         )
         return {
             "version": v,
@@ -284,7 +332,9 @@ class LakeTable:
         live, head = self._live(version)
         schema = StructType.fromJson(json.loads(head["schema"]))
         data, dvs = self._split_live(live)
-        return self._scan_live(data, dvs, schema)
+        return self._scan_live(
+            data, dvs, schema, mapping=_entry_mapping(head)
+        )
 
     # -- write -------------------------------------------------------------
 
@@ -295,13 +345,27 @@ class LakeTable:
         records with footer stats (over the table's key columns, plus
         any `stat_cols` — e.g. cluster() records stats for its
         clustering columns so scan() can prune on them). Files are
-        invisible until a commit references them."""
+        invisible until a commit references them.
+
+        Data files and stats records always use PHYSICAL column names
+        (identical to logical until a rename/drop happens) — renames
+        never need to touch committed bytes because committed bytes
+        never carry a logical name."""
         # checkpoint-aware head lookup: O(tail), not O(history)
         head = self._live()[1]
+        mapping = _entry_mapping(head)
         key_cols = list(head["key_cols"])
         for c in stat_cols or []:
             if c not in key_cols:
                 key_cols.append(c)
+        key_cols = [mapping.get(c, c) for c in key_cols]
+        if mapping:
+            df = df.select(
+                *[
+                    F.col(c).alias(mapping.get(c, c))
+                    for c in df.columns
+                ]
+            )
         tmp = os.path.join(self.root, f".stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         recs = []
@@ -322,7 +386,11 @@ class LakeTable:
         return recs
 
     def _validate_staged(
-        self, recs: list[dict], cons: dict[str, str], schema_json: str
+        self,
+        recs: list[dict],
+        cons: dict[str, str],
+        schema_json: str,
+        mapping: dict | None = None,
     ) -> None:
         """Enforce CHECK constraints over staged files; on violation
         the staged files are reclaimed and nothing can reference
@@ -339,10 +407,17 @@ class LakeTable:
                 "no SparkSession available to validate CHECK "
                 "constraints on a constrained table"
             )
+        schema = StructType.fromJson(json.loads(schema_json))
+        mapping = mapping or {}
         staged = spark.read.schema(
-            StructType.fromJson(json.loads(schema_json))
+            _physical_schema(schema, mapping)
         ).parquet(
             *[os.path.join(self.root, r["path"]) for r in recs]
+        ).select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
         )
         for cname, expr in sorted(cons.items()):
             if staged.filter(
@@ -403,6 +478,7 @@ class LakeTable:
                         [r for r in add if r.get("kind") is None],
                         cons,
                         head_entry["schema"],
+                        mapping=_entry_mapping(head_entry),
                     )
                 except ConstraintViolation:
                     # reclaim staged CDF change files too — they ride
@@ -431,6 +507,8 @@ class LakeTable:
                 "schema": head_entry["schema"],
                 "key_cols": head_entry["key_cols"],
                 "constraints": head_entry.get("constraints") or {},
+                "column_mapping": _entry_mapping(head_entry),
+                "retired_cols": head_entry.get("retired_cols") or [],
             }
             if extra:
                 entry.update(extra)
@@ -532,12 +610,15 @@ class LakeTable:
         keys: DataFrame,
         key_cols: list[str],
         schema: StructType,
+        mapping: dict | None = None,
     ) -> list[str]:
         """Files that can contain a source key: footer-stats prune,
         then exact input_file_name semi-join confirmation. `schema`
         is the caller's PINNED head schema — re-reading the head here
         would cost another log replay and could pick up a racing
-        add_column's different schema mid-operation."""
+        add_column's different schema mid-operation. Stats records
+        are keyed by PHYSICAL column names; `mapping` translates."""
+        mapping = mapping or {}
         ranges = keys.agg(
             *[F.min(c).alias(f"_mn_{c}") for c in key_cols],
             *[F.max(c).alias(f"_mx_{c}") for c in key_cols],
@@ -548,7 +629,7 @@ class LakeTable:
         for rec in live:
             hit = True
             for c in key_cols:
-                st = (rec.get("stats") or {}).get(c)
+                st = (rec.get("stats") or {}).get(mapping.get(c, c))
                 if st is None:
                     continue
                 if st[0] > ranges[f"_mx_{c}"] or st[1] < ranges[f"_mn_{c}"]:
@@ -558,8 +639,15 @@ class LakeTable:
                 cands.append(rec["path"])
         if not cands:
             return []
-        scan = self.spark.read.schema(schema).parquet(
+        scan = self.spark.read.schema(
+            _physical_schema(schema, mapping)
+        ).parquet(
             *[os.path.join(self.root, p) for p in cands]
+        ).select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
         )
         hits = (
             scan.withColumn("_f", F.input_file_name())
@@ -637,6 +725,7 @@ class LakeTable:
         dvs: list[dict],
         schema: StructType,
         keep_pos: bool = False,
+        mapping: dict | None = None,
     ) -> DataFrame:
         """The ONE read path every consumer routes through: scan the
         given data records under `schema` with live deletion vectors
@@ -645,7 +734,11 @@ class LakeTable:
         nothing); covered files carry (_file, _ridx) from the
         parquet reader's metadata column and anti-join the DV rows.
         `keep_pos=True` returns (_file, _ridx) on every row — the
-        position source for recording NEW deletion vectors."""
+        position source for recording NEW deletion vectors.
+        `mapping` (the entry's column_mapping) makes the parquet read
+        run under PHYSICAL names and the output carry LOGICAL names —
+        the read half of metadata-only rename/drop."""
+        mapping = mapping or {}
         if not data:
             df = self.spark.createDataFrame([], schema)
             if keep_pos:
@@ -656,28 +749,36 @@ class LakeTable:
         for r in dvs:
             covered_set.update(r.get("covers", []))
         live_paths = [r["path"] for r in data]
-        covered = [p for p in live_paths if p in covered_set]
-        plain = [p for p in live_paths if p not in covered_set]
+        covered = [p for p in live_paths if _dv_key(p) in covered_set]
+        plain = [p for p in live_paths if _dv_key(p) not in covered_set]
         cols = [f.name for f in schema.fields]
+        read_schema = _physical_schema(schema, mapping)
+        to_logical = [
+            F.col(mapping.get(c, c)).alias(c) for c in cols
+        ]
         pos_cols = [
             self._rel_file().alias("_file"),
             F.col("_metadata.row_index").alias("_ridx"),
         ]
         parts = []
         if plain:
-            df = self.spark.read.schema(schema).parquet(
+            df = self.spark.read.schema(read_schema).parquet(
                 *[os.path.join(self.root, p) for p in plain]
             )
-            parts.append(df.select(*cols, *pos_cols) if keep_pos else df)
+            parts.append(
+                df.select(*to_logical, *pos_cols)
+                if keep_pos
+                else df.select(*to_logical)
+            )
         if covered:
             dv = self._dv_df(dvs).select(
                 F.col("file").alias("_file"),
                 F.col("row_index").alias("_ridx"),
             )
             df = (
-                self.spark.read.schema(schema)
+                self.spark.read.schema(read_schema)
                 .parquet(*[os.path.join(self.root, p) for p in covered])
-                .select(*cols, *pos_cols)
+                .select(*to_logical, *pos_cols)
                 .join(dv, ["_file", "_ridx"], "left_anti")
             )
             parts.append(df if keep_pos else df.drop("_file", "_ridx"))
@@ -743,6 +844,8 @@ class LakeTable:
                 "table_changes() for snapshot-diff changes"
             )
         to_v = to_version if to_version is not None else self.latest_version()
+        _, head = self._live(to_v)
+        final = StructType.fromJson(json.loads(head["schema"]))
         # tail read only (PLANS.md rule 25)
         entries = self._entries(upto=to_v, since=from_version)
         parts: list[DataFrame] = []
@@ -751,6 +854,8 @@ class LakeTable:
             schema = StructType.fromJson(json.loads(e["schema"]))
             cols = [f.name for f in schema.fields]
             if e.get("cdf"):
+                # cdf files carry the LOGICAL names in force at their
+                # commit (they are staged from logical frames)
                 cdf_schema = StructType(
                     schema.fields
                     + [StructField("_change_type", StringType(), False)]
@@ -768,52 +873,45 @@ class LakeTable:
                 ]
                 if not adds:
                     continue
-                df = (
-                    self.spark.read.schema(schema)
-                    .parquet(
-                        *[os.path.join(self.root, r["path"]) for r in adds]
-                    )
-                    .withColumn("_change_type", F.lit("insert"))
-                )
+                # data files carry PHYSICAL names: read through the
+                # central mapped scan (no DVs apply — the inserts are
+                # the rows as of THAT commit)
+                df = self._scan_live(
+                    adds, [], schema, mapping=_entry_mapping(e)
+                ).withColumn("_change_type", F.lit("insert"))
             elif e["operation"] in ("restore", "overwrite"):
+                # table_changes emits v's logical names already
                 df = self.table_changes(v - 1, v)
             else:
-                # compact/bloom_index/add_column/checkpoint/no-op
-                # commits change no rows
+                # compact/bloom_index/add_column/rename_column/
+                # drop_column/checkpoint/no-op commits change no rows
                 continue
+            # project each part into to_v's logical space by physical
+            # identity (renames carry over, additions null-fill,
+            # drops leave the feed)
             parts.append(
-                df.select(
-                    *cols,
-                    "_change_type",
-                    F.lit(v).cast("long").alias("_commit_version"),
+                self._relabel(
+                    df.select(
+                        *cols,
+                        "_change_type",
+                        F.lit(v).cast("long").alias("_commit_version"),
+                    ),
+                    e,
+                    head,
                 )
             )
         if not parts:
-            _, head = self._live(to_v)
-            schema = StructType.fromJson(json.loads(head["schema"]))
             empty = StructType(
-                schema.fields
+                final.fields
                 + [
                     StructField("_change_type", StringType(), False),
                     StructField("_commit_version", LongType(), False),
                 ]
             )
             return self.spark.createDataFrame([], empty)
-        # a range spanning an add_column commit mixes parts built
-        # under different schemas: null-fill every part up to the
-        # schema in force at to_v (additive evolution guarantees the
-        # final schema is a superset), so a CDF consumer catching up
-        # across an evolution reads one coherent frame
-        _, head = self._live(to_v)
-        final = StructType.fromJson(json.loads(head["schema"]))
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
-        for f in final.fields:
-            if f.name not in out.columns:
-                out = out.withColumn(
-                    f.name, F.lit(None).cast(f.dataType)
-                )
+            out = out.unionByName(p)
         return out.select(
             *[f.name for f in final.fields],
             "_change_type",
@@ -869,7 +967,10 @@ class LakeTable:
             return self._commit(
                 "delete_mor", [], [], expected_head=head, extra=extra
             )
-        scan = self._scan_live(data, dvs, schema, keep_pos=True)
+        scan = self._scan_live(
+            data, dvs, schema, keep_pos=True,
+            mapping=_entry_mapping(head_entry),
+        )
         hits = scan.filter(predicate).localCheckpoint(eager=True)
         matches = hits.select(
             F.col("_file").alias("file"),
@@ -896,7 +997,7 @@ class LakeTable:
             # carry forward old DV rows for files still live (rows
             # for since-rewritten files are dropped — inert anyway)
             live_files = self.spark.createDataFrame(
-                [(r["path"],) for r in data], "file string"
+                [(_dv_key(r["path"]),) for r in data], "file string"
             )
             old = self._dv_df(dvs).join(
                 F.broadcast(live_files), "file", "left_semi"
@@ -984,14 +1085,19 @@ class LakeTable:
                     "dedupe_source=True to keep an arbitrary one"
                 )
         keys = source.select(*key_cols)
-        affected = self._affected_files(data, keys, key_cols, schema)
+        affected = self._affected_files(
+            data, keys, key_cols, schema,
+            mapping=_entry_mapping(head_entry),
+        )
         cols = [f.name for f in schema.fields]
         cdf_extra: dict = {}
         if affected:
             # DV-applied scan: rows already deleted merge-on-read
             # must not resurrect in the rewritten files
             recs = [r for r in data if r["path"] in set(affected)]
-            scan = self._scan_live(recs, dvs, schema)
+            scan = self._scan_live(
+                recs, dvs, schema, mapping=_entry_mapping(head_entry)
+            )
             if self._cdf_enabled():
                 # scan feeds both survivors and the change rows
                 scan = scan.localCheckpoint(eager=True)
@@ -1034,7 +1140,10 @@ class LakeTable:
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
         if not data:
             return self._commit("delete", [], [], expected_head=head)
-        scan = self._scan_live(data, dvs, schema, keep_pos=True)
+        scan = self._scan_live(
+            data, dvs, schema, keep_pos=True,
+            mapping=_entry_mapping(head_entry),
+        )
         hits = (
             scan.filter(predicate).select("_file").distinct().collect()
         )
@@ -1043,7 +1152,9 @@ class LakeTable:
         if not affected:
             return self._commit("delete", [], [], expected_head=head)
         recs = [r for r in data if r["path"] in set(affected)]
-        sub = self._scan_live(recs, dvs, schema)
+        sub = self._scan_live(
+            recs, dvs, schema, mapping=_entry_mapping(head_entry)
+        )
         cdf_extra: dict = {}
         if self._cdf_enabled():
             sub = sub.localCheckpoint(eager=True)
@@ -1175,7 +1286,9 @@ class LakeTable:
         deleted = self._dv_counts(dvs)
 
         def _live_rows(rec: dict) -> int:
-            return max(rec.get("rows", 0) - deleted.get(rec["path"], 0), 0)
+            return max(
+                rec.get("rows", 0) - deleted.get(_dv_key(rec["path"]), 0), 0
+            )
 
         small = [r for r in data if _live_rows(r) < target_rows]
         if len(small) < 2:
@@ -1185,7 +1298,9 @@ class LakeTable:
         n_out = max(1, -(-total // target_rows))
         # DV-applied scan: compacting a covered file MATERIALIZES its
         # merge-on-read deletes (the DV rows for it become inert)
-        scan = self._scan_live(small, dvs, schema)
+        scan = self._scan_live(
+            small, dvs, schema, mapping=_entry_mapping(head_entry)
+        )
         add = self._stage_files(scan.repartition(n_out))
         return self._commit(
             "compact", add, [r["path"] for r in small], expected_head=head
@@ -1214,17 +1329,26 @@ class LakeTable:
             r
             for r in data
             if r.get("rows")
-            and counts.get(r["path"], 0) / r["rows"]
+            and counts.get(_dv_key(r["path"]), 0) / r["rows"]
             >= float(min_deleted_fraction)
         ]
         if not targets:
             return head
         target_paths = {r["path"] for r in targets}
-        add = self._stage_files(self._scan_live(targets, dvs, schema))
+        add = self._stage_files(
+            self._scan_live(
+                targets, dvs, schema,
+                mapping=_entry_mapping(head_entry),
+            )
+        )
         # DV rows for untouched covered files carry forward; rows for
         # the rewritten files are dropped (they'd be inert anyway)
         keep_files = self.spark.createDataFrame(
-            [(r["path"],) for r in data if r["path"] not in target_paths]
+            [
+                (_dv_key(r["path"]),)
+                for r in data
+                if r["path"] not in target_paths
+            ]
             or [("",)],
             "file string",
         )
@@ -1354,7 +1478,9 @@ class LakeTable:
             return head
         cluster_by = cluster_by or head_entry["key_cols"]
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
-        scan = self._scan_live(data, dvs, schema)
+        scan = self._scan_live(
+            data, dvs, schema, mapping=_entry_mapping(head_entry)
+        )
         add = self._stage_files(
             self._clustered(scan, cluster_by), stat_cols=cluster_by
         )
@@ -1367,14 +1493,16 @@ class LakeTable:
         self, ranges: dict, version: int | None = None
     ) -> tuple[list[str], int]:
         """(live paths whose stats intersect every [lo, hi] range,
-        total live count). Pure log metadata — no file I/O."""
-        live, _ = self._live(version)
+        total live count). Pure log metadata — no file I/O. `ranges`
+        is keyed by LOGICAL column names; stats are stored physical."""
+        live, head = self._live(version)
+        mapping = _entry_mapping(head)
         live, _dvs = self._split_live(live)
         keep = []
         for rec in live:
             hit = True
             for c, (lo, hi) in ranges.items():
-                st = (rec.get("stats") or {}).get(c)
+                st = (rec.get("stats") or {}).get(mapping.get(c, c))
                 if st is None:
                     continue
                 if st[0] > hi or st[1] < lo:
@@ -1396,12 +1524,42 @@ class LakeTable:
         data, dvs = self._split_live(live)
         schema = StructType.fromJson(json.loads(head["schema"]))
         recs = [r for r in data if r["path"] in set(paths)]
-        df = self._scan_live(recs, dvs, schema)
+        df = self._scan_live(
+            recs, dvs, schema, mapping=_entry_mapping(head)
+        )
         cond = None
         for c, (lo, hi) in ranges.items():
             term = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
             cond = term if cond is None else (cond & term)
         return df.filter(cond) if cond is not None else df
+
+    @staticmethod
+    def _relabel(
+        df: DataFrame, src_entry: dict, tgt_entry: dict
+    ) -> DataFrame:
+        """Project a frame carrying `src_entry`-version LOGICAL
+        columns into `tgt_entry`-version logical space, matching
+        columns by their stable PHYSICAL identity: renamed columns
+        carry over under the new name, columns added since read NULL,
+        columns dropped since are omitted. Collapses the additive
+        null-fill case and the rename case into one rule."""
+        src_map = _entry_mapping(src_entry)
+        tgt_map = _entry_mapping(tgt_entry)
+        tgt_schema = StructType.fromJson(json.loads(tgt_entry["schema"]))
+        phys_to_src = {src_map.get(c, c): c for c in df.columns}
+        out = []
+        for f in tgt_schema.fields:
+            p = tgt_map.get(f.name, f.name)
+            if p in phys_to_src:
+                out.append(F.col(phys_to_src[p]).alias(f.name))
+            else:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+        passthrough = [
+            c
+            for c in ("_change_type", "_commit_version")
+            if c in df.columns
+        ]
+        return df.select(*out, *passthrough)
 
     def table_changes(
         self, from_version: int, to_version: int | None = None
@@ -1424,17 +1582,15 @@ class LakeTable:
         Requires `from_version`'s files to still exist (not
         vacuumed)."""
         head_v = to_version if to_version is not None else self.latest_version()
-        old = self.snapshot(from_version)
-        new = self.snapshot(head_v)
-        # additive schema evolution: from_version may predate an
-        # add_column commit — null-fill the old snapshot up to the
-        # new schema so the keyed diff compares one coherent column
-        # set (a post-evolution value reads as a NULL→value update)
-        for f in new.schema.fields:
-            if f.name not in old.columns:
-                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
-        old = old.select(*new.columns)
+        _, entry_from = self._live(from_version)
         _, head = self._live(head_v)
+        new = self.snapshot(head_v)
+        # schema evolution between the two versions: project the old
+        # snapshot into head_v's logical space by PHYSICAL identity —
+        # added columns null-fill (a post-evolution value reads as a
+        # NULL→value update), renamed columns line up under the new
+        # name, dropped columns leave the diff entirely
+        old = self._relabel(self.snapshot(from_version), entry_from, head)
         key_cols = head["key_cols"]
         cols = new.columns
         val_cols = [c for c in cols if c not in key_cols]
@@ -1598,6 +1754,65 @@ class LakeTable:
             )
         return v_new
 
+    def clone(self, dest_root: str) -> "LakeTable":
+        """SHALLOW CLONE (Delta's CLONE): a new, independent table
+        whose create commit references the source snapshot's live
+        files BY ABSOLUTE PATH — zero data copied, O(metadata) cost.
+        The clone gets the source's schema, key columns, constraints,
+        column mapping and live deletion vectors as of now; from then
+        on the two logs evolve independently (writes to the clone
+        stage into ITS OWN data/ directory; COW rewrites drop the
+        absolute references file by file). CDF history does not
+        transfer (the clone's feed starts at its create — Delta's
+        rule).
+
+        Caveats (same as Delta): `vacuum()` on the clone never
+        touches source files (it only sweeps the clone's own data
+        dir), but vacuuming the SOURCE can delete files a clone still
+        references — treat clones as pinning the source's retention.
+        """
+        head = self.latest_version()
+        live, head_entry = self._live(head)
+        add = []
+        for r in live:
+            rec = dict(r)
+            rec["path"] = os.path.abspath(
+                os.path.join(self.root, rec["path"])
+            )
+            if rec.get("bloom"):
+                rec["bloom"] = dict(rec["bloom"]) | {
+                    "path": os.path.abspath(
+                        os.path.join(self.root, rec["bloom"]["path"])
+                    )
+                }
+            add.append(rec)
+        os.makedirs(os.path.join(dest_root, _TXN), exist_ok=True)
+        os.makedirs(os.path.join(dest_root, _DATA), exist_ok=True)
+        entry0 = {
+            "version": 0,
+            "operation": "create",
+            "ts": time.time(),
+            "add": [],
+            "remove": [],
+            "schema": head_entry["schema"],
+            "key_cols": head_entry["key_cols"],
+            "cdf_enabled": False,
+            "constraints": head_entry.get("constraints") or {},
+            "column_mapping": _entry_mapping(head_entry),
+            "retired_cols": head_entry.get("retired_cols") or [],
+            "cloned_from": {"root": os.path.abspath(self.root),
+                            "version": head},
+        }
+        with open(_entry_path(dest_root, 0), "x") as f:
+            json.dump(entry0, f, indent=1)
+        t = LakeTable(self.spark, dest_root) if self.spark else (
+            LakeTable.attach(dest_root)
+        )
+        # constraint re-validation is unnecessary: the referenced
+        # rows already satisfy the copied set at the source
+        t._commit("clone", add, [], expected_head=0)
+        return t
+
     def add_column(self, name: str, dtype: str) -> int:
         """Schema evolution: add a NULLABLE column as a metadata-only
         commit. Existing files are untouched — the parquet reader
@@ -1606,7 +1821,13 @@ class LakeTable:
         pre-evolution versions still sees the old schema (each commit
         entry carries the schema in force). Only additive, nullable
         evolution is supported — exactly the subset that never
-        requires rewriting data (Delta's default rule)."""
+        requires rewriting data (Delta's default rule).
+
+        If the logical name collides with a RETIRED physical name (a
+        column of that name was dropped earlier) or with another
+        column's live physical name (the name was renamed away), the
+        new column gets a fresh uuid-suffixed physical name — old
+        files' bytes can never resurrect under the new column."""
         from pyspark.sql.types import _parse_datatype_string
 
         head = self.latest_version()
@@ -1614,13 +1835,125 @@ class LakeTable:
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
         if name in [f.name for f in schema.fields]:
             raise ValueError(f"column {name!r} already exists")
+        mapping = dict(_entry_mapping(head_entry))
+        retired = list(head_entry.get("retired_cols") or [])
+        live_phys = {
+            mapping.get(f.name, f.name) for f in schema.fields
+        }
+        extra: dict = {}
+        if name in live_phys or name in retired:
+            mapping[name] = f"{name}-{uuid.uuid4().hex[:8]}"
+            extra["column_mapping"] = mapping
         new_schema = StructType(
             schema.fields
             + [StructField(name, _parse_datatype_string(dtype), True)]
         )
         return self._commit(
             "add_column", [], [], expected_head=head,
-            extra={"schema": new_schema.json(), "added_column": name},
+            extra={"schema": new_schema.json(), "added_column": name}
+            | extra,
+        )
+
+    def _check_constraint_refs(self, head_entry: dict, name: str) -> None:
+        """Refuse to rename/drop a column a CHECK constraint mentions
+        (the stored SQL text would silently stop binding — Delta
+        blocks the same way). Conservative word-boundary match: an
+        over-match costs a manual drop_constraint first, an
+        under-match would corrupt enforcement."""
+        import re
+
+        for cname, expr in (head_entry.get("constraints") or {}).items():
+            if re.search(rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])", expr):
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK "
+                    f"constraint {cname!r} ({expr}); drop the "
+                    "constraint first"
+                )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit —
+        Delta's column-mapping design: the column's physical name
+        (what parquet files and stats records carry) never changes;
+        only the logical schema and the entry's column_mapping move.
+        No data file is read or written. Time travel keeps old names
+        at old versions (every entry carries the mapping in force).
+        Renaming a key column updates key_cols; a column referenced
+        by a CHECK constraint must be un-constrained first. Streams
+        planned under the old name fail on restart (non-additive
+        change — Delta's posture)."""
+        head = self.latest_version()
+        _, head_entry = self._live(head)
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._check_constraint_refs(head_entry, old)
+        mapping = dict(_entry_mapping(head_entry))
+        phys = mapping.pop(old, old)
+        if new != phys:
+            mapping[new] = phys
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        key_cols = [
+            new if c == old else c for c in head_entry["key_cols"]
+        ]
+        return self._commit(
+            "rename_column", [], [], expected_head=head,
+            extra={
+                "schema": new_schema.json(),
+                "key_cols": key_cols,
+                "column_mapping": mapping,
+                "renamed_column": [old, new],
+            },
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the
+        physical column stays in every committed file but is never
+        read again, and its physical name is RETIRED so a future
+        add_column of the same logical name maps to a fresh physical
+        name instead of resurrecting the dead bytes (Delta's
+        column-mapping drop). Key columns and constraint-referenced
+        columns refuse; time travel still reads the column at old
+        versions."""
+        head = self.latest_version()
+        _, head_entry = self._live(head)
+        schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r}")
+        if name in head_entry["key_cols"]:
+            raise ValueError(
+                f"{name!r} is a key column; key columns cannot be "
+                "dropped (they drive MERGE identity and file stats)"
+            )
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        self._check_constraint_refs(head_entry, name)
+        mapping = dict(_entry_mapping(head_entry))
+        phys = mapping.pop(name, name)
+        retired = list(head_entry.get("retired_cols") or [])
+        if phys not in retired:
+            retired.append(phys)
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        return self._commit(
+            "drop_column", [], [], expected_head=head,
+            extra={
+                "schema": new_schema.json(),
+                "column_mapping": mapping,
+                "retired_cols": retired,
+                "dropped_column": name,
+            },
         )
 
     def add_constraint(self, name: str, expr: str) -> int:
@@ -1684,6 +2017,8 @@ class LakeTable:
             "schema": head_entry["schema"],
             "key_cols": head_entry["key_cols"],
             "constraints": head_entry.get("constraints") or {},
+            "column_mapping": _entry_mapping(head_entry),
+            "retired_cols": head_entry.get("retired_cols") or [],
         }
         path = os.path.join(self.root, _TXN, f"_ckpt.{head:0{_WIDTH}d}.json")
         # unique tmp per writer: two concurrent checkpoint_log calls
@@ -1722,6 +2057,8 @@ class LakeTable:
             "schema": ck["schema"],
             "key_cols": ck["key_cols"],
             "constraints": ck.get("constraints") or {},
+            "column_mapping": ck.get("column_mapping") or {},
+            "retired_cols": ck.get("retired_cols") or [],
         }
         for e in tail_entries:
             for rec in e.get("add", []):
@@ -1760,7 +2097,10 @@ class LakeTable:
         # ignore DVs (a deleted key in the bloom is only a false
         # positive — the lookup's row filter still excludes it)
         live, _dvs = self._split_live(live)
-        key = head_entry["key_cols"][0]
+        # physical name: that's what the files and stats carry (and
+        # what the bloom record's `key` field stores — lookup()
+        # translates the head's logical key the same way)
+        key = _phys(head_entry, head_entry["key_cols"][0])
         add = []
         for rec in live:
             if rec.get("bloom") or not rec.get("rows"):
@@ -1805,13 +2145,14 @@ class LakeTable:
         live, head_entry = self._live()
         data, dvs = self._split_live(live)
         key = head_entry["key_cols"][0]
+        phys_key = _phys(head_entry, key)
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
         d = hashlib.md5(str(value).encode()).digest()
         h1 = int.from_bytes(d[:8], "big")
         h2 = int.from_bytes(d[8:], "big") | 1
         paths = []
         for rec in data:
-            st = (rec.get("stats") or {}).get(key)
+            st = (rec.get("stats") or {}).get(phys_key)
             if st is not None and (value < st[0] or value > st[1]):
                 continue
             bl = rec.get("bloom")
@@ -1827,7 +2168,9 @@ class LakeTable:
                     continue
             paths.append(rec["path"])
         recs = [r for r in data if r["path"] in set(paths)]
-        df = self._scan_live(recs, dvs, schema)
+        df = self._scan_live(
+            recs, dvs, schema, mapping=_entry_mapping(head_entry)
+        )
         return df.filter(F.col(key) == F.lit(value))
 
     def apply_changes(
@@ -1869,13 +2212,18 @@ class LakeTable:
                 f"invalid {op_col} values {bad!r}: expected 'upsert' or 'delete'"
             )
         keys = ops.select(*key_cols)
-        affected = self._affected_files(data, keys, key_cols, schema)
+        affected = self._affected_files(
+            data, keys, key_cols, schema,
+            mapping=_entry_mapping(head_entry),
+        )
         upserts = ops.filter(F.col("_op") != "delete").drop("_op")
         cols = [f.name for f in schema.fields]
         cdf_extra: dict = {}
         if affected:
             recs = [r for r in data if r["path"] in set(affected)]
-            scan = self._scan_live(recs, dvs, schema)
+            scan = self._scan_live(
+                recs, dvs, schema, mapping=_entry_mapping(head_entry)
+            )
             if self._cdf_enabled():
                 scan = scan.localCheckpoint(eager=True)
                 upserts = upserts.localCheckpoint(eager=True)

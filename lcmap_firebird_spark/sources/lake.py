@@ -60,6 +60,11 @@ class LakeFilePartition(InputPartition):
     # column already present in the file (cdf files carry their own
     # _change_type) is passed through, not overwritten
     const_cols: tuple = ()
+    # column mapping: (logical, name-in-this-file) pairs — data files
+    # store PHYSICAL names (stable across renames), cdf files store
+    # the LOGICAL names in force at their commit; either way this maps
+    # the planned output column to what the file calls it
+    col_map: tuple = ()
 
 
 def _local_path(p: str) -> str:
@@ -112,7 +117,12 @@ class LakeDataSource(DataSource):
         # session-less attach: log replay is pure filesystem
         t = LakeTable.attach(root)
         live, head = t._live(version)
-        self._res = (root, live, _json.loads(head["schema"]))
+        self._res = (
+            root,
+            live,
+            _json.loads(head["schema"]),
+            head.get("column_mapping") or {},
+        )
         return self._res
 
     def _cdf_requested(self) -> bool:
@@ -123,7 +133,7 @@ class LakeDataSource(DataSource):
     def schema(self) -> StructType:
         from pyspark.sql.types import LongType, StringType, StructField
 
-        _, _, schema_json = self._resolved()
+        _, _, schema_json, _cmap = self._resolved()
         base = StructType.fromJson(schema_json)
         if self._cdf_requested():
             return StructType(
@@ -211,9 +221,11 @@ class LakeDataSource(DataSource):
                     _json.dump(entry0, f, indent=1)
             except FileExistsError:
                 fresh = False  # lost the bootstrap race: table exists
+        cmap: dict = {}
         if not fresh:
             _, head = LakeTable.attach(root)._live()
             keys = head["key_cols"]
+            cmap = head.get("column_mapping") or {}
             # plan-time schema compatibility: the writer stages task
             # batches verbatim (no engine to cast with), so reject a
             # frame whose columns the table doesn't have or whose
@@ -241,7 +253,7 @@ class LakeDataSource(DataSource):
                     f"{root}: {'; '.join(problems)} (cast/rename "
                     "before writing)"
                 )
-        return LakeWriter(root, keys, overwrite)
+        return LakeWriter(root, keys, overwrite, cmap)
 
 
 def _read_file_partition(part: LakeFilePartition):
@@ -272,6 +284,7 @@ def _read_file_partition(part: LakeFilePartition):
             deleted = np.unique(np.array(idxs, dtype=np.int64))
 
     target = to_arrow_schema(_St.fromJson(_json.loads(part.schema_json)))
+    cmap = dict(part.col_map)
     pf = pq.ParquetFile(part.path)
     present = set(pf.schema_arrow.names)
     offset = 0
@@ -290,8 +303,9 @@ def _read_file_partition(part: LakeFilePartition):
         consts = dict(part.const_cols)
         cols = []
         for field in target:
-            if field.name in present:
-                cols.append(batch.column(field.name).cast(field.type))
+            src = cmap.get(field.name, field.name)
+            if src in present:
+                cols.append(batch.column(src).cast(field.type))
             elif field.name in consts:
                 cols.append(
                     pa.array(
@@ -306,12 +320,13 @@ def _read_file_partition(part: LakeFilePartition):
 
 class LakeReader(DataSourceReader):
     def __init__(self, resolved):
-        self._root, self._live, self._schema_json = resolved
+        self._root, self._live, self._schema_json, self._cmap = resolved
         self._bounds: dict[str, list] = {}  # col -> [lo, hi]
 
     def _survives(self, rec: dict) -> bool:
         for col, (lo, hi) in self._bounds.items():
-            st = (rec.get("stats") or {}).get(col)
+            # stats records are keyed by PHYSICAL column names
+            st = (rec.get("stats") or {}).get(self._cmap.get(col, col))
             if st is None:
                 continue
             try:
@@ -349,12 +364,16 @@ class LakeReader(DataSourceReader):
             p = _os.path.join(self._root, r["path"])
             for c in r.get("covers", []):
                 dv_for.setdefault(c, []).append(p)
+        from ..lakehouse import _dv_key
+
+        cm = tuple(sorted(self._cmap.items()))
         return [
             LakeFilePartition(
                 _os.path.join(self._root, rec["path"]),
                 sj,
-                rel=rec["path"],
-                dv_paths=tuple(dv_for.get(rec["path"], ())),
+                rel=_dv_key(rec["path"]),
+                dv_paths=tuple(dv_for.get(_dv_key(rec["path"]), ())),
+                col_map=cm,
             )
             for rec in data
         ]
@@ -462,14 +481,23 @@ class LakeCommitMessage(WriterCommitMessage):
 
 
 class LakeWriter(DataSourceArrowWriter):
-    def __init__(self, root: str, key_cols: list[str], overwrite: bool):
+    def __init__(
+        self,
+        root: str,
+        key_cols: list[str],
+        overwrite: bool,
+        col_map: dict | None = None,
+    ):
         self._root = root
         self._keys = key_cols
         self._overwrite = overwrite
+        self._cmap = col_map or {}
 
     def write(self, iterator):
         """Executor side: stage this task's batches as ONE immutable
-        parquet file (invisible until the driver commits)."""
+        parquet file (invisible until the driver commits). Committed
+        bytes carry PHYSICAL column names (stats too) — same contract
+        as LakeTable._stage_files."""
         import os
         import uuid as _uuid
 
@@ -479,11 +507,17 @@ class LakeWriter(DataSourceArrowWriter):
         batches = [b for b in iterator if b.num_rows]
         if not batches:
             return LakeCommitMessage(recs=[])
+        table = pa.Table.from_batches(batches)
+        if self._cmap:
+            table = table.rename_columns(
+                [self._cmap.get(c, c) for c in table.column_names]
+            )
         name = f"data/{_uuid.uuid4().hex}.parquet"
         dst = os.path.join(self._root, name)
-        pq.write_table(pa.Table.from_batches(batches), dst)
+        pq.write_table(table, dst)
+        phys_keys = [self._cmap.get(k, k) for k in self._keys]
         return LakeCommitMessage(
-            recs=[{"path": name} | _file_stats(dst, self._keys)]
+            recs=[{"path": name} | _file_stats(dst, phys_keys)]
         )
 
     def commit(self, messages):
@@ -544,6 +578,45 @@ class LakeWriter(DataSourceArrowWriter):
 from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
 
 
+def _planned_col_map(root: str, schema) -> tuple:
+    """(logical, physical) pairs for the PLANNED schema's table
+    columns, resolved against the current log head — data files store
+    physical names, so a stream planned under logical names needs the
+    translation pinned at stream construction. A planned column the
+    current logical schema doesn't know (renamed/dropped since the
+    checkpoint) fails fast: that's a non-additive schema change, and
+    silently null-filling it would corrupt the stream (Delta fails
+    the stream the same way)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType as _St
+
+    from ..lakehouse import LakeTable
+
+    _, head = LakeTable.attach(root)._live()
+    names = {
+        f.name
+        for f in _St.fromJson(_json.loads(head["schema"])).fields
+    }
+    cmap = head.get("column_mapping") or {}
+    out, missing = [], []
+    for f in schema.fields:
+        if f.name in ("_change_type", "_commit_version"):
+            continue
+        if f.name not in names:
+            missing.append(f.name)
+        elif cmap.get(f.name, f.name) != f.name:
+            out.append((f.name, cmap[f.name]))
+    if missing:
+        raise ValueError(
+            f"planned stream column(s) {missing!r} no longer exist "
+            "in the table's logical schema (renamed or dropped — a "
+            "non-additive change); restart the stream with a fresh "
+            "checkpoint"
+        )
+    return tuple(sorted(out))
+
+
 class LakeStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, schema, start: int = 0):
         import json as _json
@@ -551,6 +624,7 @@ class LakeStreamReader(DataSourceStreamReader):
         self._root = root
         self._sj = _json.dumps(schema.jsonValue())
         self._start = start
+        self._cmap = _planned_col_map(root, schema)
 
     def _table(self):
         from ..lakehouse import LakeTable
@@ -595,7 +669,9 @@ class LakeStreamReader(DataSourceStreamReader):
         # source instead.
         return [
             LakeFilePartition(
-                _os.path.join(self._root, rec["path"]), sj
+                _os.path.join(self._root, rec["path"]),
+                sj,
+                col_map=self._cmap,
             )
             for e in entries
             if e.get("operation") != "bloom_index"
@@ -628,6 +704,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self._root = root
         self._sj = _json.dumps(schema.jsonValue())
         self._start = start
+        self._cmap = _planned_col_map(root, schema)
 
     def _table(self):
         from ..lakehouse import LakeTable
@@ -645,7 +722,11 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         return _cdf_partitions(
-            self._root, start["version"], end["version"], self._sj
+            self._root,
+            start["version"],
+            end["version"],
+            self._sj,
+            self._cmap,
         )
 
     def read(self, partition):
@@ -655,7 +736,9 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         pass
 
 
-def _cdf_partitions(root: str, start_v: int, end_v: int, sj: str):
+def _cdf_partitions(
+    root: str, start_v: int, end_v: int, sj: str, cmap: tuple = ()
+):
     """Change-feed file partitions for commits in (start_v, end_v] —
     shared by the streaming tail and the batch
     startingVersion/endingVersion reader. `sj` is the PLANNED output
@@ -665,8 +748,17 @@ def _cdf_partitions(root: str, start_v: int, end_v: int, sj: str):
     _change_type; append/create adds become derived inserts;
     restore/overwrite have no change file and fail fast (their
     changes are snapshot diffs — LakeTable.read_cdf computes them;
-    a fresh stream resumes past them via option startingVersion)."""
+    a fresh stream resumes past them via option startingVersion).
+
+    `cmap` maps planned logical names to PHYSICAL names; data files
+    use it directly, while cdf files (written under the LOGICAL names
+    of their commit) get a per-entry map built by physical identity —
+    so a range spanning a rename still reads every change row under
+    the planned names."""
+    import json as _json
     import os as _os
+
+    from pyspark.sql.types import StructType as _St
 
     from ..lakehouse import LakeTable
 
@@ -680,16 +772,38 @@ def _cdf_partitions(root: str, start_v: int, end_v: int, sj: str):
     entries = t._entries(upto=end_v, since=start_v)
     if not entries:
         return []
+    planned = [
+        f.name
+        for f in _St.fromJson(_json.loads(sj)).fields
+        if f.name not in ("_change_type", "_commit_version")
+    ]
+    phys_of = dict(cmap)
     parts = []
     for e in entries:
         v = e["version"]
         if e.get("cdf"):
+            # planned logical -> this entry's logical, via the shared
+            # physical name
+            emap = e.get("column_mapping") or {}
+            entry_names = [
+                f.name
+                for f in _St.fromJson(_json.loads(e["schema"])).fields
+            ]
+            phys_to_entry = {emap.get(c, c): c for c in entry_names}
+            entry_cmap = tuple(
+                sorted(
+                    (L, phys_to_entry[phys_of.get(L, L)])
+                    for L in planned
+                    if phys_to_entry.get(phys_of.get(L, L)) not in (None, L)
+                )
+            )
             for p in e["cdf"]["paths"]:
                 parts.append(
                     LakeFilePartition(
                         _os.path.join(root, p),
                         sj,
                         const_cols=(("_commit_version", v),),
+                        col_map=entry_cmap,
                     )
                 )
         elif e["operation"] in ("append", "create"):
@@ -704,6 +818,7 @@ def _cdf_partitions(root: str, start_v: int, end_v: int, sj: str):
                             ("_change_type", "insert"),
                             ("_commit_version", v),
                         ),
+                        col_map=cmap,
                     )
                 )
         elif e["operation"] in ("restore", "overwrite"):
@@ -731,13 +846,16 @@ class LakeCDFReader(DataSourceReader):
         self._start = start_v
         self._end = end_v
         self._sj = _json.dumps(schema.jsonValue())
+        self._cmap = _planned_col_map(root, schema)
 
     def partitions(self):
         from ..lakehouse import LakeTable
 
         t = LakeTable.attach(self._root)
         end = self._end if self._end is not None else t.latest_version()
-        return _cdf_partitions(self._root, self._start, end, self._sj)
+        return _cdf_partitions(
+            self._root, self._start, end, self._sj, self._cmap
+        )
 
     def read(self, part: LakeFilePartition):
         yield from _read_file_partition(part)

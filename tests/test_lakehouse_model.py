@@ -2,11 +2,13 @@
 sequence of mixed table operations (append / merge / cow delete /
 mor delete / apply_changes / compact / compact_deletes / cluster /
 restore / add+drop CHECK constraint, with violating appends rejected
-atomically)
+atomically / metadata-only column RENAME)
 mirrored against an in-memory dict model — after EVERY step the
 snapshot must equal the model, and at the end every historical
 version must still time-travel to its recorded state (except those
-the final vacuum retired)."""
+the final vacuum retired). Row comparison is POSITIONAL (column
+order is rename-stable), so renames interleave freely with every
+data operation."""
 
 from __future__ import annotations
 
@@ -18,7 +20,7 @@ SCHEMA = "id long, name string, val double"
 
 
 def _rows(df):
-    return sorted((r["id"], r["name"], r["val"]) for r in df.collect())
+    return sorted(tuple(r) for r in df.collect())
 
 
 def _model_rows(model):
@@ -45,16 +47,22 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path, seed):
     )
     history = {t.latest_version(): _model_rows(model)}
     next_id = 1000
+    # semantic -> CURRENT logical name (renames move these; writer
+    # frames must always use the logical names in force)
+    cols = {"name": "name", "val": "val"}
+
+    def _schema():
+        return f"id long, {cols['name']} string, {cols['val']} double"
 
     def df_of(rows):
-        return spark.createDataFrame(rows, SCHEMA)
+        return spark.createDataFrame(rows, _schema())
 
     for step in range(24):
         op = rng.choice(
             [
                 "append", "merge", "delete", "delete_mor",
                 "apply_changes", "compact", "compact_deletes",
-                "cluster", "restore", "constraint",
+                "cluster", "restore", "constraint", "rename",
             ]
         )
         if op == "append":
@@ -93,7 +101,7 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path, seed):
                 model.pop(victim)
             t.apply_changes(
                 spark.createDataFrame(
-                    ups + dels, SCHEMA + ", _op string"
+                    ups + dels, _schema() + ", _op string"
                 )
             )
         elif op == "compact":
@@ -121,6 +129,14 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path, seed):
                 assert t.latest_version() == v_before
             else:
                 t.drop_constraint("id_pos")
+        elif op == "rename":
+            # metadata-only rename of a random non-key column; data
+            # ops before and after must read/write through the moved
+            # logical name while physical bytes stay put
+            sem = rng.choice(["name", "val"])
+            new = f"{sem}_{step}"
+            t.rename_column(cols[sem], new)
+            cols[sem] = new
         elif op == "restore":
             target = rng.choice(sorted(history))
             t.restore(target)
