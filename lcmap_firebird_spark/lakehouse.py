@@ -1147,8 +1147,14 @@ class LakeTable:
         hits = (
             scan.filter(predicate).select("_file").distinct().collect()
         )
+        # hits carry data/<basename> keys (_rel_file); match records
+        # through _dv_key so shallow-clone records (absolute paths)
+        # resolve too — a bare r["path"] compare would silently turn
+        # a clone's COW delete into a no-op commit
         hit_paths = {r["_file"] for r in hits}
-        affected = [r["path"] for r in data if r["path"] in hit_paths]
+        affected = [
+            r["path"] for r in data if _dv_key(r["path"]) in hit_paths
+        ]
         if not affected:
             return self._commit("delete", [], [], expected_head=head)
         recs = [r for r in data if r["path"] in set(affected)]
@@ -2117,7 +2123,11 @@ class LakeTable:
                 for i in range(n_hashes):
                     pos = (h1 + i * h2) % m
                     bits[pos // 8] |= 1 << (pos % 8)
-            side = rec["path"] + ".bloom"
+            # sidecars always land in THIS table's data dir (never
+            # derived from rec["path"], which is absolute into the
+            # source table for shallow-clone records); basenames are
+            # uuid-hex so the local name cannot collide
+            side = f"{_DATA}/{os.path.basename(rec['path'])}.bloom"
             with open(os.path.join(self.root, side), "wb") as f:
                 f.write(bytes(bits))
             add.append(

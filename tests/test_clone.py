@@ -109,6 +109,40 @@ def test_clone_reuses_bloom_sidecars(spark, source, tmp_path):
     assert got == [(17,)]
 
 
+def test_cow_delete_on_clone(spark, source, tmp_path):
+    """COW delete must resolve cloned (absolute-path) records against
+    the scan's data/<basename> hit keys — a path-equality compare
+    silently no-ops."""
+    c = source.clone(str(tmp_path / "c9"))
+    src_files = _own_files(source)
+    v = c.delete("id < 10")
+    assert c.snapshot().count() == 90
+    assert c.snapshot().filter("id < 10").count() == 0
+    assert v == c.latest_version()
+    # source untouched, clone's rewrite local
+    assert source.snapshot().count() == 100
+    assert _own_files(source) == src_files
+    assert len(_own_files(c)) >= 1
+
+
+def test_bloom_built_on_clone_stays_local(spark, source, tmp_path):
+    """build_bloom_index on a clone must write sidecars into the
+    CLONE's data dir, never into the source table's directory."""
+    c = source.clone(str(tmp_path / "c10"))
+    src_dir_before = set(os.listdir(os.path.join(source.root, "data")))
+    c.build_bloom_index()
+    assert set(
+        os.listdir(os.path.join(source.root, "data"))
+    ) == src_dir_before
+    blooms = [
+        f
+        for f in os.listdir(os.path.join(c.root, "data"))
+        if f.endswith(".bloom")
+    ]
+    assert blooms  # sidecars landed locally
+    assert _rows(c.lookup(33).select("id")) == [(33,)]
+
+
 def test_clone_of_clone_and_vacuum_isolation(spark, source, tmp_path):
     c1 = source.clone(str(tmp_path / "c6"))
     c2 = c1.clone(str(tmp_path / "c7"))
