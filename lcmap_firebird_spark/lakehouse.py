@@ -355,7 +355,7 @@ class LakeTable:
         head = self._live()[1]
         mapping = _entry_mapping(head)
         key_cols = list(head["key_cols"])
-        for c in stat_cols or []:
+        for c in list(head.get("stats_cols") or []) + list(stat_cols or []):
             if c not in key_cols:
                 key_cols.append(c)
         key_cols = [mapping.get(c, c) for c in key_cols]
@@ -391,6 +391,7 @@ class LakeTable:
         cons: dict[str, str],
         schema_json: str,
         mapping: dict | None = None,
+        gen: dict[str, str] | None = None,
     ) -> None:
         """Enforce CHECK constraints over staged files; on violation
         the staged files are reclaimed and nothing can reference
@@ -398,8 +399,15 @@ class LakeTable:
         expression evaluates FALSE — NULL passes. The scan runs
         under the TABLE schema (null-filling columns a pre-evolution
         writer's files lack) so a constraint on an added column
-        passes as NULL instead of failing to resolve."""
-        if not cons or not recs:
+        passes as NULL instead of failing to resolve.
+
+        `gen` additionally enforces GENERATED column fidelity: every
+        staged value must null-safe-equal its declared expression
+        (writer-provided values cannot silently disagree with what
+        the engine would have computed — the property that makes a
+        generated bucket/day column trustworthy for pruning)."""
+        gen = gen or {}
+        if (not cons and not gen) or not recs:
             return
         spark = self.spark or SparkSession.getActiveSession()
         if spark is None:  # spark-less handle (DataSource writer
@@ -419,15 +427,22 @@ class LakeTable:
                 for f in schema.fields
             ]
         )
-        for cname, expr in sorted(cons.items()):
-            if staged.filter(
-                f"NOT coalesce(({expr}), true)"
-            ).limit(1).count():
+        checks = [
+            (f"CHECK constraint {c!r} ({e})", f"NOT coalesce(({e}), true)")
+            for c, e in sorted(cons.items())
+        ] + [
+            (
+                f"generated column {c!r} (ALWAYS AS {e})",
+                f"NOT ({c} <=> ({e}))",
+            )
+            for c, e in sorted(gen.items())
+        ]
+        for label, pred in checks:
+            if staged.filter(pred).limit(1).count():
                 for r in recs:
                     os.remove(os.path.join(self.root, r["path"]))
                 raise ConstraintViolation(
-                    f"CHECK constraint {cname!r} ({expr}) "
-                    "violated by staged rows; commit aborted"
+                    f"{label} violated by staged rows; commit aborted"
                 )
 
     def _commit(
@@ -469,6 +484,7 @@ class LakeTable:
             # them again would turn maintenance into full-table
             # validation passes.
             cons = head_entry.get("constraints") or {}
+            gen = head_entry.get("generated") or {}
             if cons != staged_cons and operation in (
                 "create", "append", "overwrite", "merge",
                 "apply_changes",
@@ -479,6 +495,7 @@ class LakeTable:
                         cons,
                         head_entry["schema"],
                         mapping=_entry_mapping(head_entry),
+                        gen=gen,
                     )
                 except ConstraintViolation:
                     # reclaim staged CDF change files too — they ride
@@ -509,6 +526,8 @@ class LakeTable:
                 "constraints": head_entry.get("constraints") or {},
                 "column_mapping": _entry_mapping(head_entry),
                 "retired_cols": head_entry.get("retired_cols") or [],
+                "generated": head_entry.get("generated") or {},
+                "stats_cols": head_entry.get("stats_cols") or [],
             }
             if extra:
                 entry.update(extra)
@@ -532,6 +551,8 @@ class LakeTable:
         extra: dict | None = None,
         enable_cdf: bool = False,
         constraints: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         """Create a table from df; `key_cols` are the MERGE keys and
         drive per-file stats pruning. `enable_cdf=True` makes every
@@ -539,10 +560,26 @@ class LakeTable:
         enableChangeDataFeed), read back with `read_cdf`.
         `constraints` ({name: SQL boolean expr}) are CHECK
         constraints enforced on every subsequent commit's staged
-        rows — including this create's initial data."""
+        rows — including this create's initial data.
+
+        `generated` ({col: DETERMINISTIC SQL expr over the other
+        columns}) declares generated columns (Delta's GENERATED
+        ALWAYS AS): writers may omit them (the engine computes the
+        expression at write) and any value a writer DOES provide is
+        validated against the expression at commit time — so a
+        generated day/bucket column is trustworthy for stats pruning.
+        Expressions must not reference other generated columns.
+
+        `stats_cols` lists extra (non-key) columns whose per-file
+        min/max land in every commit's stats records from birth —
+        `scan()`/pushdown pruning then bites on them without a
+        retroactive cluster() pass."""
         # exist_ok: a crashed create may have left the empty dirs
         # behind; the O_EXCL entry-0 create below is the real guard
         # against two concurrent creates
+        for c, expr in (generated or {}).items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr))
         os.makedirs(os.path.join(root, _TXN), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA), exist_ok=True)
         entry0 = {
@@ -555,6 +592,8 @@ class LakeTable:
             "key_cols": key_cols,
             "cdf_enabled": bool(enable_cdf),
             "constraints": constraints or {},
+            "generated": generated or {},
+            "stats_cols": list(stats_cols or []),
         }
         with open(_entry_path(root, 0), "x") as f:
             json.dump(entry0, f, indent=1)
@@ -573,11 +612,13 @@ class LakeTable:
     def _conform(self, df: DataFrame, head: dict) -> DataFrame:
         """Project df onto the table schema: reject columns the table
         doesn't have (misspellings must not silently land as a file
-        readers null-fill away), null-fill absent evolution-added
-        columns (pre-evolution writer shapes stay valid), and cast
-        the rest — an unconverted type would commit a file every
-        subsequent scan chokes on."""
+        readers null-fill away), COMPUTE absent generated columns
+        from their declared expressions, null-fill absent
+        evolution-added columns (pre-evolution writer shapes stay
+        valid), and cast the rest — an unconverted type would commit
+        a file every subsequent scan chokes on."""
         schema = StructType.fromJson(json.loads(head["schema"]))
+        gen = head.get("generated") or {}
         known = {f.name for f in schema.fields}
         extra_cols = [c for c in df.columns if c not in known]
         if extra_cols:
@@ -585,14 +626,15 @@ class LakeTable:
                 f"columns {extra_cols!r} not in table schema "
                 f"{sorted(known)}"
             )
-        return df.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-        )
+
+        def _col(f):
+            if f.name in df.columns:
+                return F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in gen:
+                return F.expr(gen[f.name]).cast(f.dataType).alias(f.name)
+            return F.lit(None).cast(f.dataType).alias(f.name)
+
+        return df.select(*[_col(f) for f in schema.fields])
 
     def append(self, df: DataFrame, extra: dict | None = None) -> int:
         """Atomic multi-file append (order-independent: retries
@@ -1070,6 +1112,12 @@ class LakeTable:
         data, dvs = self._split_live(live)
         key_cols = head_entry["key_cols"]
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        # generated columns may be omitted by the merge source — the
+        # engine computes them (provided values are still validated
+        # against the expression at commit)
+        for c, expr in (head_entry.get("generated") or {}).items():
+            if c not in source.columns:
+                source = source.withColumn(c, F.expr(expr))
         source = source.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
@@ -1806,6 +1854,8 @@ class LakeTable:
             "constraints": head_entry.get("constraints") or {},
             "column_mapping": _entry_mapping(head_entry),
             "retired_cols": head_entry.get("retired_cols") or [],
+            "generated": head_entry.get("generated") or {},
+            "stats_cols": head_entry.get("stats_cols") or [],
             "cloned_from": {"root": os.path.abspath(self.root),
                             "version": head},
         }
@@ -1861,19 +1911,33 @@ class LakeTable:
         )
 
     def _check_constraint_refs(self, head_entry: dict, name: str) -> None:
-        """Refuse to rename/drop a column a CHECK constraint mentions
-        (the stored SQL text would silently stop binding — Delta
-        blocks the same way). Conservative word-boundary match: an
-        over-match costs a manual drop_constraint first, an
+        """Refuse to rename/drop a column a CHECK constraint or a
+        GENERATED column expression mentions (the stored SQL text
+        would silently stop binding — Delta blocks the same way), or
+        a generated column itself. Conservative word-boundary match:
+        an over-match costs a manual drop_constraint first, an
         under-match would corrupt enforcement."""
         import re
 
+        pat = rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])"
         for cname, expr in (head_entry.get("constraints") or {}).items():
-            if re.search(rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])", expr):
+            if re.search(pat, expr):
                 raise ValueError(
                     f"column {name!r} is referenced by CHECK "
                     f"constraint {cname!r} ({expr}); drop the "
                     "constraint first"
+                )
+        for gcol, expr in (head_entry.get("generated") or {}).items():
+            if gcol == name:
+                raise ValueError(
+                    f"{name!r} is a generated column (ALWAYS AS "
+                    f"{expr}); generated columns cannot be renamed "
+                    "or dropped"
+                )
+            if re.search(pat, expr):
+                raise ValueError(
+                    f"column {name!r} is referenced by generated "
+                    f"column {gcol!r} (ALWAYS AS {expr})"
                 )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1917,6 +1981,10 @@ class LakeTable:
                 "schema": new_schema.json(),
                 "key_cols": key_cols,
                 "column_mapping": mapping,
+                "stats_cols": [
+                    new if c == old else c
+                    for c in head_entry.get("stats_cols") or []
+                ],
                 "renamed_column": [old, new],
             },
         )
@@ -1958,6 +2026,11 @@ class LakeTable:
                 "schema": new_schema.json(),
                 "column_mapping": mapping,
                 "retired_cols": retired,
+                "stats_cols": [
+                    c
+                    for c in head_entry.get("stats_cols") or []
+                    if c != name
+                ],
                 "dropped_column": name,
             },
         )
@@ -2025,6 +2098,8 @@ class LakeTable:
             "constraints": head_entry.get("constraints") or {},
             "column_mapping": _entry_mapping(head_entry),
             "retired_cols": head_entry.get("retired_cols") or [],
+            "generated": head_entry.get("generated") or {},
+            "stats_cols": head_entry.get("stats_cols") or [],
         }
         path = os.path.join(self.root, _TXN, f"_ckpt.{head:0{_WIDTH}d}.json")
         # unique tmp per writer: two concurrent checkpoint_log calls
@@ -2065,6 +2140,8 @@ class LakeTable:
             "constraints": ck.get("constraints") or {},
             "column_mapping": ck.get("column_mapping") or {},
             "retired_cols": ck.get("retired_cols") or [],
+            "generated": ck.get("generated") or {},
+            "stats_cols": ck.get("stats_cols") or [],
         }
         for e in tail_entries:
             for rec in e.get("add", []):
@@ -2203,6 +2280,9 @@ class LakeTable:
         data, dvs = self._split_live(live)
         key_cols = head_entry["key_cols"]
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
+        for c, expr in (head_entry.get("generated") or {}).items():
+            if c not in changes.columns:
+                changes = changes.withColumn(c, F.expr(expr))
         ops = changes.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields],
             F.col(op_col).alias("_op"),

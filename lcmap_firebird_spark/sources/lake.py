@@ -222,10 +222,12 @@ class LakeDataSource(DataSource):
             except FileExistsError:
                 fresh = False  # lost the bootstrap race: table exists
         cmap: dict = {}
+        stats_cols: list = []
         if not fresh:
             _, head = LakeTable.attach(root)._live()
             keys = head["key_cols"]
             cmap = head.get("column_mapping") or {}
+            stats_cols = list(head.get("stats_cols") or [])
             # plan-time schema compatibility: the writer stages task
             # batches verbatim (no engine to cast with), so reject a
             # frame whose columns the table doesn't have or whose
@@ -253,7 +255,7 @@ class LakeDataSource(DataSource):
                     f"{root}: {'; '.join(problems)} (cast/rename "
                     "before writing)"
                 )
-        return LakeWriter(root, keys, overwrite, cmap)
+        return LakeWriter(root, keys, overwrite, cmap, stats_cols)
 
 
 def _read_file_partition(part: LakeFilePartition):
@@ -487,11 +489,13 @@ class LakeWriter(DataSourceArrowWriter):
         key_cols: list[str],
         overwrite: bool,
         col_map: dict | None = None,
+        stats_cols: list[str] | None = None,
     ):
         self._root = root
         self._keys = key_cols
         self._overwrite = overwrite
         self._cmap = col_map or {}
+        self._stats_cols = list(stats_cols or [])
 
     def write(self, iterator):
         """Executor side: stage this task's batches as ONE immutable
@@ -515,7 +519,10 @@ class LakeWriter(DataSourceArrowWriter):
         name = f"data/{_uuid.uuid4().hex}.parquet"
         dst = os.path.join(self._root, name)
         pq.write_table(table, dst)
-        phys_keys = [self._cmap.get(k, k) for k in self._keys]
+        stat_names = list(self._keys) + [
+            c for c in self._stats_cols if c not in self._keys
+        ]
+        phys_keys = [self._cmap.get(k, k) for k in stat_names]
         return LakeCommitMessage(
             recs=[{"path": name} | _file_stats(dst, phys_keys)]
         )
@@ -531,11 +538,13 @@ class LakeWriter(DataSourceArrowWriter):
         # (Spark then calls abort(), reclaiming the staged task
         # files). Constrained tables write via LakeTable.append/
         # merge, which validate under the real session.
-        if t._live()[1].get("constraints"):
+        head = t._live()[1]
+        if head.get("constraints") or head.get("generated"):
             raise RuntimeError(
-                "table has CHECK constraints; the format('lake') "
-                "writer commits without a SparkSession and cannot "
-                "validate them — use LakeTable.append/merge instead"
+                "table has CHECK constraints or generated columns; "
+                "the format('lake') writer commits without a "
+                "SparkSession and cannot validate/compute them — "
+                "use LakeTable.append/merge instead"
             )
         add = [r for m in messages if m for r in m.recs]
         if self._overwrite:

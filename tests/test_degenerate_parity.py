@@ -31,6 +31,10 @@ QUERIES = [
     "x2_assemble_series",
     "f6_semistructured",
     "s1_knn_bruteforce",
+    # r5: the DSIR leg tokenizes text and groups by lang — NULL text,
+    # whitespace-only text (zero grams -> log_w = 0), and NULL lang
+    # must fold identically on both engines
+    "x4_dsir_stratified",
 ]
 
 
