@@ -36,9 +36,12 @@ ADD_K = 0.1
 
 
 def _doc_bigrams(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, flag=None
 ) -> DataFrame:
-    """(doc_id, w1, w2) per adjacent token pair, in multiplicity."""
+    """(doc_id, w1, w2[, _flag]) per adjacent token pair, in
+    multiplicity. `flag` rides along so one explode can feed a
+    subset-trained model AND the scoring pass (the DSIR target_pred
+    discipline)."""
     from .dedup import spread
 
     toks = tokens(text_col)
@@ -51,10 +54,18 @@ def _doc_bigrams(
             lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    extra = [flag.alias("_flag")] if flag is not None else []
+    keep = ["doc_id"] + (["_flag"] if flag is not None else [])
     return (
         spread(df, id_col)
-        .select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(pairs).alias("p"),
+            *extra,
+        )
+        .select(
+            *keep, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
     )
 
 
@@ -116,6 +127,92 @@ def score_perplexity(
     return df.join(
         scored.withColumnRenamed("doc_id", id_col), id_col, "left"
     ).select(*df.columns, "perplexity")
+
+
+def nll_quantized(
+    df: DataFrame,
+    target_pred,
+    k: float = ADD_K,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Oracle-exact LM negative log likelihood: input columns +
+    `lm_nll_q` = Σ_tokens round(−log p(w2|w1) · scale) as BIGINT and
+    `n_bigrams` (both NULL for docs with < 2 tokens). The model is
+    trained on the rows matching `target_pred` (the reference slice —
+    CCNet trains on Wikipedia; here the clean slice of the same
+    corpus), and ONE checkpointed bigram explode feeds training and
+    scoring. Per-token quantization makes the per-doc sum an
+    order-independent exact integer, so a DuckDB twin replaying
+    tokenize → counts → smoothed log-probs → round reproduces the
+    value bit-for-bit (the same posture as dsir's quantized mode;
+    perplexity itself = exp(nll_q / (scale · n_bigrams)) within
+    quantization tolerance)."""
+    from .dedup import hash60
+
+    # tokens become 60-bit fingerprints BEFORE the checkpoint: counts
+    # keyed by hash60(token) equal counts keyed by the token itself
+    # (md5 collisions are negligible at vocabulary scale and both
+    # engines would agree even on one), the materialized frame is
+    # (long, long) instead of raw text, and no join ever shuffles
+    # strings — the PLANS.md fingerprint rule. Measured on t3: the
+    # raw-string form cost 3s extra at sf0.1.
+    bg = (
+        _doc_bigrams(df, id_col, text_col, flag=target_pred)
+        .select(
+            "doc_id",
+            "_flag",
+            hash60(F.col("w1")).alias("w1"),
+            hash60(F.col("w2")).alias("w2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # ONE model aggregate reads the corpus-sized frame; everything
+    # else derives from the vocabulary²-bounded bigram counts:
+    # u(w1) = Σ_w2 b(w1, w2) exactly (unigram history counts ARE the
+    # bigram row sums), and the vocabulary is the distinct key set.
+    # bigrams is eagerly checkpointed because three consumers
+    # (unigrams, vocab action, score join) would otherwise re-run its
+    # shuffle (PLANS.md rule 15).
+    bigrams = (
+        bg.filter(F.col("_flag"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    unigrams = bigrams.groupBy("w1").agg(F.sum("b").alias("u"))
+    vocab = (
+        bigrams.select(F.col("w1").alias("w"))
+        .unionByName(bigrams.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+        + 1
+    )
+    logp = (
+        F.when(
+            F.col("u").isNotNull(),
+            F.log(
+                (F.coalesce(F.col("b"), F.lit(0)) + F.lit(float(k)))
+                / (F.col("u") + F.lit(float(k * vocab)))
+            ),
+        )
+        .otherwise(F.log(F.lit(1.0 / vocab)))
+    )
+    lq = F.round(-logp * F.lit(float(scale))).cast("bigint")
+    scored = (
+        bg.join(F.broadcast(unigrams), "w1", "left")
+        .join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .select("doc_id", lq.alias("_lq"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_lq").alias("lm_nll_q"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return df.join(
+        scored.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(*df.columns, "lm_nll_q", "n_bigrams")
 
 
 def perplexity_gate(

@@ -465,7 +465,8 @@ def _x4_oracle() -> str:
                          ) * {S}) AS BIGINT) AS rq
                   FROM tgt t FULL JOIN raw r ON t.bucket = r.bucket, tots),
         docw AS (SELECT occ.doc_id,
-                        SUM(COALESCE(ratio.rq, {floor_diff})) AS wq
+                        CAST(SUM(COALESCE(ratio.rq, {floor_diff}))
+                             AS BIGINT) AS wq
                  FROM occ LEFT JOIN ratio USING (bucket), tots
                  GROUP BY occ.doc_id),
         keyed AS (SELECT d.doc_id, d.lang,

@@ -66,14 +66,28 @@ def t2_language_id(spark: SparkSession, sf: str) -> DataFrame:
 
 def t3_quality_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Quality heuristics + Gopher repetition signals + 60-bit content
-    fingerprint in one scan (folds old t4)."""
+    fingerprint in one scan (folds old t4) + the CCNet LM-perplexity
+    signal in its oracle-exact quantized form (round-5 consolidation:
+    perplexity joins the quality-signal slot it belongs to —
+    `lm_nll_q` is the integer-quantized negative log likelihood under
+    an add-k bigram LM trained on the corpus's 'en' slice, NULL for
+    docs too short to have a bigram; perplexity =
+    exp(lm_nll_q / (1e6 · n_bigrams)))."""
+    from ..operators.perplexity import nll_quantized
+
+    from ..operators.dedup import spread
+
     docs = read_table(spark, "documents", sf)
     # Materialize the grams ONCE per row: both fractions reference the
     # `_g2` attribute, and CollapseProject keeps a multiply-referenced
     # non-cheap projection output in its own stage (re-inlining the
     # gram build per consumer is what made the first cut ~50× slower).
-    staged = docs.select("doc_id", "text", T.ngram_list("text", 2).alias("_g2"))
-    return T.quality_features(
+    # spread(): the one-split compact scan otherwise runs the whole
+    # gram/fraction chain on a single core (same d8 pathology).
+    staged = spread(docs, "doc_id").select(
+        "doc_id", "text", T.ngram_list("text", 2).alias("_g2")
+    )
+    qf = T.quality_features(
         staged,
         "text",
         extra_cols={
@@ -82,6 +96,11 @@ def t3_quality_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             "fp": T.fingerprint("text"),
         },
     )
+    nll = nll_quantized(
+        docs.select("doc_id", "text", "lang"),
+        target_pred=F.col("lang") == "en",
+    ).select("doc_id", "lm_nll_q", "n_bigrams")
+    return qf.join(nll, "doc_id", "left")
 
 
 QUERIES = {
@@ -138,9 +157,50 @@ ORACLES = {
                CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang
         FROM best
     """,
+    # LM-NLL twin notes: DuckDB parses `0.1` as DECIMAL (exact), while
+    # Spark's lit(0.1) is the IEEE double — every inexact constant is
+    # CAST to DOUBLE so both engines run the identical float ops; the
+    # per-token round(−ln p · 1e6) quantization then absorbs the only
+    # residual (1-ulp ln differences), exactly like x4's DSIR twin.
     "t3_quality_fingerprint": f"""
-        WITH toks AS (SELECT doc_id, text, length(text) AS n_chars_m, {TOK} AS t
+        WITH toks AS (SELECT doc_id, text, lang,
+                             length(text) AS n_chars_m, {TOK} AS t
                       FROM documents),
+        bg AS (SELECT doc_id, lang,
+                      unnest(list_transform(
+                          generate_series(1, len(t) - 1),
+                          i -> CAST(('0x' || substr(md5(t[i]), 1, 15))
+                                    AS BIGINT))) AS w1,
+                      unnest(list_transform(
+                          generate_series(1, len(t) - 1),
+                          i -> CAST(('0x' || substr(md5(t[i+1]), 1, 15))
+                                    AS BIGINT))) AS w2
+               FROM toks WHERE len(t) >= 2),
+        uc AS (SELECT w1, COUNT(*) AS u FROM bg
+               WHERE lang = 'en' GROUP BY w1),
+        bc AS (SELECT w1, w2, COUNT(*) AS b FROM bg
+               WHERE lang = 'en' GROUP BY w1, w2),
+        vv AS (SELECT COUNT(DISTINCT w) + 1 AS V FROM (
+                   SELECT w1 AS w FROM bg WHERE lang = 'en'
+                   UNION ALL
+                   SELECT w2 AS w FROM bg WHERE lang = 'en') uw),
+        sc AS (SELECT bg.doc_id,
+                      CASE WHEN uc.u IS NOT NULL
+                           THEN ln((coalesce(bc.b, 0)
+                                    + CAST(0.1 AS DOUBLE))
+                                   / (uc.u
+                                      + CAST(0.1 AS DOUBLE) * V))
+                           ELSE ln(CAST(1.0 AS DOUBLE) / V) END AS logp
+               FROM bg LEFT JOIN uc USING (w1)
+                       LEFT JOIN bc USING (w1, w2), vv),
+        nll AS (SELECT doc_id,
+                       -- outer cast: DuckDB SUM(BIGINT) is HUGEINT,
+                       -- which fetchdf() surfaces as float64 and the
+                       -- driver would see as a schema mismatch
+                       CAST(SUM(CAST(round(-logp * 1e6) AS BIGINT))
+                            AS BIGINT) AS lm_nll_q,
+                       COUNT(*) AS n_bigrams
+                FROM sc GROUP BY doc_id),
         grams AS (SELECT doc_id,
                          CASE WHEN len(t) >= 2
                               THEN list_transform(
@@ -187,7 +247,10 @@ ORACLES = {
                  6) AS quality_score,
                round(r.rep_2gram_frac, 6) AS rep_2gram_frac,
                round(r.top_2gram_frac, 6) AS top_2gram_frac,
-               fp
+               fp,
+               nll.lm_nll_q AS lm_nll_q,
+               nll.n_bigrams AS n_bigrams
         FROM feats f JOIN reps r ON r.doc_id = f.doc_id
+        LEFT JOIN nll ON nll.doc_id = f.doc_id
     """,
 }

@@ -142,3 +142,57 @@ def test_jvm_only_plan(spark, model):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_nll_quantized_matches_pure_python(spark):
+    """nll_quantized: one checkpointed explode trains on the flagged
+    slice and scores everything; lm_nll_q is an exact integer sum of
+    per-token round(-ln p * 1e6) — the oracle-exact form
+    t3_quality_fingerprint registers (its DuckDB twin is the
+    cross-engine half of this check)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the rug", "en"),
+        (3, "a cat and a dog sat together", "en"),
+        (10, "the cat sat on the rug", "de"),
+        (11, "rug mat zzz qqq xxx vvv", "de"),
+        (12, "hi", "de"),            # < 2 tokens -> NULL
+        (13, None, "de"),            # NULL text  -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = P.nll_quantized(df, target_pred=F.col("lang") == "en")
+    assert dict(out.dtypes)["lm_nll_q"] == "bigint"
+    got = {
+        r["doc_id"]: (r["lm_nll_q"], r["n_bigrams"])
+        for r in out.collect()
+    }
+    ref = [(i, t) for i, t, lg in rows if lg == "en"]
+    uni, bi, v = _model_py(ref)
+
+    def _round_half_up(x):
+        return (
+            int(math.floor(x + 0.5))
+            if x >= 0
+            else int(math.ceil(x - 0.5))
+        )
+
+    for did, text, _ in rows:
+        if not text or len(text.split()) < 2:
+            assert got[did] == (None, None), did
+            continue
+        t = text.split()
+        q = 0
+        for a, b in zip(t, t[1:]):
+            if a in uni:
+                lp = math.log(
+                    (bi.get((a, b), 0) + P.ADD_K) / (uni[a] + P.ADD_K * v)
+                )
+            else:
+                lp = math.log(1.0 / v)
+            q += _round_half_up(-lp * 1_000_000)
+        assert got[did] == (q, len(t) - 1), did
+    # the model trains on the en slice ONLY: an en-like de doc scores
+    # lower NLL-per-token than gibberish
+    assert got[10][0] / got[10][1] < got[11][0] / got[11][1]
