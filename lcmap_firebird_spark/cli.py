@@ -129,6 +129,115 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_lake(args: argparse.Namespace) -> int:
+    """Lakehouse administration over a table root. Metadata actions
+    (describe/history/vacuum/checkpoint/ddl) run without Spark where
+    possible; data actions (show/merge/delete/compact/cluster/
+    restore/clone) build a session."""
+    from .lakehouse import LakeTable
+
+    root = args.root
+    action = args.action
+    # pure-metadata actions: session-less attach (log replay is
+    # plain filesystem) — usable on a box with no JVM warm-up cost
+    if action == "describe":
+        print(json.dumps(LakeTable.attach(root).describe_detail()))
+        return 0
+    if action == "history":
+        print(json.dumps(LakeTable.attach(root).history()))
+        return 0
+    if action == "vacuum":
+        removed = LakeTable.attach(root).vacuum(
+            keep_last=args.keep_last,
+            retention_seconds=args.retention_seconds,
+        )
+        print(json.dumps({"removed": removed}))
+        return 0
+    if action == "checkpoint":
+        v = LakeTable.attach(root).checkpoint_log()
+        print(json.dumps({"checkpointed_at": v}))
+        return 0
+
+    spark = session("firebird-lake")
+    t = LakeTable(spark, root)
+    if action == "show":
+        df = (
+            t.snapshot(version=args.version)
+            if args.as_of is None
+            else t.snapshot(as_of=args.as_of)
+        )
+        if args.limit:
+            df = df.limit(args.limit)
+        for row in df.toJSON().collect():
+            print(row)
+        return 0
+    if action == "count":
+        df = t.snapshot(version=args.version)
+        print(json.dumps({"rows": df.count()}))
+        return 0
+    if action == "merge":
+        if not args.source:
+            print("--source is required for merge", file=sys.stderr)
+            return 2
+        v = t.merge(spark.read.parquet(args.source))
+        print(json.dumps({"version": v}))
+        return 0
+    if action == "append":
+        if not args.source:
+            print("--source is required for append", file=sys.stderr)
+            return 2
+        v = t.append(spark.read.parquet(args.source))
+        print(json.dumps({"version": v}))
+        return 0
+    if action == "delete":
+        if not args.predicate:
+            print("--predicate is required for delete", file=sys.stderr)
+            return 2
+        fn = t.delete_mor if args.mor else t.delete
+        v = fn(args.predicate)
+        print(json.dumps({"version": v}))
+        return 0
+    if action == "compact":
+        v = t.compact(target_rows=args.target_rows)
+        print(json.dumps({"version": v}))
+        return 0
+    if action == "cluster":
+        v = t.cluster(args.by.split(",") if args.by else None)
+        print(json.dumps({"version": v}))
+        return 0
+    if action == "restore":
+        if args.version is None:
+            print("--version is required for restore", file=sys.stderr)
+            return 2
+        v = t.restore(args.version)
+        print(json.dumps({"version": v}))
+        return 0
+    if action == "clone":
+        if not args.dest:
+            print("--dest is required for clone", file=sys.stderr)
+            return 2
+        c = t.clone(args.dest)
+        print(json.dumps({"root": c.root, "version": c.latest_version()}))
+        return 0
+    if action == "rename-column":
+        old_new = (args.column or "").split(":", 1)
+        if len(old_new) != 2:
+            print("--column old:new is required", file=sys.stderr)
+            return 2
+        v = t.rename_column(old_new[0], old_new[1])
+        print(json.dumps({"version": v}))
+        return 0
+    if action == "drop-column":
+        if not args.column:
+            print("--column is required", file=sys.stderr)
+            return 2
+        v = t.drop_column(args.column)
+        print(json.dumps({"version": v}))
+        return 0
+    print(f"unknown lake action {action!r}", file=sys.stderr)
+    return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lcmap-firebird-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -171,6 +280,38 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--domain-col", default="source")
     co.add_argument("--redact", action="store_true")
     co.set_defaults(fn=_cmd_corpus)
+
+    lk = sub.add_parser(
+        "lake", help="administer a lakehouse table root"
+    )
+    lk.add_argument(
+        "action",
+        choices=[
+            "describe", "history", "vacuum", "checkpoint", "show",
+            "count", "append", "merge", "delete", "compact",
+            "cluster", "restore", "clone", "rename-column",
+            "drop-column",
+        ],
+    )
+    lk.add_argument("--root", required=True)
+    lk.add_argument("--source", default=None,
+                    help="parquet path (append/merge)")
+    lk.add_argument("--predicate", default=None, help="SQL (delete)")
+    lk.add_argument("--mor", action="store_true",
+                    help="delete merge-on-read (deletion vectors)")
+    lk.add_argument("--version", type=int, default=None)
+    lk.add_argument("--as-of", type=float, default=None,
+                    help="unix-seconds timestamp time travel (show)")
+    lk.add_argument("--limit", type=int, default=20)
+    lk.add_argument("--target-rows", type=int, default=1_000_000)
+    lk.add_argument("--by", default=None, help="cluster columns a,b")
+    lk.add_argument("--dest", default=None, help="clone destination")
+    lk.add_argument("--column", default=None,
+                    help="drop-column NAME | rename-column OLD:NEW")
+    lk.add_argument("--keep-last", type=int, default=1)
+    lk.add_argument("--retention-seconds", type=float,
+                    default=7 * 24 * 3600.0)
+    lk.set_defaults(fn=_cmd_lake)
 
     args = p.parse_args(argv)
     return args.fn(args)
