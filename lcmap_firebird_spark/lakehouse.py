@@ -1506,31 +1506,58 @@ class LakeTable:
     ) -> int:
         """Append with the rows clustered on `cluster_by` (default:
         the table's key columns) so the committed per-file stats are
-        tight and `scan()` pruning actually bites."""
-        cluster_by = cluster_by or self._live()[1]["key_cols"]
-        return self.append(self._clustered(df, cluster_by), **kw)
+        tight and `scan()` pruning actually bites. The add records
+        are stamped `clustered_by`, so an incremental `cluster()`
+        pass knows to skip them."""
+        head = self._live()[1]
+        cluster_by = cluster_by or head["key_cols"]
+        add = self._stage_files(
+            self._clustered(self._conform(df, head), cluster_by),
+            stat_cols=cluster_by,
+        )
+        for r in add:
+            r["clustered_by"] = sorted(cluster_by)
+        return self._commit("append", add, [], expected_head=None, **kw)
 
-    def cluster(self, cluster_by: list[str] | None = None) -> int:
+    def cluster(
+        self,
+        cluster_by: list[str] | None = None,
+        incremental: bool = False,
+    ) -> int:
         """OPTIMIZE ... ZORDER BY for an existing table: rewrite
-        EVERY live data file with rows clustered on `cluster_by`
+        live data files with rows clustered on `cluster_by`
         (default: the table's key columns) in ONE commit, so per-file
         stats tighten and `scan()` pruning bites on historically
         appended data — the retroactive sibling of append_clustered
         (which only clusters what it writes). Merge-on-read deletes
-        are materialized by the rewrite and every DV row is dropped
-        (all covered files leave the live set). Stats are recorded
+        on rewritten files are materialized. Stats are recorded
         for the clustering columns as well as the key columns, so
-        clustering on a non-key column makes it prunable. No-op (no
-        commit) on an empty table.
+        clustering on a non-key column makes it prunable. Every
+        output record is stamped `clustered_by`. No-op (no commit)
+        on an empty table.
+
+        `incremental=True` rewrites ONLY files not already stamped as
+        clustered on the same columns (Delta's incremental OPTIMIZE
+        posture): appends landed since the last pass re-cluster at a
+        cost proportional to THEIR size, while the previously
+        clustered bulk — typically the overwhelming majority at
+        scale — is untouched. The new files form their own tight
+        z-run alongside the old ones (per-file stats stay the pruning
+        unit, so two disjoint clustered generations prune exactly as
+        well as one); a periodic full pass re-merges generations.
+        No-op (no commit) when every live file is already stamped.
 
         Read-dependent: raises ConcurrentWriteError if the log
         advances mid-rewrite; maintenance is always safe to re-run."""
         head = self.latest_version()
         live, head_entry = self._live(head)
         data, dvs = self._split_live(live)
+        cluster_by = cluster_by or head_entry["key_cols"]
+        if incremental:
+            stamp = sorted(cluster_by)
+            data = [r for r in data if r.get("clustered_by") != stamp]
         if not data:
             return head
-        cluster_by = cluster_by or head_entry["key_cols"]
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
         scan = self._scan_live(
             data, dvs, schema, mapping=_entry_mapping(head_entry)
@@ -1538,7 +1565,16 @@ class LakeTable:
         add = self._stage_files(
             self._clustered(scan, cluster_by), stat_cols=cluster_by
         )
-        remove = [r["path"] for r in data] + [r["path"] for r in dvs]
+        for r in add:
+            r["clustered_by"] = sorted(cluster_by)
+        remove = [r["path"] for r in data]
+        if not incremental:
+            # full pass rewrites every covered file: all DV rows are
+            # inert afterwards and the dataset is dropped. The
+            # incremental pass leaves the DV dataset in place — rows
+            # for its rewritten files are inert (merge's posture),
+            # rows for untouched files stay live.
+            remove += [r["path"] for r in dvs]
         return self._commit(
             "cluster", add, remove, expected_head=head
         )

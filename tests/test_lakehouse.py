@@ -1811,3 +1811,60 @@ def test_cdf_stream_startingversion_resumes_past_restore(spark, tmp_path):
         for r in out.collect()
     )
     assert rows == [(3, "insert", v_pre + 2)]
+
+
+def test_incremental_cluster(spark, tmp_path):
+    """cluster(incremental=True) rewrites only files not already
+    stamped clustered on the same columns: the clustered bulk keeps
+    its paths, new appends re-cluster at their own cost, a second
+    incremental pass is a no-op commit-wise, and pruning still
+    bites across both clustered generations."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "id long, val double"
+    ).repartition(4)
+    t = LakeTable.create(spark, str(tmp_path / "ic"), base, key_cols=["id"])
+    t.cluster(["id"])  # full pass stamps everything
+    clustered_paths = {
+        r["path"]
+        for r in t._live()[0]
+        if r.get("clustered_by") == ["id"]
+    }
+    assert clustered_paths
+    t.append(
+        spark.createDataFrame(
+            [(1000 + i, 1.0) for i in range(100)], "id long, val double"
+        ).repartition(3)
+    )
+    v = t.cluster(["id"], incremental=True)
+    live = t._live()[0]
+    # the original clustered generation was NOT rewritten
+    assert clustered_paths <= {r["path"] for r in live}
+    # every live data file is now stamped
+    assert all(
+        r.get("clustered_by") == ["id"]
+        for r in live
+        if r.get("kind") != "dv"
+    )
+    assert t.snapshot().count() == 500
+    # already-clustered table: incremental pass is a no-op (no commit)
+    assert t.cluster(["id"], incremental=True) == v
+    # pruning works across both generations
+    paths, total = t.pruned_paths({"id": (1000, 1009)})
+    assert 0 < len(paths) < total
+    assert t.scan({"id": (1000, 1009)}).count() == 10
+    # append_clustered stamps its records too -> still no-op after
+    t.append_clustered(
+        spark.createDataFrame([(2000, 2.0)], "id long, val double"),
+        ["id"],
+    )
+    assert t.cluster(["id"], incremental=True) == t.latest_version()
+    # MOR deletes on an unstamped append materialize incrementally
+    t.append(spark.createDataFrame([(3000, 3.0), (3001, 3.0)],
+                                   "id long, val double"))
+    t.delete_mor("id = 3000")
+    t.cluster(["id"], incremental=True)
+    snap = t.snapshot()
+    assert snap.filter("id = 3000").count() == 0
+    assert snap.count() == 502
