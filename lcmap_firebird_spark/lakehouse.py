@@ -226,16 +226,30 @@ class LakeTable:
         return out
 
     def history(self) -> list[dict]:
-        """Commit metadata, oldest first."""
-        return [
-            {k: e[k] for k in ("version", "operation")}
-            | {
-                "ts": e.get("ts"),
-                "added": len(e.get("add", [])),
-                "removed": len(e.get("remove", [])),
-            }
-            for e in self._entries()
-        ]
+        """Commit metadata, oldest first — file counts plus Delta's
+        operationMetrics-style row/byte totals (from the add records'
+        footer stats; removed-file rows would need the prior live map
+        and are deliberately not replayed here)."""
+        out = []
+        for e in self._entries():
+            data_adds = [
+                r for r in e.get("add", []) if r.get("kind") != "dv"
+            ]
+            out.append(
+                {k: e[k] for k in ("version", "operation")}
+                | {
+                    "ts": e.get("ts"),
+                    "added": len(e.get("add", [])),
+                    "removed": len(e.get("remove", [])),
+                    "rows_added": sum(
+                        r.get("rows") or 0 for r in data_adds
+                    ),
+                    "bytes_added": sum(
+                        r.get("bytes") or 0 for r in data_adds
+                    ),
+                }
+            )
+        return out
 
     def describe_detail(self) -> dict:
         """Table-level metrics from log metadata ALONE plus one

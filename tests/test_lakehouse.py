@@ -1868,3 +1868,21 @@ def test_incremental_cluster(spark, tmp_path):
     snap = t.snapshot()
     assert snap.filter("id = 3000").count() == 0
     assert snap.count() == 502
+
+
+def test_history_operation_metrics(spark, table):
+    """history() carries row/byte totals per commit from the add
+    records' footer stats (Delta's operationMetrics posture)."""
+    table.append(
+        spark.createDataFrame(
+            [(500, "x", 1.0)], "id long, name string, val double"
+        )
+    )
+    h = table.history()
+    assert h[1]["operation"] == "create"
+    assert h[1]["rows_added"] == 100 and h[1]["bytes_added"] > 0
+    assert h[-1]["operation"] == "append"
+    assert h[-1]["rows_added"] == 1
+    # metadata-only commits add zero rows
+    table.add_column("extra", "string")
+    assert table.history()[-1]["rows_added"] == 0
