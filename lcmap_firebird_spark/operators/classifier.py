@@ -133,6 +133,85 @@ def score_quality(
     )
 
 
+def nb_quantized(
+    df: DataFrame,
+    label_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Oracle-exact NB log-odds score: input columns + `nb_q` =
+    Σ_tokens round(w[h(t)] · scale) as BIGINT (NULL for docs with no
+    tokens). The per-BUCKET weight is quantized to an integer BEFORE
+    the per-doc sum, so the score is an order-independent exact
+    integer and a DuckDB twin replaying tokenize → hash-bucket →
+    counts → smoothed log-odds → round reproduces it bit-for-bit —
+    the same posture as perplexity.nll_quantized / dsir's quantized
+    mode. `label_pred` is a boolean Column giving the positive class
+    (NULL-safe: NULL counts as negative, mirroring SQL CASE WHEN).
+
+    Same closed-form train as `train_log_odds` (one explode + one
+    groupBy; the labeled frame is checkpointed once and feeds counts
+    AND scoring), same broadcast-weight scoring as `score_quality`.
+    """
+    lab = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(label_pred.cast("int"), F.lit(0)).alias("_y"),
+        F.col(text_col).alias("_text"),
+    )
+    # one tokenize+hash explode feeds training counts AND the score
+    # sum (two consumers → eager checkpoint; the frame is (long,
+    # long, int) — fingerprints, never text, per the PLANS.md rule)
+    tb = (
+        token_buckets(lab, "doc_id", "_text", n_buckets)
+        .join(lab.select("doc_id", "_y"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        tb.groupBy("bucket")
+        .agg(
+            F.sum("_y").alias("_pos"),
+            F.sum(1 - F.col("_y")).alias("_neg"),
+        )
+        .localCheckpoint(eager=True)  # totals action + weight build
+    )
+    tot = counts.agg(
+        F.sum("_pos").alias("tp"), F.sum("_neg").alias("tn")
+    ).first()
+    tp, tn = int(tot["tp"] or 0), int(tot["tn"] or 0)
+    ad = float(alpha) * n_buckets
+    wq = counts.select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("_pos").cast("double") + F.lit(float(alpha)))
+                    / F.lit(float(tp + ad))
+                )
+                - F.log(
+                    (F.col("_neg").cast("double") + F.lit(float(alpha)))
+                    / F.lit(float(tn + ad))
+                )
+            )
+            * F.lit(float(scale))
+        )
+        .cast("bigint")
+        .alias("_wq"),
+    )
+    # every observed bucket is in the weight table (trained on the
+    # same corpus), so the inner join keeps every token occurrence
+    sums = (
+        tb.join(F.broadcast(wq), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("_wq").alias("nb_q"))
+    )
+    return df.join(
+        sums.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(*df.columns, "nb_q")
+
+
 def quality_gate_model(
     df: DataFrame,
     weights: DataFrame,

@@ -437,10 +437,19 @@ def minhash_clusters(
     rows: int = 4,
     k: int = 3,
     max_iter: int = 20,
+    pagerank_iters: int | None = None,
 ) -> DataFrame:
     """Production dedup clusters DIRECTLY from the corpus — row-
     identical to `dedup_clusters(minhash_dedup(df), all_ids=df)` but
     without ever materializing the expanded member-level pair set.
+
+    `pagerank_iters` additionally scores each document's near-dup
+    centrality: quantized integer PageRank (graph.pagerank_quantized,
+    fixed iteration count) over the symmetrized REP pair graph, each
+    member inheriting its rep's score — a `pr_q` BIGINT column, NULL
+    for docs whose rep is in no cross-content pair. Runs on the rep
+    graph for the same reason CC does: vertices are distinct
+    contents, so a 10^5-copy group costs one vertex, not 10^5.
 
     Connected components run on the REP graph only (one vertex per
     distinct content, pairs already verified); member clusters follow
@@ -475,10 +484,29 @@ def minhash_clusters(
     singles = grp.join(shingled_reps, "rep", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
-    return merged.unionByName(singles).select(
+    out = merged.unionByName(singles).select(
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+    if pagerank_iters is None:
+        return out
+    from .graph import pagerank_quantized
+
+    sym = rep_pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        rep_pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    prq = pagerank_quantized(sym, n_iter=pagerank_iters).select(
+        F.col("node").alias("rep"), "pr_q"
+    )
+    return (
+        out.join(grp, "doc_id")
+        .join(F.broadcast(prq), "rep", "left")
+        .select("doc_id", "cluster_id", "is_keeper", "pr_q")
     )
 
 

@@ -138,6 +138,105 @@ def pagerank(
     return ranks
 
 
+def pagerank_quantized(
+    edges: DataFrame,
+    n_iter: int = 6,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, pr_q) — PageRank in EXACT INTEGER arithmetic: ranks are
+    int64 mass units out of `scale`, each round computes
+
+        next(v) = ((100-d)·scale) div (100·n)
+                  + (d · Σ_{u→v} (r(u) div deg(u))) div 100
+
+    with integer `div` throughout, so every intermediate is an
+    order-independent BIGINT and a fixed-iteration DuckDB twin
+    (unrolled CTEs, `//` division) reproduces it bit-for-bit — the
+    same engine-portability posture as dsir/nll quantization, applied
+    to the ITERATIVE operator family. Semantics: fixed `n_iter`
+    rounds (no convergence test — the iteration count IS part of the
+    query), dangling mass is NOT redistributed (pass a symmetrized
+    edge set — near-dup graphs are undirected — and there are no
+    dangling nodes at all; total mass then drifts only by the
+    per-node floor losses, < n per round). The float `pagerank` above
+    remains the production scorer; this variant exists to certify the
+    loop machinery against a SQL oracle.
+
+    Per round: one equi-join (ranks onto degree-annotated edges) +
+    one groupBy — the CC loop's shape; lineage truncated per round
+    with lazy localCheckpoint."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr_q", F.lit(None).cast("bigint"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    # python // == SQL integer div for non-negative operands
+    d = int(damping_pct)
+    base = (100 - d) * scale // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(scale // n).cast("bigint").alias("pr_q")
+    )
+    spark = edges.sparkSession
+    parts = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n // 100_000 + 1),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        for _ in range(n_iter):
+            contribs = (
+                ed.join(
+                    ranks.select(F.col("node").alias("src"), "pr_q"),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.expr("sum(pr_q div deg)").alias("_s"))
+            )
+            ranks = (
+                nodes.join(
+                    contribs.withColumnRenamed("dst", "node"),
+                    "node",
+                    "left",
+                )
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({d} * coalesce(_s, CAST(0 AS BIGINT)))"
+                            " div 100"
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("pr_q"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        # materialize the last lazy checkpoint so the restored
+        # shuffle conf can't re-plan the loop stages at consume time
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return ranks
+
+
 def rank_quality_gate(
     docs: DataFrame,
     edges: DataFrame,

@@ -101,12 +101,19 @@ def d8_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def d7_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+PR_ITERS = 6  # fixed — the iteration count is part of the semantics
+
+
+def d7_clusters_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Production dedup output: connected components over the MinHash
     near-dup graph → (doc_id, cluster_id, is_keeper) for EVERY
-    document (singletons keep themselves). Iterative min-label
-    propagation with pointer jumping on DataFrames; the oracle is a
-    recursive CTE computing the same component minima.
+    document (singletons keep themselves), PLUS `pr_q` — quantized
+    integer PageRank centrality over the symmetrized rep pair graph
+    (round-5 consolidation: the iterative graph family earns a driver
+    oracle on d7's slot; fixed {PR_ITERS}-round integer arithmetic,
+    unrolled-CTE DuckDB twin). Iterative min-label propagation with
+    pointer jumping on DataFrames; the oracle is a recursive CTE
+    computing the same component minima.
 
     Runs `minhash_clusters` — CC over the REP graph plus the exact-
     group membership map — which is row-identical to clustering the
@@ -119,6 +126,7 @@ def d7_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         bands=BANDS,
         rows=ROWS,
         k=K,
+        pagerank_iters=PR_ITERS,
     )
 
 
@@ -128,7 +136,7 @@ QUERIES = {
     "d3_minhash_lsh": d3_minhash_lsh,
     "d5_simhash_pairs": d5_simhash_pairs,
     "d6_semdedup": d6_semdedup,
-    "d7_dedup_clusters": d7_dedup_clusters,
+    "d7_clusters_pagerank": d7_clusters_pagerank,
     "d8_substring_spans": d8_substring_spans,
 }
 
@@ -377,7 +385,39 @@ ORACLES["d3_minhash_lsh"] = f"""
 # Connected components over the d3 pair set: recursive label
 # reachability, MIN(label) per doc = component minimum — the same
 # cluster ids the Spark-side pointer-jumping loop converges to.
-ORACLES["d7_dedup_clusters"] = f"""
+# Plus the quantized-PageRank twin: member pairs map onto REP pairs
+# (rep = min doc_id per content-fingerprint group — identical shingle
+# sets make the mapped pair set ≡ the Spark-side rep_pairs), then a
+# fixed number of UNROLLED iterations in pure integer arithmetic
+# (`//` division) reproduce graph.pagerank_quantized bit-for-bit.
+
+
+def _d7_oracle(k_iters: int, scale: int = 10**12, d: int = 85) -> str:
+    fp = (
+        "CASE WHEN t IS NULL THEN NULL ELSE "
+        "CAST(('0x' || substr(md5(coalesce(array_to_string(t, ' '), "
+        "'')), 1, 15)) AS BIGINT) END"
+    )
+    steps = [
+        f"""pr0 AS (
+        SELECT node, CAST({scale} // nn.n AS BIGINT) AS r
+        FROM nodes2, nn)"""
+    ]
+    for i in range(1, k_iters + 1):
+        steps.append(f"""pr{i} AS (
+        SELECT n2.node,
+               CAST(({100 - d} * {scale}) // (100 * nn.n)
+                    + ({d} * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+        FROM nodes2 n2
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.r // dg.deg) AS s
+            FROM pr{i - 1} p
+            JOIN deg2 dg ON dg.src = p.node
+            JOIN edges2 e ON e.src = p.node
+            GROUP BY e.dst
+        ) c ON c.node = n2.node, nn)""")
+    iters = ",\n    ".join(steps)
+    return f"""
     WITH RECURSIVE pairs AS (
         SELECT doc_a, doc_b FROM ({ORACLES['d3_minhash_lsh']}) t),
     edges AS (
@@ -387,9 +427,36 @@ ORACLES["d7_dedup_clusters"] = f"""
     reach(doc_id, label) AS (
         SELECT doc_id, doc_id FROM documents
         UNION
-        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)
-    SELECT doc_id,
-           MIN(label) AS cluster_id,
-           doc_id = MIN(label) AS is_keeper
-    FROM reach GROUP BY doc_id
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
+    cc AS (
+        SELECT doc_id,
+               MIN(label) AS cluster_id,
+               doc_id = MIN(label) AS is_keeper
+        FROM reach GROUP BY doc_id),
+    toks7 AS (SELECT doc_id, {TOK} AS t FROM documents),
+    fpm AS (SELECT doc_id, {fp} AS fp FROM toks7),
+    repm AS (SELECT doc_id,
+                    MIN(doc_id) OVER (PARTITION BY fp) AS rep
+             FROM fpm),
+    rpe AS (SELECT DISTINCT least(ra.rep, rb.rep) AS a,
+                            greatest(ra.rep, rb.rep) AS b
+            FROM pairs p
+            JOIN repm ra ON ra.doc_id = p.doc_a
+            JOIN repm rb ON rb.doc_id = p.doc_b
+            WHERE ra.rep <> rb.rep),
+    edges2 AS (SELECT a AS src, b AS dst FROM rpe
+               UNION ALL
+               SELECT b AS src, a AS dst FROM rpe),
+    nodes2 AS (SELECT DISTINCT src AS node FROM edges2),
+    deg2 AS (SELECT src, COUNT(*) AS deg FROM edges2 GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes2),
+    {iters}
+    SELECT cc.doc_id, cc.cluster_id, cc.is_keeper,
+           pr{k_iters}.r AS pr_q
+    FROM cc
+    LEFT JOIN repm ON repm.doc_id = cc.doc_id
+    LEFT JOIN pr{k_iters} ON pr{k_iters}.node = repm.rep
 """
+
+
+ORACLES["d7_clusters_pagerank"] = _d7_oracle(PR_ITERS)

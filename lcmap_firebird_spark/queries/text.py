@@ -59,9 +59,28 @@ def t1_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def t2_language_id(spark: SparkSession, sf: str) -> DataFrame:
+def t2_lang_id_nb(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID + the learned NB classifier in its
+    oracle-exact quantized form (round-5 consolidation: the
+    model-based classifier joins the language slot — `nb_q` is the
+    integer-quantized NB log-odds score of a hashed-token classifier
+    trained on THIS corpus to predict lang='en', `nb_en` its sign;
+    NULL for token-less docs). Certifies classifier.py's closed-form
+    train + broadcast-weight score end to end against DuckDB."""
+    from ..operators.classifier import nb_quantized
+
     docs = read_table(spark, "documents", sf)
-    return docs.select("doc_id", "lang", T.language_id("text").alias("pred_lang"))
+    scored = nb_quantized(
+        docs.select("doc_id", "lang", "text"),
+        label_pred=F.col("lang") == "en",
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        T.language_id("text").alias("pred_lang"),
+        "nb_q",
+        (F.col("nb_q") >= 0).alias("nb_en"),
+    )
 
 
 def t3_quality_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -105,7 +124,7 @@ def t3_quality_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "t1_token_stats": t1_token_stats,
-    "t2_language_id": t2_language_id,
+    "t2_lang_id_nb": t2_lang_id_nb,
     "t3_quality_fingerprint": t3_quality_fingerprint,
 }
 
@@ -144,7 +163,12 @@ ORACLES = {
                     ELSE 0.0 END AS tokens_per_word
         FROM toks
     """,
-    "t2_language_id": f"""
+    # NB twin notes: every inexact constant is CAST to DOUBLE
+    # (integral-valued literals like 4096 are safe after the cast);
+    # the per-bucket round(log-odds · 1e6) quantization BEFORE the
+    # per-doc sum makes nb_q an order-independent exact integer —
+    # the t3/x4 recipe. SUM(BIGINT) → HUGEINT is re-cast to BIGINT.
+    "t2_lang_id_nb": f"""
         WITH toks AS (SELECT doc_id, lang, {TOK} AS t FROM documents),
         scores AS (SELECT doc_id, lang,
                           {_sql_stop_hits('en')} AS s_en,
@@ -152,10 +176,38 @@ ORACLES = {
                           {_sql_stop_hits('es')} AS s_es,
                           {_sql_stop_hits('fr')} AS s_fr
                    FROM toks),
-        best AS (SELECT doc_id, lang, {_lang_argmax()} AS b FROM scores)
-        SELECT doc_id, lang,
-               CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang
-        FROM best
+        best AS (SELECT doc_id, lang, {_lang_argmax()} AS b FROM scores),
+        tb AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)
+                          % 4096 AS bucket
+               FROM (SELECT doc_id, unnest(t) AS tk FROM toks)),
+        lab AS (SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents),
+        tbl AS (SELECT tb.doc_id, bucket, y
+                FROM tb JOIN lab USING (doc_id)),
+        cnt AS (SELECT bucket,
+                       CAST(SUM(y) AS BIGINT) AS pos,
+                       CAST(SUM(1 - y) AS BIGINT) AS neg
+                FROM tbl GROUP BY bucket),
+        tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tp,
+                       CAST(SUM(neg) AS BIGINT) AS tn
+                FROM cnt),
+        w AS (SELECT bucket,
+                     CAST(round(
+                         (ln((CAST(pos AS DOUBLE) + CAST(1 AS DOUBLE))
+                             / (CAST(tp AS DOUBLE) + CAST(4096 AS DOUBLE)))
+                          - ln((CAST(neg AS DOUBLE) + CAST(1 AS DOUBLE))
+                               / (CAST(tn AS DOUBLE) + CAST(4096 AS DOUBLE))))
+                         * CAST(1000000 AS DOUBLE)) AS BIGINT) AS wq
+              FROM cnt, tot),
+        sc AS (SELECT doc_id, CAST(SUM(wq) AS BIGINT) AS nb_q
+               FROM tbl JOIN w USING (bucket) GROUP BY doc_id)
+        SELECT best.doc_id, best.lang,
+               CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang,
+               sc.nb_q AS nb_q,
+               sc.nb_q >= 0 AS nb_en
+        FROM best LEFT JOIN sc ON sc.doc_id = best.doc_id
     """,
     # LM-NLL twin notes: DuckDB parses `0.1` as DECIMAL (exact), while
     # Spark's lit(0.1) is the IEEE double — every inexact constant is

@@ -25,7 +25,7 @@ import __spark_entry__ as entry_mod
 
 QUERIES = [
     "t1_token_stats",
-    "t2_language_id",
+    "t2_lang_id_nb",
     "t3_quality_fingerprint",
     "u3_sessionize_threshold",
     "x2_assemble_series",

@@ -86,6 +86,103 @@ def test_rank_quality_gate_drops_bottom_keeps_unlinked(spark, edges_df):
         assert got[d] <= sorted(got.values())[2]
 
 
+# asymmetric undirected graph: a path 1-2-3-4 plus a pendant 5-2 —
+# degrees {1:1, 2:3, 3:2, 4:1, 5:1} so quantized ranks DIVERGE by
+# position (the near-dup clique graphs of the registry corpus are
+# degree-regular and converge to one value; this shape proves the
+# deg/div arithmetic discriminates)
+UEDGES = [(1, 2), (2, 3), (3, 4), (5, 2)]
+SYM = UEDGES + [(b, a) for a, b in UEDGES]
+
+
+def _pagerank_q_py(edges, n_iter=6, scale=10**12, d=85):
+    """Independent integer replica of pagerank_quantized."""
+    nodes = sorted({u for e in edges for u in e})
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, []).append(t)
+    n = len(nodes)
+    base = (100 - d) * scale // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        s = {v: 0 for v in nodes}
+        for u, ds in out.items():
+            for v in ds:
+                s[v] += r[u] // len(ds)
+        r = {v: base + (d * s[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_quantized_matches_integer_replica(spark):
+    from lcmap_firebird_spark.operators.graph import pagerank_quantized
+
+    edges = spark.createDataFrame(SYM, "src long, dst long")
+    got = {
+        r["node"]: r["pr_q"]
+        for r in pagerank_quantized(edges, n_iter=6).collect()
+    }
+    want = _pagerank_q_py(SYM, n_iter=6)
+    assert got == want
+    # ranks discriminate on this shape (guards against a vacuous
+    # oracle: the registry corpus's clique components all converge
+    # to one value, this asymmetric graph must NOT)
+    assert len(set(want.values())) >= 3
+    # hub 2 is the most central
+    assert got[2] == max(got.values())
+
+
+def test_pagerank_quantized_duckdb_twin(spark):
+    """The unrolled-CTE SQL recipe used by the d7 oracle reproduces
+    pagerank_quantized bit-for-bit on a degree-asymmetric graph."""
+    import duckdb
+
+    from lcmap_firebird_spark.operators.graph import pagerank_quantized
+
+    scale, d, k = 10**12, 85, 6
+    edges = spark.createDataFrame(SYM, "src long, dst long")
+    got = {
+        r["node"]: r["pr_q"]
+        for r in pagerank_quantized(edges, n_iter=k).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges2 (src BIGINT, dst BIGINT)"
+    )
+    con.executemany("INSERT INTO edges2 VALUES (?, ?)", SYM)
+    steps = [
+        f"pr0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS r "
+        "FROM nodes2, nn)"
+    ]
+    for i in range(1, k + 1):
+        steps.append(
+            f"pr{i} AS (SELECT n2.node, "
+            f"CAST(({100 - d} * {scale}) // (100 * nn.n) "
+            f"+ ({d} * coalesce(c.s, 0)) // 100 AS BIGINT) AS r "
+            "FROM nodes2 n2 LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(p.r // dg.deg) AS s "
+            f"FROM pr{i - 1} p "
+            "JOIN deg2 dg ON dg.src = p.node "
+            "JOIN edges2 e ON e.src = p.node "
+            "GROUP BY e.dst) c ON c.node = n2.node, nn)"
+        )
+    sql = (
+        "WITH nodes2 AS (SELECT DISTINCT src AS node FROM edges2), "
+        "deg2 AS (SELECT src, COUNT(*) AS deg FROM edges2 GROUP BY src), "
+        "nn AS (SELECT COUNT(*) AS n FROM nodes2), "
+        + ", ".join(steps)
+        + f" SELECT node, r FROM pr{k}"
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_pagerank_quantized_empty_edges(spark):
+    from lcmap_firebird_spark.operators.graph import pagerank_quantized
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_quantized(edges).count() == 0
+
+
 def test_pagerank_scale_shape_100k_edges(spark):
     """Star-of-hubs graph at 100k edges: converges in few rounds,
     conserves mass, ranks hubs above leaves — the loop's cost model

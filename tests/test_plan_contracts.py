@@ -82,7 +82,7 @@ def test_aggregation_is_partial_before_shuffle(q):
 
 
 def test_text_pipeline_has_no_python_nodes(q):
-    for name in ("t1_token_stats", "t3_quality_fingerprint", "t2_language_id"):
+    for name in ("t1_token_stats", "t3_quality_fingerprint", "t2_lang_id_nb"):
         plan = plan_of(q(name))
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in plan, f"{name} fell off codegen: {node}"
