@@ -269,7 +269,7 @@ class LakeTable:
         n_deleted = sum(
             n for f, n in deleted.items() if f in live_keys
         )
-        return {
+        out = {
             "version": v,
             "key_cols": head["key_cols"],
             "cdf_enabled": self._cdf_enabled(),
@@ -282,6 +282,9 @@ class LakeTable:
                 r["bytes"] for r in data if r.get("bytes") is not None
             ),
         }
+        if head.get("identity"):
+            out["identity"] = head["identity"]
+        return out
 
     def version_at(self, ts: float) -> int:
         """Latest version committed at or before unix-seconds `ts`
@@ -545,6 +548,25 @@ class LakeTable:
             }
             if extra:
                 entry.update(extra)
+            # identity watermark: reserve a per-file value range for
+            # every row-introducing data file, INSIDE the retry loop
+            # (a lost O_EXCL race re-reserves from the new head, so
+            # two racing appends never hand out overlapping ranges).
+            # Rewrite commits (compact/cluster/delete/restore) carry
+            # the watermark unchanged — their files hold scanned,
+            # already-materialized values.
+            ident = head_entry.get("identity")
+            if ident:
+                wm, step = int(ident["watermark"]), int(ident["step"])
+                if operation in (
+                    "create", "append", "overwrite", "merge",
+                    "apply_changes",
+                ):
+                    for r in add:
+                        if r.get("kind") is None:
+                            r["identity_base"] = wm + step
+                            wm += step * int(r.get("rows") or 0)
+                entry["identity"] = ident | {"watermark": wm}
             try:
                 with open(_entry_path(self.root, head + 1), "x") as f:
                     json.dump(entry, f, indent=1)
@@ -567,6 +589,7 @@ class LakeTable:
         constraints: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
         stats_cols: list[str] | None = None,
+        identity: str | dict | None = None,
     ) -> "LakeTable":
         """Create a table from df; `key_cols` are the MERGE keys and
         drive per-file stats pruning. `enable_cdf=True` makes every
@@ -587,13 +610,79 @@ class LakeTable:
         `stats_cols` lists extra (non-key) columns whose per-file
         min/max land in every commit's stats records from birth —
         `scan()`/pushdown pruning then bites on them without a
-        retroactive cluster() pass."""
+        retroactive cluster() pass.
+
+        `identity` (a column name, or {"col", "start", "step"})
+        declares an IDENTITY column (Delta's GENERATED BY DEFAULT AS
+        IDENTITY): writers that omit the column — or supply NULL —
+        get engine-assigned unique increasing BIGINTs; non-NULL
+        writer values are kept as-is (and, exactly like Delta, their
+        uniqueness against engine-assigned ranges is NOT checked).
+        Assignment is O(metadata): each commit reserves a per-file
+        value range from the table's high watermark INSIDE the
+        optimistic-commit retry loop (losing an O_EXCL race re-reserves
+        from the new head, so concurrent appenders never collide),
+        and values materialize AT SCAN as base + row_index·step —
+        fresh appends write no identity bytes at all; any COW rewrite
+        (merge/compact/cluster) then persists the scanned values
+        physically, which is why ranges survive rewrites. Values are
+        unique and increase with commit order; gaps are normal
+        (aborts, rewrite over-reservation) — Delta's documented
+        semantics. Restrictions (all of which keep the metadata
+        immutable and the ranges trustworthy): declared at create
+        only; the column refuses rename/drop; CHECK constraints and
+        generated expressions may not reference it (values are
+        assigned after staging-time validation, which would see
+        NULL); CDF change rows for merge-inserted rows show the
+        writer's value (NULL when omitted — the snapshot shows the
+        assigned value)."""
         # exist_ok: a crashed create may have left the empty dirs
         # behind; the O_EXCL entry-0 create below is the real guard
         # against two concurrent creates
         for c, expr in (generated or {}).items():
             if c not in df.columns:
                 df = df.withColumn(c, F.expr(expr))
+        ident = None
+        if identity is not None:
+            import re as _re
+
+            if isinstance(identity, str):
+                identity = {"col": identity}
+            ident = {
+                "col": identity["col"],
+                "start": int(identity.get("start", 1)),
+                "step": int(identity.get("step", 1)),
+            }
+            if ident["step"] == 0:
+                raise ValueError("identity step must be non-zero")
+            if ident["col"] in (generated or {}):
+                raise ValueError(
+                    f"{ident['col']!r} cannot be both identity and "
+                    "generated"
+                )
+            pat = (
+                rf"(?<![A-Za-z0-9_]){_re.escape(ident['col'])}"
+                r"(?![A-Za-z0-9_])"
+            )
+            for what, exprs in (
+                ("CHECK constraint", constraints or {}),
+                ("generated column", generated or {}),
+            ):
+                for nm, ex in exprs.items():
+                    if _re.search(pat, ex):
+                        raise ValueError(
+                            f"{what} {nm!r} references identity "
+                            f"column {ident['col']!r} (values are "
+                            "assigned at commit, after validation)"
+                        )
+            if ident["col"] not in df.columns:
+                df = df.withColumn(
+                    ident["col"], F.lit(None).cast("bigint")
+                )
+            else:
+                df = df.withColumn(
+                    ident["col"], F.col(ident["col"]).cast("bigint")
+                )
         os.makedirs(os.path.join(root, _TXN), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA), exist_ok=True)
         entry0 = {
@@ -609,6 +698,10 @@ class LakeTable:
             "generated": generated or {},
             "stats_cols": list(stats_cols or []),
         }
+        if ident:
+            entry0["identity"] = ident | {
+                "watermark": ident["start"] - ident["step"]
+            }
         with open(_entry_path(root, 0), "x") as f:
             json.dump(entry0, f, indent=1)
         t = LakeTable(spark, root)
@@ -793,8 +886,16 @@ class LakeTable:
         position source for recording NEW deletion vectors.
         `mapping` (the entry's column_mapping) makes the parquet read
         run under PHYSICAL names and the output carry LOGICAL names —
-        the read half of metadata-only rename/drop."""
+        the read half of metadata-only rename/drop.
+
+        Identity columns materialize HERE: rows whose stored value is
+        NULL take base + row_index·step from their file's reserved
+        range (a broadcast join on the file-count-sized base map) —
+        fresh appends never write identity bytes, and every COW
+        rewrite persists the values this projection produced."""
         mapping = mapping or {}
+        ident = self._identity()
+        want_pos = keep_pos or ident is not None
         if not data:
             df = self.spark.createDataFrame([], schema)
             if keep_pos:
@@ -823,7 +924,7 @@ class LakeTable:
             )
             parts.append(
                 df.select(*to_logical, *pos_cols)
-                if keep_pos
+                if want_pos
                 else df.select(*to_logical)
             )
         if covered:
@@ -837,10 +938,35 @@ class LakeTable:
                 .select(*to_logical, *pos_cols)
                 .join(dv, ["_file", "_ridx"], "left_anti")
             )
-            parts.append(df if keep_pos else df.drop("_file", "_ridx"))
+            parts.append(df if want_pos else df.drop("_file", "_ridx"))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if ident is not None:
+            bases = [
+                (_dv_key(r["path"]), int(r["identity_base"]))
+                for r in data
+                if r.get("identity_base") is not None
+            ]
+            if bases:
+                bmap = self.spark.createDataFrame(
+                    bases, "_file string, _ibase bigint"
+                )
+                virt = F.col("_ibase") + F.col("_ridx") * F.lit(
+                    int(ident["step"])
+                )
+                out = out.join(F.broadcast(bmap), "_file", "left").select(
+                    *[
+                        F.coalesce(F.col(c), virt).alias(c)
+                        if c == ident["col"]
+                        else F.col(c)
+                        for c in cols
+                    ],
+                    "_file",
+                    "_ridx",
+                )
+            if not keep_pos:
+                out = out.drop("_file", "_ridx")
         return out
 
     # -- change data feed --------------------------------------------------
@@ -848,6 +974,24 @@ class LakeTable:
     def _cdf_enabled(self) -> bool:
         with open(_entry_path(self.root, 0)) as f:
             return bool(json.load(f).get("cdf_enabled"))
+
+    def _identity(self) -> dict | None:
+        """STATIC identity metadata ({col, start, step}) from entry 0
+        — declared at create, immutable thereafter (the identity
+        column refuses rename/drop), so every read path can self-serve
+        it without threading the head entry through. The moving part
+        (the high watermark) lives in each commit entry and is only
+        ever read by `_commit` against its own head. Cached per
+        handle."""
+        if not hasattr(self, "_ident_cache"):
+            with open(_entry_path(self.root, 0)) as f:
+                ident = json.load(f).get("identity")
+            self._ident_cache = (
+                {k: ident[k] for k in ("col", "start", "step")}
+                if ident
+                else None
+            )
+        return self._ident_cache
 
     def _stage_cdf(self, cdf_df: DataFrame) -> dict | None:
         """Stage a change-rows dataset (table columns +
@@ -1132,6 +1276,13 @@ class LakeTable:
         for c, expr in (head_entry.get("generated") or {}).items():
             if c not in source.columns:
                 source = source.withColumn(c, F.expr(expr))
+        # the identity column may be omitted too: NULLs materialize
+        # from the commit's reserved range at scan (BY DEFAULT rule)
+        ident = self._identity()
+        if ident and ident["col"] not in source.columns:
+            source = source.withColumn(
+                ident["col"], F.lit(None).cast("bigint")
+            )
         source = source.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
@@ -1330,7 +1481,11 @@ class LakeTable:
             removed.append(rel)
         return removed
 
-    def compact(self, target_rows: int = 1_000_000) -> int:
+    def compact(
+        self,
+        target_rows: int = 1_000_000,
+        ranges: dict | None = None,
+    ) -> int:
         """Transactional small-file compaction: rewrite files smaller
         than target_rows into ~target_rows files, as ONE commit
         (readers never see a half-compacted table — the non-
@@ -1347,7 +1502,15 @@ class LakeTable:
         deletion-vector positions is what the rewrite will actually
         emit, so a physically-large but mostly-deleted file correctly
         qualifies as small and the output file count is computed from
-        rows that exist, not rows that once did."""
+        rows that exist, not rows that once did.
+
+        `ranges` ({col: (lo, hi)}, logical names, inclusive) scopes
+        the pass to files whose stats INTERSECT every range —
+        Delta's OPTIMIZE ... WHERE. At scale you compact the key
+        range a stream just trickled small files into, not the whole
+        table; candidate selection stays pure log metadata (the same
+        stat-intersection rule as `pruned_paths`), and files without
+        stats for a range column are conservatively in scope."""
         head = self.latest_version()
         live, head_entry = self._live(head)
         data, dvs = self._split_live(live)
@@ -1359,6 +1522,19 @@ class LakeTable:
             )
 
         small = [r for r in data if _live_rows(r) < target_rows]
+        if ranges:
+            mapping = _entry_mapping(head_entry)
+
+            def _in_scope(rec: dict) -> bool:
+                for c, (lo, hi) in ranges.items():
+                    st = (rec.get("stats") or {}).get(mapping.get(c, c))
+                    if st is None:
+                        continue
+                    if st[0] > hi or st[1] < lo:
+                        return False
+                return True
+
+            small = [r for r in small if _in_scope(r)]
         if len(small) < 2:
             return head
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
@@ -1906,6 +2082,7 @@ class LakeTable:
             "retired_cols": head_entry.get("retired_cols") or [],
             "generated": head_entry.get("generated") or {},
             "stats_cols": head_entry.get("stats_cols") or [],
+            "identity": head_entry.get("identity"),
             "cloned_from": {"root": os.path.abspath(self.root),
                             "version": head},
         }
@@ -2009,6 +2186,13 @@ class LakeTable:
             raise ValueError(f"no column {old!r}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
+        ident = self._identity()
+        if ident and old == ident["col"]:
+            raise ValueError(
+                f"{old!r} is the identity column; identity columns "
+                "cannot be renamed (their metadata is pinned at "
+                "create so every reader can resolve value ranges)"
+            )
         self._check_constraint_refs(head_entry, old)
         mapping = dict(_entry_mapping(head_entry))
         phys = mapping.pop(old, old)
@@ -2061,6 +2245,12 @@ class LakeTable:
             )
         if len(names) == 1:
             raise ValueError("cannot drop the only column")
+        ident = self._identity()
+        if ident and name == ident["col"]:
+            raise ValueError(
+                f"{name!r} is the identity column; identity columns "
+                "cannot be dropped"
+            )
         self._check_constraint_refs(head_entry, name)
         mapping = dict(_entry_mapping(head_entry))
         phys = mapping.pop(name, name)
@@ -2097,6 +2287,21 @@ class LakeTable:
         cons = dict(self._live(head)[1].get("constraints") or {})
         if name in cons:
             raise ValueError(f"constraint {name!r} already exists")
+        ident = self._identity()
+        if ident:
+            import re as _re
+
+            pat = (
+                rf"(?<![A-Za-z0-9_]){_re.escape(ident['col'])}"
+                r"(?![A-Za-z0-9_])"
+            )
+            if _re.search(pat, expr):
+                raise ValueError(
+                    f"CHECK constraint {name!r} references identity "
+                    f"column {ident['col']!r}: staged rows are "
+                    "validated BEFORE identity assignment (the column "
+                    "is NULL there), so the check could never bite"
+                )
         if (
             self.snapshot(head)
             .filter(f"NOT coalesce(({expr}), true)")
@@ -2150,6 +2355,7 @@ class LakeTable:
             "retired_cols": head_entry.get("retired_cols") or [],
             "generated": head_entry.get("generated") or {},
             "stats_cols": head_entry.get("stats_cols") or [],
+            "identity": head_entry.get("identity"),
         }
         path = os.path.join(self.root, _TXN, f"_ckpt.{head:0{_WIDTH}d}.json")
         # unique tmp per writer: two concurrent checkpoint_log calls
@@ -2192,6 +2398,7 @@ class LakeTable:
             "retired_cols": ck.get("retired_cols") or [],
             "generated": ck.get("generated") or {},
             "stats_cols": ck.get("stats_cols") or [],
+            "identity": ck.get("identity"),
         }
         for e in tail_entries:
             for rec in e.get("add", []):
@@ -2333,6 +2540,11 @@ class LakeTable:
         for c, expr in (head_entry.get("generated") or {}).items():
             if c not in changes.columns:
                 changes = changes.withColumn(c, F.expr(expr))
+        ident = self._identity()
+        if ident and ident["col"] not in changes.columns:
+            changes = changes.withColumn(
+                ident["col"], F.lit(None).cast("bigint")
+            )
         ops = changes.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields],
             F.col(op_col).alias("_op"),

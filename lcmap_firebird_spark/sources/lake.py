@@ -65,6 +65,10 @@ class LakeFilePartition(InputPartition):
     # the LOGICAL names in force at their commit; either way this maps
     # the planned output column to what the file calls it
     col_map: tuple = ()
+    # identity support: (col, base, step) — NULL stored values take
+    # base + row_index*step from the file's reserved range (empty for
+    # non-identity tables or files without a reservation)
+    ident: tuple = ()
 
 
 def _local_path(p: str) -> str:
@@ -122,6 +126,7 @@ class LakeDataSource(DataSource):
             live,
             _json.loads(head["schema"]),
             head.get("column_mapping") or {},
+            t._identity(),
         )
         return self._res
 
@@ -133,7 +138,7 @@ class LakeDataSource(DataSource):
     def schema(self) -> StructType:
         from pyspark.sql.types import LongType, StringType, StructField
 
-        _, _, schema_json, _cmap = self._resolved()
+        _, _, schema_json, _cmap, _id = self._resolved()
         base = StructType.fromJson(schema_json)
         if self._cdf_requested():
             return StructType(
@@ -289,40 +294,58 @@ def _read_file_partition(part: LakeFilePartition):
     cmap = dict(part.col_map)
     pf = pq.ParquetFile(part.path)
     present = set(pf.schema_arrow.names)
+    id_col, id_base, id_step = (
+        part.ident if part.ident else (None, 0, 1)
+    )
     offset = 0
     for batch in pf.iter_batches():
         n = batch.num_rows
+        pos = np.arange(offset, offset + n, dtype=np.int64)
+        offset += n
         if deleted is not None:
-            pos = np.arange(offset, offset + n, dtype=np.int64)
             keep = ~np.isin(pos, deleted)
-            offset += n
             if not keep.all():
                 batch = batch.filter(pa.array(keep))
+                pos = pos[keep]
                 if batch.num_rows == 0:
                     continue
-        else:
-            offset += n
         consts = dict(part.const_cols)
         cols = []
         for field in target:
             src = cmap.get(field.name, field.name)
             if src in present:
-                cols.append(batch.column(src).cast(field.type))
+                col = batch.column(src).cast(field.type)
             elif field.name in consts:
-                cols.append(
-                    pa.array(
-                        [consts[field.name]] * batch.num_rows,
-                        type=field.type,
-                    )
+                col = pa.array(
+                    [consts[field.name]] * batch.num_rows,
+                    type=field.type,
                 )
             else:
-                cols.append(pa.nulls(batch.num_rows, field.type))
+                col = pa.nulls(batch.num_rows, field.type)
+            if field.name == id_col and col.null_count:
+                # identity materialization: NULL stored values take
+                # base + row_index*step from the file's reserved
+                # range — positions are the PRE-DV-mask row indexes,
+                # identical to what a LakeTable scan computes
+                import pyarrow.compute as pc
+
+                virt = pa.array(
+                    id_base + pos * id_step, type=field.type
+                )
+                col = pc.if_else(pc.is_null(col), virt, col)
+            cols.append(col)
         yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 class LakeReader(DataSourceReader):
     def __init__(self, resolved):
-        self._root, self._live, self._schema_json, self._cmap = resolved
+        (
+            self._root,
+            self._live,
+            self._schema_json,
+            self._cmap,
+            self._ident,
+        ) = resolved
         self._bounds: dict[str, list] = {}  # col -> [lo, hi]
 
     def _survives(self, rec: dict) -> bool:
@@ -369,6 +392,16 @@ class LakeReader(DataSourceReader):
         from ..lakehouse import _dv_key
 
         cm = tuple(sorted(self._cmap.items()))
+
+        def _id_tuple(rec: dict) -> tuple:
+            if self._ident and rec.get("identity_base") is not None:
+                return (
+                    self._ident["col"],
+                    int(rec["identity_base"]),
+                    int(self._ident["step"]),
+                )
+            return ()
+
         return [
             LakeFilePartition(
                 _os.path.join(self._root, rec["path"]),
@@ -376,6 +409,7 @@ class LakeReader(DataSourceReader):
                 rel=_dv_key(rec["path"]),
                 dv_paths=tuple(dv_for.get(_dv_key(rec["path"]), ())),
                 col_map=cm,
+                ident=_id_tuple(rec),
             )
             for rec in data
         ]
@@ -630,10 +664,15 @@ class LakeStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, schema, start: int = 0):
         import json as _json
 
+        from ..lakehouse import LakeTable
+
         self._root = root
         self._sj = _json.dumps(schema.jsonValue())
         self._start = start
         self._cmap = _planned_col_map(root, schema)
+        # identity metadata is immutable (declared at create only) —
+        # safe to pin for the stream's lifetime
+        self._ident = LakeTable.attach(root)._identity()
 
     def _table(self):
         from ..lakehouse import LakeTable
@@ -681,6 +720,7 @@ class LakeStreamReader(DataSourceStreamReader):
                 _os.path.join(self._root, rec["path"]),
                 sj,
                 col_map=self._cmap,
+                ident=_ident_tuple(self._ident, rec),
             )
             for e in entries
             if e.get("operation") != "bloom_index"
@@ -745,6 +785,20 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         pass
 
 
+def _ident_tuple(ident: dict | None, rec: dict) -> tuple:
+    """(col, base, step) for a data add record's reserved identity
+    range, or () — shared by every per-file planner so derived-insert
+    CDF rows and streamed appends carry the same materialized values
+    a LakeTable scan computes."""
+    if ident and rec.get("identity_base") is not None:
+        return (
+            ident["col"],
+            int(rec["identity_base"]),
+            int(ident["step"]),
+        )
+    return ()
+
+
 def _cdf_partitions(
     root: str, start_v: int, end_v: int, sj: str, cmap: tuple = ()
 ):
@@ -786,6 +840,7 @@ def _cdf_partitions(
         for f in _St.fromJson(_json.loads(sj)).fields
         if f.name not in ("_change_type", "_commit_version")
     ]
+    ident = t._identity()
     phys_of = dict(cmap)
     parts = []
     for e in entries:
@@ -828,6 +883,7 @@ def _cdf_partitions(
                             ("_commit_version", v),
                         ),
                         col_map=cmap,
+                        ident=_ident_tuple(ident, rec),
                     )
                 )
         elif e["operation"] in ("restore", "overwrite"):

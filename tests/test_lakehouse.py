@@ -207,6 +207,46 @@ def test_compact_one_commit_same_rows(spark, table):
     assert table.compact(target_rows=1_000_000) == v
 
 
+def test_compact_scoped_by_ranges(spark, tmp_path):
+    """OPTIMIZE ... WHERE: a range-scoped pass rewrites only files
+    whose key stats intersect the ranges; out-of-scope fragments
+    keep their paths."""
+    root = str(tmp_path / "sc")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(0, 0.0)], "id long, val double"),
+        ["id"],
+    )
+    # two disjoint key regions, each fragmented into 2 files
+    for lo in (100, 900):
+        for j in range(2):
+            t.append(
+                spark.createDataFrame(
+                    [(lo + j * 10 + i, 1.0) for i in range(3)],
+                    "id long, val double",
+                )
+            )
+    before = {r["path"]: r for r in t._live()[0]}
+    high_paths = {
+        p
+        for p, r in before.items()
+        if ((r.get("stats") or {}).get("id") or [0, 0])[0] >= 900
+    }
+    rows_before = sorted(
+        tuple(r) for r in t.snapshot().collect()
+    )
+    v = t.compact(target_rows=1_000_000, ranges={"id": (0, 500)})
+    assert v == t.latest_version()
+    after = {r["path"] for r in t._live()[0]}
+    # the high-range fragments are untouched, low-range ones merged
+    assert high_paths <= after
+    assert len(after) < len(before)
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == rows_before
+    # a scoped pass over an already-compacted range is a no-op
+    assert t.compact(target_rows=1_000_000, ranges={"id": (0, 500)}) == v
+
+
 def test_clustered_append_and_pruned_scan(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, float(i)) for i in range(10_000)], "id long, val double"
