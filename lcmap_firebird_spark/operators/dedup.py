@@ -467,6 +467,13 @@ def minhash_clusters(
     grp, sh, rep_pairs = _rep_ladder(
         df, threshold, num_perm=num_perm, bands=bands, rows=rows, k=k
     )
+    if pagerank_iters is not None:
+        # rep_pairs then has TWO consumers (the CC loop and the
+        # PageRank edge build) — materialize BEFORE the CC loop's
+        # eager rounds run, or the whole candidate-verification
+        # subtree computes twice (measured: d7 2.8 s → 6.4 s at
+        # sf0.1; PLANS.md rule 15)
+        rep_pairs = rep_pairs.localCheckpoint(eager=True)
     rep_cc = dedup_clusters(rep_pairs, max_iter=max_iter).select(
         F.col("doc_id").alias("rep"), F.col("cluster_id").alias("_cc")
     )

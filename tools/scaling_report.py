@@ -37,6 +37,8 @@ PICKS = [
     "x2_assemble_series",      # explode/assemble
     "x3_mixture_split",        # mixture bucket thresholds (r5)
     "x5_upsert",               # transactional lake MERGE (r5)
+    "t2_lang_id_nb",           # NB train+score explode (r5 late)
+    "d7_clusters_pagerank",    # CC + PageRank loops (r5 late)
 ]
 
 
