@@ -170,6 +170,21 @@ def _file_stats(path: str, key_cols: list[str]) -> dict:
     }
 
 
+def _stats_intersect(rec: dict, ranges: dict, mapping: dict) -> bool:
+    """True when the add record's per-file stats can intersect every
+    [lo, hi] range (logical column names; stats are stored under
+    physical names). Missing stats are conservatively in scope. The
+    ONE pruning predicate shared by pruned_paths/scan, MERGE
+    candidate selection, and range-scoped compaction."""
+    for c, (lo, hi) in ranges.items():
+        st = (rec.get("stats") or {}).get(mapping.get(c, c))
+        if st is None:
+            continue
+        if st[0] > hi or st[1] < lo:
+            return False
+    return True
+
+
 class LakeTable:
     """Handle to a committed table. `create` once, then attach with
     `LakeTable(spark, root)`."""
@@ -660,6 +675,16 @@ class LakeTable:
                     f"{ident['col']!r} cannot be both identity and "
                     "generated"
                 )
+            if ident["col"] in key_cols:
+                raise ValueError(
+                    f"identity column {ident['col']!r} cannot be a "
+                    "key column: engine-assigned values are virtual "
+                    "until a rewrite persists them, so MERGE key "
+                    "matching (which reads stored bytes) would never "
+                    "see them — matched rows would silently "
+                    "re-insert as duplicates. Key on a natural "
+                    "column and carry the identity alongside."
+                )
             pat = (
                 rf"(?<![A-Za-z0-9_]){_re.escape(ident['col'])}"
                 r"(?![A-Za-z0-9_])"
@@ -774,18 +799,14 @@ class LakeTable:
         ).first()
         if any(ranges[f"_mn_{c}"] is None for c in key_cols):
             return []  # empty source: nothing can match
-        cands = []
-        for rec in live:
-            hit = True
-            for c in key_cols:
-                st = (rec.get("stats") or {}).get(mapping.get(c, c))
-                if st is None:
-                    continue
-                if st[0] > ranges[f"_mx_{c}"] or st[1] < ranges[f"_mn_{c}"]:
-                    hit = False
-                    break
-            if hit:
-                cands.append(rec["path"])
+        key_ranges = {
+            c: (ranges[f"_mn_{c}"], ranges[f"_mx_{c}"]) for c in key_cols
+        }
+        cands = [
+            rec["path"]
+            for rec in live
+            if _stats_intersect(rec, key_ranges, mapping)
+        ]
         if not cands:
             return []
         scan = self.spark.read.schema(
@@ -1524,17 +1545,9 @@ class LakeTable:
         small = [r for r in data if _live_rows(r) < target_rows]
         if ranges:
             mapping = _entry_mapping(head_entry)
-
-            def _in_scope(rec: dict) -> bool:
-                for c, (lo, hi) in ranges.items():
-                    st = (rec.get("stats") or {}).get(mapping.get(c, c))
-                    if st is None:
-                        continue
-                    if st[0] > hi or st[1] < lo:
-                        return False
-                return True
-
-            small = [r for r in small if _in_scope(r)]
+            small = [
+                r for r in small if _stats_intersect(r, ranges, mapping)
+            ]
         if len(small) < 2:
             return head
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
@@ -1778,18 +1791,11 @@ class LakeTable:
         live, head = self._live(version)
         mapping = _entry_mapping(head)
         live, _dvs = self._split_live(live)
-        keep = []
-        for rec in live:
-            hit = True
-            for c, (lo, hi) in ranges.items():
-                st = (rec.get("stats") or {}).get(mapping.get(c, c))
-                if st is None:
-                    continue
-                if st[0] > hi or st[1] < lo:
-                    hit = False
-                    break
-            if hit:
-                keep.append(rec["path"])
+        keep = [
+            rec["path"]
+            for rec in live
+            if _stats_intersect(rec, ranges, mapping)
+        ]
         return keep, len(live)
 
     def scan(self, ranges: dict, version: int | None = None) -> DataFrame:

@@ -55,6 +55,23 @@ def token_buckets(
     )
 
 
+def _labeled_buckets(
+    df: DataFrame, label, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket, _y) per token occurrence — the one
+    labeled-explode frame both the float trainer and the quantized
+    trainer/scorer build on. `label` is an int-castable Column
+    (NULL-safe: NULL counts as 0, mirroring SQL CASE WHEN)."""
+    lab = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(label.cast("int"), F.lit(0)).alias("_y"),
+        F.col(text_col).alias("_text"),
+    )
+    return token_buckets(lab, "doc_id", "_text", n_buckets).join(
+        lab.select("doc_id", "_y"), "doc_id"
+    )
+
+
 def train_log_odds(
     labeled: DataFrame,
     label_col: str = "label",
@@ -72,11 +89,11 @@ def train_log_odds(
     """
     lab = labeled.select(
         F.col(id_col).alias("doc_id"),
-        F.col(label_col).cast("int").alias("_y"),
+        F.coalesce(F.col(label_col).cast("int"), F.lit(0)).alias("_y"),
         F.col(text_col).alias("_text"),
     )
-    tb = token_buckets(lab, "doc_id", "_text", n_buckets).join(
-        lab.select("doc_id", "_y"), "doc_id"
+    tb = _labeled_buckets(
+        labeled, F.col(label_col), id_col, text_col, n_buckets
     )
     counts = tb.groupBy("bucket").agg(
         F.sum("_y").alias("_pos"),
@@ -156,19 +173,12 @@ def nb_quantized(
     groupBy; the labeled frame is checkpointed once and feeds counts
     AND scoring), same broadcast-weight scoring as `score_quality`.
     """
-    lab = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(label_pred.cast("int"), F.lit(0)).alias("_y"),
-        F.col(text_col).alias("_text"),
-    )
     # one tokenize+hash explode feeds training counts AND the score
     # sum (two consumers → eager checkpoint; the frame is (long,
     # long, int) — fingerprints, never text, per the PLANS.md rule)
-    tb = (
-        token_buckets(lab, "doc_id", "_text", n_buckets)
-        .join(lab.select("doc_id", "_y"), "doc_id")
-        .localCheckpoint(eager=True)
-    )
+    tb = _labeled_buckets(
+        df, label_pred, id_col, text_col, n_buckets
+    ).localCheckpoint(eager=True)
     counts = (
         tb.groupBy("bucket")
         .agg(

@@ -110,8 +110,8 @@ def d7_clusters_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     document (singletons keep themselves), PLUS `pr_q` — quantized
     integer PageRank centrality over the symmetrized rep pair graph
     (round-5 consolidation: the iterative graph family earns a driver
-    oracle on d7's slot; fixed {PR_ITERS}-round integer arithmetic,
-    unrolled-CTE DuckDB twin). Iterative min-label propagation with
+    oracle on d7's slot; fixed PR_ITERS-round (= 6) integer
+    arithmetic, unrolled-CTE DuckDB twin). Iterative min-label propagation with
     pointer jumping on DataFrames; the oracle is a recursive CTE
     computing the same component minima.
 

@@ -300,7 +300,13 @@ def _read_file_partition(part: LakeFilePartition):
     offset = 0
     for batch in pf.iter_batches():
         n = batch.num_rows
-        pos = np.arange(offset, offset + n, dtype=np.int64)
+        # positions are only needed on the DV-masked or identity-fill
+        # paths; the common plain read stays allocation-free
+        pos = (
+            np.arange(offset, offset + n, dtype=np.int64)
+            if deleted is not None or id_col is not None
+            else None
+        )
         offset += n
         if deleted is not None:
             keep = ~np.isin(pos, deleted)
@@ -392,16 +398,6 @@ class LakeReader(DataSourceReader):
         from ..lakehouse import _dv_key
 
         cm = tuple(sorted(self._cmap.items()))
-
-        def _id_tuple(rec: dict) -> tuple:
-            if self._ident and rec.get("identity_base") is not None:
-                return (
-                    self._ident["col"],
-                    int(rec["identity_base"]),
-                    int(self._ident["step"]),
-                )
-            return ()
-
         return [
             LakeFilePartition(
                 _os.path.join(self._root, rec["path"]),
@@ -409,7 +405,7 @@ class LakeReader(DataSourceReader):
                 rel=_dv_key(rec["path"]),
                 dv_paths=tuple(dv_for.get(_dv_key(rec["path"]), ())),
                 col_map=cm,
-                ident=_id_tuple(rec),
+                ident=_ident_tuple(self._ident, rec),
             )
             for rec in data
         ]
