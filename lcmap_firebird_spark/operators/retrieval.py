@@ -60,6 +60,157 @@ def doc_lengths(
     )
 
 
+def bm25_quantized(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = K1,
+    b: float = B,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Oracle-exact BM25 against ONE pinned term set: input columns +
+    `bm25_q` = Σ_{t ∈ query ∩ doc} round(w(t, d) · scale) as BIGINT
+    and `n_hit_terms` (both NULL for docs hitting no query term —
+    absence of evidence, not a zero score; empty/NULL text can never
+    hit). Per-term quantization BEFORE the per-doc sum makes the
+    score an order-independent exact integer, so a DuckDB twin
+    replaying tokenize → tf/df/dl → idf → round reproduces it
+    bit-for-bit — the t3/x4 recipe applied to the retrieval family
+    (the production float top-k path stays in bm25_topk).
+
+    w(t, d) = idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); N counts ALL corpus
+    rows (NULL-text docs are corpus members with no terms), avgdl
+    averages dl over rows with tokenizable text. Every float constant
+    the oracle needs is a deterministic function of these integers —
+    sql_twin() below emits the matching fragment.
+
+    Scale shape: the corpus explodes once and the very first operator
+    after the explode is the pinned-term filter, so only matching
+    tokens ever shuffle (bounded by |query terms| × their posting
+    lists — the inverted-index bound); the stats/df frames are
+    O(1)/O(|terms|) broadcasts."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).filter(F.col("term").isin(*query_terms))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # one tf frame, two consumers (df-counts + scoring) — rule 15
+    tf = tf.localCheckpoint(eager=True)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    # per-doc length is doc-count-sized metadata (8 bytes/doc) with
+    # two consumers (stats action + scoring join) — checkpoint once
+    dl = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(
+            F.col(text_col).isNotNull(), F.size(tokens(text_col))
+        ).alias("dl"),
+    ).localCheckpoint(eager=True)
+    # corpus stats are a 2-value collect (the classifier-totals
+    # precedent — metadata scale, avoids a 1-row nested-loop join);
+    # explicit exact-int-sum / count division (NOT avg()) so the
+    # oracle's arithmetic is the literally identical double op
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("double")
+            / F.count("dl").cast("double")
+        ).alias("avgdl"),
+    ).first()
+    n_docs, avgdl = int(stats["n_docs"]), stats["avgdl"]
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    w = (
+        idf
+        * (F.col("tf") * F.lit(float(k1 + 1)))
+        / (
+            F.col("tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(float(1 - b))
+                + F.lit(float(b)) * F.col("dl") / F.lit(avgdl)
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(w * F.lit(float(scale))).cast("bigint").alias("_wq"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_wq").alias("bm25_q"),
+            F.count("*").alias("n_hit_terms"),
+        )
+    )
+    return df.join(
+        scored.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(*df.columns, "bm25_q", "n_hit_terms")
+
+
+def bm25_sql_twin(
+    query_terms: tuple[str, ...],
+    k1: float = K1,
+    b: float = B,
+    scale: int = 1_000_000,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    tok_expr: str | None = None,
+) -> str:
+    """DuckDB CTE fragment reproducing bm25_quantized bit-for-bit:
+    emits `bm25 AS (SELECT doc_id, bm25_q, n_hit_terms ...)` ready to
+    LEFT JOIN on doc_id. Float constants are embedded via repr() and
+    CAST(VARCHAR AS DOUBLE) — strtod is correctly rounded, so the
+    oracle runs the same IEEE doubles Spark's lit() carries
+    (functions/exact.sql_d2d rationale)."""
+    tok = tok_expr or (
+        r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
+    )
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+
+    def d(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    return f"""
+        _toks AS (SELECT {id_col} AS doc_id,
+                         CASE WHEN text IS NOT NULL THEN {tok} END AS t
+                  FROM {table}),
+        _stats AS (SELECT COUNT(*) AS n_docs,
+                          CAST(coalesce(SUM(len(t)), 0) AS DOUBLE)
+                              / CAST(COUNT(t) AS DOUBLE) AS avgdl
+                   FROM _toks),
+        _tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM _toks)
+                WHERE term IN ({terms})
+                GROUP BY doc_id, term),
+        _df AS (SELECT term, COUNT(*) AS df FROM _tf GROUP BY term),
+        _dl AS (SELECT doc_id, len(t) AS dl FROM _toks),
+        bm25 AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(round(
+                       ln({d(1.0)} + (n_docs - df + {d(0.5)})
+                                     / (df + {d(0.5)}))
+                       * (tf * {d(float(k1 + 1))})
+                       / (tf + {d(float(k1))}
+                              * ({d(float(1 - b))}
+                                 + {d(float(b))} * dl / avgdl))
+                       * {d(float(scale))}) AS BIGINT))
+                       AS BIGINT) AS bm25_q,
+                   COUNT(*) AS n_hit_terms
+            FROM _tf JOIN _df USING (term)
+                     JOIN _dl USING (doc_id), _stats
+            GROUP BY doc_id)
+    """
+
+
 def bm25_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -20,6 +20,11 @@ from ..operators import text as T
 # DuckDB fragment: tokenizer identical to operators.text.tokens()
 TOK = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
 
+# Pinned BM25 query-term set for t1's retrieval certification (mixed
+# document frequencies in the synthetic vocabulary; pinned so the
+# score is a pure function of the corpus, like t3's LM slice).
+BM25_TERMS = ("spark", "query", "vector", "merge")
+
 
 def _sql_stop_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
@@ -29,7 +34,14 @@ def _sql_stop_hits(lang: str) -> str:
 def t1_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace + BPE-ish token statistics per document (folds old
     t5: the regex-pretokenizer count and tokens-per-word ratio ride
-    the same scan)."""
+    the same scan) + quantized BM25 against the pinned BM25_TERMS
+    query (round-6 consolidation: the retrieval family joins the
+    per-doc token slot — `bm25_q` is the integer-quantized Okapi
+    score, `n_hit_terms` the matched-term count, both NULL for docs
+    hitting no query term). Certifies retrieval.py's inverted-index
+    tf/df/dl/idf pipeline end to end against DuckDB."""
+    from ..operators.retrieval import bm25_quantized
+
     docs = read_table(spark, "documents", sf)
     toks = T.tokens("text")
     sum_len = F.aggregate(
@@ -37,7 +49,10 @@ def t1_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return docs.select(
+    bm25 = bm25_quantized(
+        docs.select("doc_id", "text"), BM25_TERMS
+    ).select("doc_id", "bm25_q", "n_hit_terms")
+    stats = docs.select(
         "doc_id",
         T.char_count("text").cast("bigint").alias("n_chars_m"),
         T.token_count("text").cast("bigint").alias("n_tokens"),
@@ -57,6 +72,7 @@ def t1_token_stats(spark: SparkSession, sf: str) -> DataFrame:
             / T.token_count("text"),
         ).otherwise(F.lit(0.0)).alias("tokens_per_word"),
     )
+    return stats.join(bm25, "doc_id", "left")
 
 
 def t2_lang_id_nb(spark: SparkSession, sf: str) -> DataFrame:
@@ -141,9 +157,22 @@ def _lang_argmax() -> str:
     return f"list_aggregate([{entries}], 'max')"
 
 
+def _bm25_cte() -> str:
+    from ..operators.retrieval import bm25_sql_twin
+
+    return bm25_sql_twin(BM25_TERMS, tok_expr=TOK)
+
+
+# BM25 twin notes (round-6 consolidation): the bm25 CTE replays
+# tokenize → pinned-term tf/df → dl/avgdl → idf → per-term
+# round(w·1e6) BEFORE the per-doc sum (the t3/x4 quantized-integer
+# recipe applied to retrieval); float constants ride repr() strings
+# through CAST(VARCHAR AS DOUBLE) so both engines run identical IEEE
+# doubles, and SUM(BIGINT)→HUGEINT is re-cast to BIGINT.
 ORACLES = {
     "t1_token_stats": f"""
-        WITH toks AS (SELECT doc_id, text, length(text) AS n_chars_m, {TOK} AS t
+        WITH {_bm25_cte()},
+        toks AS (SELECT doc_id, text, length(text) AS n_chars_m, {TOK} AS t
                       FROM documents)
         SELECT doc_id,
                CAST(n_chars_m AS BIGINT) AS n_chars_m,
@@ -160,8 +189,10 @@ ORACLES = {
                     THEN CAST(len(regexp_extract_all(text,
                         ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS DOUBLE)
                          / len(t)
-                    ELSE 0.0 END AS tokens_per_word
-        FROM toks
+                    ELSE 0.0 END AS tokens_per_word,
+               bm25.bm25_q AS bm25_q,
+               bm25.n_hit_terms AS n_hit_terms
+        FROM toks LEFT JOIN bm25 USING (doc_id)
     """,
     # NB twin notes: every inexact constant is CAST to DOUBLE
     # (integral-valued literals like 4096 are safe after the cast);

@@ -21,11 +21,19 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-QUERIES = ["x4_dsir_stratified", "t3_quality_fingerprint"]
+QUERIES = [
+    "x4_dsir_stratified",
+    "t3_quality_fingerprint",
+    # r6: t1 carries the quantized BM25 score — its pinned terms
+    # (spark/query/vector/merge) are seeded into VOCAB below so the
+    # tripwire exercises real tf/df/idf quantizations, not all-NULLs
+    "t1_token_stats",
+]
 
 VOCAB = (
     "the a of and to is in cat dog mat rug sat on über straße "
-    "naïve café 数据 引擎 zzz qqq x1 y2 z3 lorem ipsum dolor"
+    "naïve café 数据 引擎 zzz qqq x1 y2 z3 lorem ipsum dolor "
+    "spark query vector merge"
 ).split()
 
 

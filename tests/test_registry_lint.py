@@ -30,6 +30,40 @@ def test_oracles_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_registry_side_effect_exception_is_x5_only():
+    """Registry queries are read-only scans of sf_dir — with exactly
+    one documented exception: x5_upsert CREATES a LakeTable under a
+    tmpdir (atexit-cleaned) because the row certifies the
+    transactional ACID MERGE itself, which cannot be expressed as a
+    pure read. Do NOT copy that pattern into new consolidations; a
+    second writer would make registry runs order-dependent and race
+    the driver's parallel query execution. This test pins the
+    exception by name so a new side-effecting query must consciously
+    edit it (and this docstring's reasoning) to land."""
+    import inspect
+
+    from lcmap_firebird_spark.queries import extended
+
+    src = inspect.getsource(extended.x5_upsert)
+    assert "mkdtemp" in src or "TemporaryDirectory" in src
+    # every other query module must not create lake tables or write
+    # outside sf_dir at query-build time — enforced by review + this
+    # canary: only extended.py may reference the LakeTable writer.
+    from lcmap_firebird_spark import queries as qpkg
+    import pathlib
+
+    qdir = pathlib.Path(qpkg.__file__).parent
+    offenders = []
+    for py in qdir.glob("*.py"):
+        text = py.read_text()
+        if "LakeTable.create" in text and py.name != "extended.py":
+            offenders.append(py.name)
+    assert not offenders, (
+        f"{offenders} create LakeTables; x5_upsert in extended.py is "
+        "the registry's only sanctioned side-effecting query"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_complex_top_level_columns(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)

@@ -84,3 +84,102 @@ def test_zero_udf_and_broadcast_query_side(spark, frames):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _bm25_py_quantized(corpus, terms, scale=1_000_000):
+    """Independent per-term-quantized replica: round each contribution
+    BEFORE the per-doc sum, exactly the operator's contract."""
+    toked = {d: (t.split() if t is not None else None) for d, t in corpus}
+    n = len(toked)
+    lens = [len(t) for t in toked.values() if t is not None]
+    avgdl = sum(lens) / len(lens)
+    out = {}
+    for term in terms:
+        df = sum(1 for t in toked.values() if t and term in t)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, t in toked.items():
+            tf = t.count(term) if t else 0
+            if tf == 0:
+                continue
+            w = (
+                idf
+                * (tf * (R.K1 + 1))
+                / (tf + R.K1 * (1 - R.B + R.B * len(t) / avgdl))
+            )
+            q, h = out.get(d, (0, 0))
+            # Python round() is banker's; the engines round half up —
+            # never a tie here (w·1e6 is irrational-ish), use floor+.5
+            out[d] = (q + math.floor(w * scale + 0.5), h + 1)
+    return out
+
+
+def test_quantized_matches_pure_python_and_nulls(spark):
+    docs = DOCS + [(6, None), (7, ""), (8, "nothing relevant here")]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ("spark", "fox", "shuffle")
+    got = {
+        r.doc_id: (r.bm25_q, r.n_hit_terms)
+        for r in R.bm25_quantized(corpus, terms).collect()
+    }
+    want = _bm25_py_quantized(docs, terms)
+    assert len(got) == len(docs)  # left join keeps every corpus row
+    for d, _ in docs:
+        if d in want:
+            assert got[d] == want[d], d
+        else:  # NULL text / no hits -> NULL score, not zero
+            assert got[d] == (None, None), d
+
+
+def test_quantized_agrees_with_float_topk(spark, frames):
+    """bm25_q / 1e6 must approximate the production float score for a
+    single-query run over the same corpus (quantization tolerance =
+    n_terms · 0.5e-6)."""
+    corpus, _ = frames
+    queries = corpus.sparkSession.createDataFrame(
+        [(1, "spark shuffle")], "query_id long, query string"
+    )
+    flt = {
+        r.doc_id: r.score
+        for r in R.bm25_topk(corpus, queries, k=10).collect()
+    }
+    qnt = {
+        r.doc_id: r.bm25_q
+        for r in R.bm25_quantized(corpus, ("spark", "shuffle")).collect()
+        if r.bm25_q is not None
+    }
+    assert set(flt) == set(qnt)
+    for d, s in flt.items():
+        assert qnt[d] / 1e6 == pytest.approx(s, abs=1e-6)
+
+
+def test_quantized_oracle_twin_parity(spark):
+    """The DuckDB twin fragment reproduces bm25_q/n_hit_terms
+    bit-for-bit on a corpus with NULL/empty/no-hit rows."""
+    duckdb = pytest.importorskip("duckdb")
+    docs = DOCS + [(6, None), (7, ""), (8, "unrelated words only")]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ("spark", "dog", "shuffle")
+    got = {
+        r.doc_id: (r.bm25_q, r.n_hit_terms)
+        for r in R.bm25_quantized(corpus, terms).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    twin = R.bm25_sql_twin(terms)
+    pdf = con.execute(
+        f"WITH {twin} SELECT d.doc_id, bm25.bm25_q, bm25.n_hit_terms "
+        "FROM documents d LEFT JOIN bm25 USING (doc_id)"
+    ).fetchdf()
+    want = {
+        int(r.doc_id): (
+            None if pdf.bm25_q.isna()[i] else int(r.bm25_q),
+            None if pdf.n_hit_terms.isna()[i] else int(r.n_hit_terms),
+        )
+        for i, r in pdf.iterrows()
+    }
+    assert got == want
