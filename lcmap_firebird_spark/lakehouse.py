@@ -2506,6 +2506,14 @@ class LakeTable:
             if st is not None and (value < st[0] or value > st[1]):
                 continue
             bl = rec.get("bloom")
+            if bl and bl.get("key") != phys_key:
+                # a bloom built over a DIFFERENT physical column can
+                # neither admit nor exclude this key — treat as
+                # absent. Unreachable today (key columns refuse drop,
+                # rename preserves physical names), but a future
+                # key-evolution feature silently skipping files here
+                # would be a wrong-answer bug, not a perf bug.
+                bl = None
             if bl:
                 with open(os.path.join(self.root, bl["path"]), "rb") as f:
                     bits = f.read()

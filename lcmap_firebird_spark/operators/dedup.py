@@ -330,14 +330,30 @@ def lsh_candidates(
     band keys per doc, a true near-dup pair has `bands` chances to
     land in some same cell, and the cap only activates past
     max_bucket co-hashing docs. `max_bucket=None` disables the
-    split (byte-level plan parity with the uncapped form)."""
+    split (byte-level plan parity with the uncapped form).
+
+    The cap is PROBED, not always-on (r6 — this was s3/d3's
+    unattributed r5 bench cost): one metadata-scale max-occupancy
+    action decides whether any bucket exceeds the cap, and the
+    splits join + cell column enter the plan only when one does.
+    Row-identical either way — an under-cap corpus gets _splits=1 ⇒
+    _cell=0 everywhere, so the split machinery was a no-op that
+    still paid an extra join per run."""
     banded = band_keys(signatures, bands, rows)
     cell_cond = F.lit(True)
     if max_bucket is not None:
-        splits = (
-            banded.groupBy("band_id", "band_key")
-            .agg(F.count("*").alias("_n"))
-            .select(
+        # checkpoint the (doc_id, band_id, band_key) frame — 3 narrow
+        # columns — BEFORE probing: the probe action would otherwise
+        # re-run the full upstream signature build (sig is lazy by
+        # design), and the self-join below now reads the checkpoint
+        # twice instead of computing band_keys(signatures) per side
+        banded = banded.localCheckpoint(eager=True)
+        occupancy = banded.groupBy("band_id", "band_key").agg(
+            F.count("*").alias("_n")
+        )
+        mx = occupancy.agg(F.max("_n")).first()[0] or 0
+        if mx > max_bucket:
+            splits = occupancy.select(
                 "band_id",
                 "band_key",
                 F.greatest(
@@ -345,21 +361,23 @@ def lsh_candidates(
                     F.ceil(F.col("_n") / F.lit(max_bucket)),
                 ).cast("bigint").alias("_splits"),
             )
-        )
-        banded = (
-            banded.join(splits, ["band_id", "band_key"])
-            .withColumn(
-                "_cell",
-                hash60(
-                    F.concat_ws(
-                        ":", F.lit("bcell"), F.col("doc_id").cast("string")
+            banded = (
+                banded.join(splits, ["band_id", "band_key"])
+                .withColumn(
+                    "_cell",
+                    hash60(
+                        F.concat_ws(
+                            ":",
+                            F.lit("bcell"),
+                            F.col("doc_id").cast("string"),
+                        )
                     )
+                    % F.col("_splits"),
                 )
-                % F.col("_splits"),
+                .drop("_splits")
+                .localCheckpoint(eager=True)
             )
-            .drop("_splits")
-        )
-        cell_cond = F.col("a._cell") == F.col("b._cell")
+            cell_cond = F.col("a._cell") == F.col("b._cell")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -474,7 +492,11 @@ def minhash_clusters(
         # subtree computes twice (measured: d7 2.8 s → 6.4 s at
         # sf0.1; PLANS.md rule 15)
         rep_pairs = rep_pairs.localCheckpoint(eager=True)
-    rep_cc = dedup_clusters(rep_pairs, max_iter=max_iter).select(
+    rep_cc = dedup_clusters(
+        rep_pairs,
+        max_iter=max_iter,
+        pairs_materialized=pagerank_iters is not None,
+    ).select(
         F.col("doc_id").alias("rep"), F.col("cluster_id").alias("_cc")
     )
     # reps with shingles: only their groups can merge; shingle-less
@@ -507,9 +529,21 @@ def minhash_clusters(
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
     )
-    prq = pagerank_quantized(sym, n_iter=pagerank_iters).select(
-        F.col("node").alias("rep"), "pr_q"
+    # rep_pairs is checkpointed and holds unique (a < b) pairs, so the
+    # symmetrized union is duplicate-free and cheap to rescan
+    # (pre_distinct), and the node set derives from ONE more pass over
+    # the checkpoint instead of pagerank re-deriving edges AND nodes
+    # from scratch (the r5-verdict floor shave: two fewer eager
+    # checkpoint jobs + one fewer distinct shuffle per d7 run)
+    pr_nodes = (
+        rep_pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(rep_pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    prq = pagerank_quantized(
+        sym, n_iter=pagerank_iters, pre_distinct=True, nodes=pr_nodes
+    ).select(F.col("node").alias("rep"), "pr_q")
     return (
         out.join(grp, "doc_id")
         .join(F.broadcast(prq), "rep", "left")
@@ -613,6 +647,7 @@ def dedup_clusters(
     pairs: DataFrame,
     all_ids: DataFrame | None = None,
     max_iter: int = 20,
+    pairs_materialized: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs → one cluster id per
     document: the production dedup output ("keep one per cluster")
@@ -637,8 +672,13 @@ def dedup_clusters(
     # materialize the pair plan ONCE before symmetrizing — `pairs` is
     # usually an expensive upstream plan (MinHash signatures + band
     # join + verification), the a→b ∪ b→a union would execute it
-    # twice, and every propagation round joins the edges again
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # twice, and every propagation round joins the edges again.
+    # pairs_materialized=True skips the copy when the caller already
+    # checkpointed the frame (minhash_clusters shares one rep_pairs
+    # checkpoint between this loop and PageRank)
+    pairs = pairs.select("doc_a", "doc_b")
+    if not pairs_materialized:
+        pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

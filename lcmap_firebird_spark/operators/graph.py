@@ -145,6 +145,8 @@ def pagerank_quantized(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    pre_distinct: bool = False,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """(node, pr_q) — PageRank in EXACT INTEGER arithmetic: ranks are
     int64 mass units out of `scale`, each round computes
@@ -167,20 +169,30 @@ def pagerank_quantized(
 
     Per round: one equi-join (ranks onto degree-annotated edges) +
     one groupBy — the CC loop's shape; lineage truncated per round
-    with lazy localCheckpoint."""
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    with lazy localCheckpoint.
+
+    Frame-sharing knobs (the d7 floor shave — a caller that already
+    materialized the pair graph shouldn't pay to re-derive it):
+    `pre_distinct=True` declares the edge frame duplicate-free AND
+    cheap to rescan (derived from a checkpointed frame), skipping the
+    distinct + checkpoint; `nodes` supplies a MATERIALIZED distinct
+    (node) frame covering exactly the edge endpoints, skipping the
+    union-distinct derivation. Results are row-identical either way
+    (asserted in test_graph)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if not pre_distinct:
+        e = e.distinct().localCheckpoint(eager=True)
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    else:
+        nodes = nodes.select("node")
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("pr_q", F.lit(None).cast("bigint"))

@@ -496,33 +496,45 @@ def _bucket_pairs(
         # vector (concurrent scan stages would each recompute it)
         b = lsh_buckets(
             embeddings, num_planes, dim, id_col, vec_col, table=t
-        )
+        ).localCheckpoint(eager=True)
         cell_cond = F.lit(True)
         if max_bucket is not None:
-            splits = (
-                b.groupBy("bucket")
-                .agg(F.count("*").alias("_n"))
-                .select(
+            # probe max occupancy on the checkpointed frame (one
+            # metadata-scale action) and build the cell split ONLY
+            # when a bucket actually exceeds the cap — an under-cap
+            # corpus gets _splits=1 ⇒ _cell=0 everywhere, so the
+            # always-on machinery was a row-identical no-op that
+            # still paid a join + a wider checkpoint (r6: this was
+            # s3's unattributed r5 bench cost)
+            occupancy = b.groupBy("bucket").agg(
+                F.count("*").alias("_n")
+            )
+            mx = occupancy.agg(F.max("_n")).first()[0] or 0
+            if mx > max_bucket:
+                splits = occupancy.select(
                     "bucket",
                     F.greatest(
                         F.lit(1),
                         F.ceil(F.col("_n") / F.lit(max_bucket)),
                     ).cast("bigint").alias("_splits"),
                 )
-            )
-            b = b.join(splits, "bucket").withColumn(
-                "_cell",
-                hash60(
-                    F.concat_ws(
-                        ":",
-                        F.lit(f"vcell:{t}"),
-                        F.col("vec_id").cast("string"),
+                b = (
+                    b.join(splits, "bucket")
+                    .withColumn(
+                        "_cell",
+                        hash60(
+                            F.concat_ws(
+                                ":",
+                                F.lit(f"vcell:{t}"),
+                                F.col("vec_id").cast("string"),
+                            )
+                        )
+                        % F.col("_splits"),
                     )
+                    .drop("_splits")
+                    .localCheckpoint(eager=True)
                 )
-                % F.col("_splits"),
-            ).drop("_splits")
-            cell_cond = F.col("a._cell") == F.col("c._cell")
-        b = b.localCheckpoint(eager=True)
+                cell_cond = F.col("a._cell") == F.col("c._cell")
         a = b.alias("a")
         c = b.alias("c")
         ident = (

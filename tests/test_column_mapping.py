@@ -179,6 +179,25 @@ def test_scan_pruning_and_lookup_after_rename(spark, table):
     assert _rows(table.lookup(17).select("pk")) == [(17,)]
 
 
+def test_bloom_built_before_rename_serves_after(spark, table):
+    """Sidecars built under the ORIGINAL name must keep serving after
+    a metadata-only rename: the stored key is the physical name,
+    which the rename never touches (r5-verdict interaction probe)."""
+    table.build_bloom_index()
+    table.rename_column("id", "pk")
+    assert _rows(table.lookup(23).select("pk")) == [(23,)]
+    # and a bloom whose stored key does NOT match the current
+    # physical key must be ignored (fail open to a stats-only scan),
+    # never used to skip files — simulate the mismatch directly
+    live, head = table._live()
+    recs = [dict(r) for r in live if r.get("bloom")]
+    assert recs, "expected bloom-carrying records"
+    for r in recs:
+        r["bloom"] = dict(r["bloom"]) | {"key": "some_future_key"}
+    table._commit("bloom_index", recs, [], expected_head=None)
+    assert _rows(table.lookup(23).select("pk")) == [(23,)]
+
+
 def test_checkpoint_carries_mapping(spark, table):
     table.rename_column("val", "value")
     table.checkpoint_log()

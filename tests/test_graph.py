@@ -131,6 +131,36 @@ def test_pagerank_quantized_matches_integer_replica(spark):
     assert got[2] == max(got.values())
 
 
+def test_pagerank_quantized_shared_frames_row_identical(spark):
+    """pre_distinct=True + caller-supplied nodes (the minhash_clusters
+    frame-sharing path) must be row-identical to the self-deriving
+    default on the same edge set."""
+    from pyspark.sql import functions as F
+
+    from lcmap_firebird_spark.operators.graph import pagerank_quantized
+
+    edges = spark.createDataFrame(
+        sorted(set(SYM)), "src long, dst long"
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    default = {
+        r["node"]: r["pr_q"]
+        for r in pagerank_quantized(edges, n_iter=6).collect()
+    }
+    shared = {
+        r["node"]: r["pr_q"]
+        for r in pagerank_quantized(
+            edges, n_iter=6, pre_distinct=True, nodes=nodes
+        ).collect()
+    }
+    assert shared == default
+
+
 def test_pagerank_quantized_duckdb_twin(spark):
     """The unrolled-CTE SQL recipe used by the d7 oracle reproduces
     pagerank_quantized bit-for-bit on a degree-asymmetric graph."""

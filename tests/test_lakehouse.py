@@ -174,6 +174,41 @@ def test_vacuum_removes_only_unreferenced(spark, table):
         table.snapshot(version=1).collect()
 
 
+def test_vacuum_vs_cdf_readers_on_old_offsets(spark, tmp_path):
+    """The r5-verdict interaction probe: an aggressive vacuum sweeps
+    change files of unprotected commits, and a CDF reader (or a
+    resuming CDF stream — same read path) pointed at a swept offset
+    must fail LOUDLY, never return a silently truncated feed. Change
+    files of protected commits stay readable."""
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, val double"
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "vc"), base,
+        key_cols=["id"], enable_cdf=True,
+    )
+    t.merge(spark.createDataFrame([(1, 111.0)], "id long, val double"))
+    v_old_merge = t.latest_version()
+    t.merge(spark.createDataFrame([(2, 222.0)], "id long, val double"))
+    v_head = t.latest_version()
+    # pre-vacuum: the full feed reads fine
+    assert t.read_cdf(0).count() > 0
+    removed = t.vacuum(keep_last=1, retention_seconds=0)
+    assert any(p.endswith(".cdf.parquet") for p in removed), (
+        "expected the old merge's change file to be swept"
+    )
+    # offsets inside the protected window still work...
+    assert {
+        r["_change_type"] for r in t.read_cdf(v_head - 1).collect()
+    } >= {"update_preimage", "update_postimage"}
+    # ...and an old offset fails loudly (v_old_merge's change file
+    # and the create commit's add files are both gone)
+    with pytest.raises(Exception, match="(?i)path|exist|found"):
+        t.read_cdf(0).collect()
+    with pytest.raises(Exception, match="(?i)path|exist|found"):
+        t.read_cdf(v_old_merge - 1, v_old_merge).collect()
+
+
 def test_history(spark, table):
     table.append(
         spark.createDataFrame(

@@ -39,6 +39,8 @@ PICKS = [
     "x5_upsert",               # transactional lake MERGE (r5)
     "t2_lang_id_nb",           # NB train+score explode (r5 late)
     "d7_clusters_pagerank",    # CC + PageRank loops (r5 late)
+    "s3_knn_lsh",              # LSH ANN + probed hot-bucket cap (r6)
+    "t1_token_stats",          # token stats + quantized BM25 (r6)
 ]
 
 
