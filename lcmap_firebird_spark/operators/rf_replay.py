@@ -1,0 +1,169 @@
+"""Random-forest ensemble replay as pure Catalyst expressions.
+
+The reference's classify leg loads a previously-trained RF model and
+maps it over pixel rows (/root/reference/ccdc/randomforest.py:90-103);
+training happens in a separate job (randomforest.py:36-63, covered
+here by plans/classification.py + tools/train_ml1_model.py). This
+module replays a checked-in fitted ensemble — exported tree-by-tree
+from a seeded MLlib fit — as nested CASE expressions, so inference is
+
+* **zero-UDF / whole-stage-codegen**: each tree is a depth-<=5 CASE
+  over `element_at(embedding, i)` comparisons; no Python worker, no
+  model broadcast, no MLlib runtime on the scoring path. At 100 TB
+  this is a map-only scan — the ensemble is ~500 literal nodes baked
+  into the plan, scoring cost is O(trees * depth) comparisons/row.
+* **oracle-certifiable**: prediction is integer hard-voting (each
+  tree votes its leaf class; majority wins, smallest class index
+  breaks ties), a deterministic integer function of (artifact, row)
+  that a generated DuckDB twin replays exactly — no float-sum
+  tie-break ambiguity (MLlib's own predictRaw sums per-tree leaf
+  class *fractions*; the hard-vote rule trades that for exactness,
+  documented deviation).
+
+Split rule matches MLlib's ContinuousSplit: feature <= threshold
+goes left. Feature i reads `embedding[i+1]` (1-based element_at),
+cast to double on both sides (parquet float32 -> double is exact).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MODEL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "models",
+    "ml1_rf.json",
+)
+
+
+@lru_cache(maxsize=1)
+def load_model() -> dict:
+    """Load the checked-in ensemble artifact (see tools/train_ml1_model.py)."""
+    with open(_MODEL_PATH) as f:
+        return json.load(f)
+
+
+# ------------------------------------------------- shared tree generator
+
+
+def _tree_case(node: dict, probe_fmt, d_fmt) -> str:
+    """Recursive CASE text for one tree; `probe_fmt(feat)` renders the
+    feature access, `d_fmt(x)` an exact double literal — the only two
+    dialect differences between Spark SQL and DuckDB."""
+    if "pred" in node:
+        return str(node["pred"])
+    return (
+        f"CASE WHEN {probe_fmt(node['feat'])} <= {d_fmt(node['thr'])}"
+        f" THEN {_tree_case(node['left'], probe_fmt, d_fmt)}"
+        f" ELSE {_tree_case(node['right'], probe_fmt, d_fmt)} END"
+    )
+
+
+def _d(x: float) -> str:
+    """Exact double literal for BOTH engines: bare decimals parse as
+    DECIMAL in Spark SQL and DuckDB alike (CLAUDE.md trap) — ride
+    repr() through CAST(VARCHAR AS DOUBLE), which is correctly-rounded
+    strtod on each side."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+# ---------------------------------------------------------------- Spark side
+
+
+def _tree_col(node: dict, emb: str) -> Column:
+    """One tree as a Catalyst expression via a SINGLE F.expr parse —
+    building ~500 nodes through the Column API costs thousands of
+    py4j round-trips (~5 s of pure driver time, measured), where the
+    JVM-side SQL parser takes milliseconds on the same text."""
+    return F.expr(
+        _tree_case(
+            node,
+            lambda f: f"CAST(element_at({emb}, {f + 1}) AS DOUBLE)",
+            _d,
+        )
+    )
+
+
+def classify(df: DataFrame, model: dict, emb: str = "embedding") -> DataFrame:
+    """Hard-vote RF inference: adds ``predicted_label`` (the original
+    label value the winning class index maps back to, via the
+    exported StringIndexer labels) and ``votes_top`` (the winning
+    vote count), both INT. Pure projection — no shuffle, no UDF.
+
+    Expression-size discipline: the ensemble subtree (~500 CASE
+    nodes) must appear exactly ONCE in the plan or codegen blows the
+    64 KB JVM method limit — so votes/counts are staged through
+    intermediate columns, counts fold over a literal class sequence
+    (transform+filter HOFs reference `_votes` a single time), and
+    CollapseProject keeps `_cnts` un-inlined because a non-cheap
+    producer used 3x is never collapsed."""
+    labels = model["labels"]
+    votes = F.array(*[_tree_col(t, emb) for t in model["trees"]])
+    # counts[c] = number of trees voting class c; argmax via
+    # array_position (first occurrence -> smallest-index tie-break).
+    cnts = F.transform(
+        F.sequence(F.lit(0), F.lit(len(labels) - 1)),
+        lambda c: F.size(F.filter(F.col("_votes"), lambda v: v == c)),
+    )
+    top = F.array_max("_cnts")
+    idx = F.array_position("_cnts", top)  # 1-based
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    return (
+        df.withColumn("_votes", votes)
+        .withColumn("_cnts", cnts)
+        .withColumn("predicted_label", F.element_at(label_arr, idx.cast("int")).cast("int"))
+        .withColumn("votes_top", top.cast("int"))
+        .drop("_votes", "_cnts")
+    )
+
+
+# --------------------------------------------------------------- DuckDB twin
+
+
+def _tree_sql(node: dict, emb: str) -> str:
+    return _tree_case(node, lambda f: f"CAST({emb}[{f + 1}] AS DOUBLE)", _d)
+
+
+def rf_sql_twin(model: dict, table: str = "embeddings", emb: str = "embedding") -> str:
+    """DuckDB replay of :func:`classify` over ``table`` — same trees,
+    same hard-vote rule, same tie-break (list_position = first max)."""
+    labels = model["labels"]
+    votes = ", ".join(_tree_sql(t, emb) for t in model["trees"])
+    counts = ", ".join(
+        f"CAST(len(list_filter(votes, x -> x = {c})) AS INT)" for c in range(len(labels))
+    )
+    label_list = ", ".join(str(x) for x in labels)
+    return f"""
+        WITH v AS (SELECT vec_id, [{votes}] AS votes FROM {table}),
+        c AS (SELECT vec_id, [{counts}] AS cnts FROM v)
+        SELECT vec_id,
+               CAST(([{label_list}])[list_position(cnts, list_max(cnts))] AS INT)
+                   AS predicted_label,
+               CAST(list_max(cnts) AS INT) AS votes_top
+        FROM c
+    """
+
+
+# ------------------------------------------------------------ pure replica
+
+
+def predict_row(model: dict, embedding: list[float]) -> tuple[int, int]:
+    """Pure-Python replica of the hard-vote rule for parity tests."""
+    labels = model["labels"]
+    counts = [0] * len(labels)
+    for tree in model["trees"]:
+        node = tree
+        while "pred" not in node:
+            node = (
+                node["left"]
+                if float(embedding[node["feat"]]) <= node["thr"]
+                else node["right"]
+            )
+        counts[node["pred"]] += 1
+    top = max(counts)
+    return labels[counts.index(top)], top
