@@ -302,7 +302,9 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--version", type=int, default=None)
     lk.add_argument("--as-of", type=float, default=None,
                     help="unix-seconds timestamp time travel (show)")
-    lk.add_argument("--limit", type=int, default=20)
+    lk.add_argument("--limit", type=int, default=20,
+                    help="show: max rows to collect (default 20; "
+                    "0 = explicit full-table opt-in)")
     lk.add_argument("--target-rows", type=int, default=1_000_000)
     lk.add_argument("--by", default=None, help="cluster columns a,b")
     lk.add_argument("--dest", default=None, help="clone destination")

@@ -332,52 +332,55 @@ def lsh_candidates(
     max_bucket co-hashing docs. `max_bucket=None` disables the
     split (byte-level plan parity with the uncapped form).
 
-    The cap is PROBED, not always-on (r6 — this was s3/d3's
-    unattributed r5 bench cost): one metadata-scale max-occupancy
-    action decides whether any bucket exceeds the cap, and the
-    splits join + cell column enter the plan only when one does.
-    Row-identical either way — an under-cap corpus gets _splits=1 ⇒
-    _cell=0 everywhere, so the split machinery was a no-op that
-    still paid an extra join per run."""
+    The cap rides a broadcast of the OVER-CAP buckets only (r7 —
+    supersedes r6's driver-side probe action, which tools/
+    exp_d3_variants.py measured at +0.55 s/run over the checkpoint
+    floor at sf0.1: a blocking two-stage aggregate job per run,
+    where this shape is measurement-indistinguishable from no cap
+    machinery at all). `hot` = buckets with _n > max_bucket is
+    EMPTY for every sane corpus, so the left broadcast-hash join is
+    a map-side no-op lookup — no extra driver action, no shuffle
+    barrier, no second checkpoint; the occupancy aggregate runs
+    map-side-combined inside the broadcast subtree over the already-
+    checkpointed banded frame. Row-identical either way: under-cap
+    rows get _splits NULL ⇒ _cell = 0 everywhere. The broadcast is
+    bounded by rows·bands/max_bucket entries (only bucket KEYS over
+    the cap ship, never members), degenerate all-hot corpora
+    included."""
     banded = band_keys(signatures, bands, rows)
     cell_cond = F.lit(True)
     if max_bucket is not None:
         # checkpoint the (doc_id, band_id, band_key) frame — 3 narrow
-        # columns — BEFORE probing: the probe action would otherwise
-        # re-run the full upstream signature build (sig is lazy by
-        # design), and the self-join below now reads the checkpoint
-        # twice instead of computing band_keys(signatures) per side
+        # columns — so the hot-bucket aggregate and both self-join
+        # sides read one materialization instead of re-running the
+        # full signature build (sig is lazy by design)
         banded = banded.localCheckpoint(eager=True)
-        occupancy = banded.groupBy("band_id", "band_key").agg(
-            F.count("*").alias("_n")
-        )
-        mx = occupancy.agg(F.max("_n")).first()[0] or 0
-        if mx > max_bucket:
-            splits = occupancy.select(
+        hot = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select(
                 "band_id",
                 "band_key",
-                F.greatest(
-                    F.lit(1),
-                    F.ceil(F.col("_n") / F.lit(max_bucket)),
-                ).cast("bigint").alias("_splits"),
+                F.ceil(F.col("_n") / F.lit(max_bucket)).cast("bigint").alias("_splits"),
             )
-            banded = (
-                banded.join(splits, ["band_id", "band_key"])
-                .withColumn(
-                    "_cell",
-                    hash60(
-                        F.concat_ws(
-                            ":",
-                            F.lit("bcell"),
-                            F.col("doc_id").cast("string"),
-                        )
+        )
+        banded = (
+            banded.join(F.broadcast(hot), ["band_id", "band_key"], "left")
+            .withColumn(
+                "_cell",
+                hash60(
+                    F.concat_ws(
+                        ":",
+                        F.lit("bcell"),
+                        F.col("doc_id").cast("string"),
                     )
-                    % F.col("_splits"),
                 )
-                .drop("_splits")
-                .localCheckpoint(eager=True)
+                % F.coalesce(F.col("_splits"), F.lit(1)),
             )
-            cell_cond = F.col("a._cell") == F.col("b._cell")
+            .drop("_splits")
+        )
+        cell_cond = F.col("a._cell") == F.col("b._cell")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

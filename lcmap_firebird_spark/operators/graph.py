@@ -147,6 +147,7 @@ def pagerank_quantized(
     dst_col: str = "dst",
     pre_distinct: bool = False,
     nodes: DataFrame | None = None,
+    validate: bool | None = None,
 ) -> DataFrame:
     """(node, pr_q) — PageRank in EXACT INTEGER arithmetic: ranks are
     int64 mass units out of `scale`, each round computes
@@ -178,12 +179,33 @@ def pagerank_quantized(
     distinct + checkpoint; `nodes` supplies a MATERIALIZED distinct
     (node) frame covering exactly the edge endpoints, skipping the
     union-distinct derivation. Results are row-identical either way
-    (asserted in test_graph)."""
+    (asserted in test_graph).
+
+    The knobs are a CONTRACT, not a hint — a non-distinct edge frame
+    under `pre_distinct=True` double-counts mass, and a `nodes`
+    frame missing an endpoint silently drops its rank row. Pass
+    `validate=True` (or set SPARK_GRAFT_VALIDATE_SHARED_FRAMES=1) to
+    pay three metadata-scale actions that turn either misuse into a
+    ValueError; production callers (minhash_clusters) satisfy the
+    contract by construction and leave it off."""
+    import os
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    if validate is None:
+        validate = os.environ.get(
+            "SPARK_GRAFT_VALIDATE_SHARED_FRAMES", ""
+        ) not in ("", "0")
     if not pre_distinct:
         e = e.distinct().localCheckpoint(eager=True)
+    elif validate and not (
+        e.groupBy("src", "dst").count().filter(F.col("count") > 1).isEmpty()
+    ):
+        raise ValueError(
+            "pagerank_quantized(pre_distinct=True): edge frame has "
+            "duplicate (src, dst) rows — mass would double-count"
+        )
     if nodes is None:
         nodes = (
             e.select(F.col("src").alias("node"))
@@ -193,6 +215,25 @@ def pagerank_quantized(
         )
     else:
         nodes = nodes.select("node")
+        if validate:
+            if not nodes.groupBy("node").count().filter(
+                F.col("count") > 1
+            ).isEmpty():
+                raise ValueError(
+                    "pagerank_quantized(nodes=...): node frame has "
+                    "duplicate rows — ranks would emit per copy"
+                )
+            uncovered = (
+                e.select(F.col("src").alias("node"))
+                .unionByName(e.select(F.col("dst").alias("node")))
+                .join(nodes, "node", "left_anti")
+            )
+            if not uncovered.isEmpty():
+                raise ValueError(
+                    "pagerank_quantized(nodes=...): node frame does "
+                    "not cover every edge endpoint — uncovered nodes "
+                    "would lose their rank rows"
+                )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("pr_q", F.lit(None).cast("bigint"))

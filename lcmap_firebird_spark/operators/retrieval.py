@@ -22,11 +22,18 @@ Scoring: score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl))
 with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) — the Robertson/
 Sparck-Jones variant that stays positive.
 
-At 100 TB the postings build is the dominant shuffle (terms are
-Zipf-skewed; AQE skew splitting or salting the hottest terms applies
-— see operators/skew.py); scoring traffic is bounded by
-|query terms| × their posting lists, the classic inverted-index
-bound.
+At 100 TB the postings build is the dominant shuffle, but its
+groupBy key is (doc_id, term) — doc_id spreads even a Zipf-hot term
+across reducers, and salting the tf aggregate is structurally a
+no-op anyway (duplicate tokens of one doc are IDENTICAL rows, and a
+deterministic row-content salt maps identical rows to one bucket).
+The aggregate Zipf skew actually hits is DOCUMENT FREQUENCY: one
+hot term's posting list is a single group. `doc_frequency(salt=k)`
+routes that through skew.salted_agg_count's two-level aggregate —
+row-identical, plan-asserted in tests/test_skew.py — and
+bm25_topk(salt_terms=k) opts the whole pipeline in; scoring traffic
+stays bounded by |query terms| × their posting lists, the classic
+inverted-index bound.
 """
 
 from __future__ import annotations
@@ -49,6 +56,27 @@ def postings(
         F.explode(tokens(text_col)).alias("term"),
     )
     return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def doc_frequency(post: DataFrame, salt: int | None = None) -> DataFrame:
+    """(term, df) from a (doc_id, term, tf) postings frame — postings
+    hold one row per (doc, term), so a row count per term IS the
+    document frequency.
+
+    `salt=k` opts into skew.salted_agg_count's two-level aggregate
+    for Zipf-hot terms: partial counts per (term, salt-of-row) spread
+    one hot term's posting list over k reducers before the k-row
+    merge. Row-identical to the plain aggregate (count is algebraic);
+    the plain form already map-side-combines, so the salt only pays
+    off where partial aggregation is defeated (high-cardinality
+    accumulators, applyInPandas aggregates) or partials are disabled."""
+    if salt is None:
+        return post.groupBy("term").agg(F.count("*").alias("df"))
+    from .skew import salted_agg_count
+
+    return salted_agg_count(post, ["term"], salt=salt).withColumnRenamed(
+        "n", "df"
+    )
 
 
 def doc_lengths(
@@ -98,7 +126,7 @@ def bm25_quantized(
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # one tf frame, two consumers (df-counts + scoring) — rule 15
     tf = tf.localCheckpoint(eager=True)
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfreq = doc_frequency(tf)
 
     # per-doc length is doc-count-sized metadata (8 bytes/doc) with
     # two consumers (stats action + scoring join) — checkpoint once
@@ -221,13 +249,16 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query",
+    salt_terms: int | None = None,
 ) -> DataFrame:
     """Top-k corpus docs per query by BM25.
 
     Returns (query_id, doc_id, score, rank), rank 1-based, ties
     broken by doc_id (deterministic). Query terms are deduplicated
     (standard bag-of-words query model: each distinct query term
-    contributes once)."""
+    contributes once). `salt_terms=k` routes the document-frequency
+    aggregate through the two-level salted form (see doc_frequency)
+    for Zipf-hot query terms — row-identical output."""
     # ONE tokenization pass: doc lengths and corpus stats derive
     # from the postings (sum of tf per doc == token count exactly),
     # not from re-running the tokenizer over the corpus two more
@@ -268,9 +299,7 @@ def bm25_topk(
     rel = post.join(
         F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
     ).localCheckpoint(eager=True)
-    dfreq = rel.groupBy("term").agg(
-        F.count("*").alias("df")
-    )  # one row per (doc, term) => count = doc frequency
+    dfreq = doc_frequency(rel, salt=salt_terms)
 
     scored = (
         rel.join(F.broadcast(qterms), "term")

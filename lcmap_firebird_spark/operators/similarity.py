@@ -499,42 +499,43 @@ def _bucket_pairs(
         ).localCheckpoint(eager=True)
         cell_cond = F.lit(True)
         if max_bucket is not None:
-            # probe max occupancy on the checkpointed frame (one
-            # metadata-scale action) and build the cell split ONLY
-            # when a bucket actually exceeds the cap — an under-cap
-            # corpus gets _splits=1 ⇒ _cell=0 everywhere, so the
-            # always-on machinery was a row-identical no-op that
-            # still paid a join + a wider checkpoint (r6: this was
-            # s3's unattributed r5 bench cost)
-            occupancy = b.groupBy("bucket").agg(
-                F.count("*").alias("_n")
-            )
-            mx = occupancy.agg(F.max("_n")).first()[0] or 0
-            if mx > max_bucket:
-                splits = occupancy.select(
+            # broadcast the OVER-CAP buckets only (r7 — supersedes
+            # r6's per-table driver-side probe action; see
+            # operators/dedup.lsh_candidates for the measured
+            # attribution): `hot` is empty for every sane corpus, so
+            # the left broadcast-hash join is a map-side no-op
+            # lookup with no extra action, no shuffle barrier, and
+            # no second checkpoint. Under-cap rows get _splits NULL
+            # ⇒ _cell = 0 everywhere — row-identical to the
+            # uncapped plan. Only over-cap bucket KEYS ship
+            # (bounded by rows/max_bucket per table, never members).
+            hot = (
+                b.groupBy("bucket")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") > max_bucket)
+                .select(
                     "bucket",
-                    F.greatest(
-                        F.lit(1),
-                        F.ceil(F.col("_n") / F.lit(max_bucket)),
-                    ).cast("bigint").alias("_splits"),
+                    F.ceil(F.col("_n") / F.lit(max_bucket))
+                    .cast("bigint")
+                    .alias("_splits"),
                 )
-                b = (
-                    b.join(splits, "bucket")
-                    .withColumn(
-                        "_cell",
-                        hash60(
-                            F.concat_ws(
-                                ":",
-                                F.lit(f"vcell:{t}"),
-                                F.col("vec_id").cast("string"),
-                            )
+            )
+            b = (
+                b.join(F.broadcast(hot), "bucket", "left")
+                .withColumn(
+                    "_cell",
+                    hash60(
+                        F.concat_ws(
+                            ":",
+                            F.lit(f"vcell:{t}"),
+                            F.col("vec_id").cast("string"),
                         )
-                        % F.col("_splits"),
                     )
-                    .drop("_splits")
-                    .localCheckpoint(eager=True)
+                    % F.coalesce(F.col("_splits"), F.lit(1)),
                 )
-                cell_cond = F.col("a._cell") == F.col("c._cell")
+                .drop("_splits")
+            )
+            cell_cond = F.col("a._cell") == F.col("c._cell")
         a = b.alias("a")
         c = b.alias("c")
         ident = (

@@ -84,6 +84,21 @@ def test_lake_cli_lifecycle(spark, roots, capsys):
     assert json.loads(out)["rows"] == 50
 
 
+def test_lake_cli_show_caps_output_by_default(spark, roots, capsys):
+    """`lake show` must never collect the whole table unless the user
+    explicitly opts in with --limit 0 (VERDICT r6 #3): the default
+    --limit is 20, so a fat-fingered show on a fat table stays a
+    20-row driver collect."""
+    root, _, _ = roots
+    assert main(["lake", "show", "--root", root]) == 0
+    out = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln]
+    assert len(out) == 20  # table has 50 rows; default cap is 20
+
+    assert main(["lake", "show", "--root", root, "--limit", "0"]) == 0
+    out = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln]
+    assert len(out) == 50  # explicit opt-in reads everything
+
+
 def test_lake_cli_validation(spark, roots, capsys):
     root, _, _ = roots
     assert main(["lake", "merge", "--root", root]) == 2

@@ -161,6 +161,53 @@ def test_pagerank_quantized_shared_frames_row_identical(spark):
     assert shared == default
 
 
+def test_pagerank_quantized_validate_catches_knob_misuse(spark):
+    """The frame-sharing knobs are a contract (VERDICT r6 #2): with
+    validate=True, a duplicate edge under pre_distinct=True, a
+    duplicate node row, or a nodes frame missing an endpoint each
+    raise instead of silently mis-ranking. The honest caller passes
+    validation and stays row-identical."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lcmap_firebird_spark.operators.graph import pagerank_quantized
+
+    edges = spark.createDataFrame(
+        sorted(set(SYM)), "src long, dst long"
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # honest frames pass with validation on
+    ok = pagerank_quantized(
+        edges, n_iter=2, pre_distinct=True, nodes=nodes, validate=True
+    )
+    assert ok.count() == nodes.count()
+
+    dup_edges = edges.unionByName(edges.limit(1))
+    with pytest.raises(ValueError, match="duplicate \\(src, dst\\)"):
+        pagerank_quantized(
+            dup_edges, n_iter=2, pre_distinct=True, validate=True
+        )
+
+    dup_nodes = nodes.unionByName(nodes.limit(1))
+    with pytest.raises(ValueError, match="duplicate rows"):
+        pagerank_quantized(
+            edges, n_iter=2, pre_distinct=True, nodes=dup_nodes,
+            validate=True,
+        )
+
+    missing = nodes.join(nodes.limit(1), "node", "left_anti")
+    with pytest.raises(ValueError, match="does not cover"):
+        pagerank_quantized(
+            edges, n_iter=2, pre_distinct=True, nodes=missing,
+            validate=True,
+        )
+
+
 def test_pagerank_quantized_duckdb_twin(spark):
     """The unrolled-CTE SQL recipe used by the d7 oracle reproduces
     pagerank_quantized bit-for-bit on a degree-asymmetric graph."""

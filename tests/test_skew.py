@@ -40,3 +40,69 @@ def test_salted_agg_count_matches(spark, skewed):
     got = {r.k: r.n for r in salted_agg_count(skewed, ["k"], salt=4).collect()}
     want = {r.k: r["count"] for r in skewed.groupBy("k").count().collect()}
     assert got == want
+
+
+# --- BM25 document-frequency salting (VERDICT r6 #5) -----------------------
+
+
+@pytest.fixture(scope="module")
+def hot_term_corpus(spark):
+    # every doc contains the Zipf-hot term "the"; each also carries a
+    # unique discriminating term and a repeated filler so tf > 1
+    rows = [
+        (i, f"the the uniq{i} filler{i % 7} the uniq{i}")
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_frequency_salted_row_identical(spark, hot_term_corpus):
+    from lcmap_firebird_spark.operators.retrieval import (
+        doc_frequency,
+        postings,
+    )
+
+    post = postings(hot_term_corpus).localCheckpoint(eager=True)
+    plain = {r.term: r.df for r in doc_frequency(post).collect()}
+    salted = {r.term: r.df for r in doc_frequency(post, salt=8).collect()}
+    assert salted == plain
+    assert plain["the"] == 400  # the hot term really is hot
+
+
+def test_doc_frequency_salted_plan_is_two_level(spark, hot_term_corpus):
+    """The salted plan must actually spread the hot group: a partial
+    aggregate keyed by (term, _salt) under a merge keyed by term —
+    i.e. the salt column reaches the first-level grouping and is gone
+    from the output."""
+    from lcmap_firebird_spark.operators.retrieval import (
+        doc_frequency,
+        postings,
+    )
+
+    post = postings(hot_term_corpus)
+    salted = doc_frequency(post, salt=8)
+    assert salted.columns == ["term", "df"]
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    # first-level grouping carries the salt key...
+    assert "_salt" in plan, "salt column never reached the plan"
+    # ...and a second level merges the partials per term
+    assert "sum(_n" in plan or "partial_sum(_n" in plan
+
+
+def test_bm25_topk_salted_row_identical(spark, hot_term_corpus):
+    """bm25_topk(salt_terms=8) == bm25_topk() exactly. Single-term
+    queries keep every per-doc score a one-element sum, so float
+    equality is exact (no reassociation surface)."""
+    from lcmap_firebird_spark.operators.retrieval import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(1, "the"), (2, "uniq3"), (3, "filler2")],
+        "query_id long, query string",
+    )
+    plain = bm25_topk(hot_term_corpus, queries, k=5).collect()
+    salted = bm25_topk(hot_term_corpus, queries, k=5, salt_terms=8).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, plain), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, salted), key=lambda t: (t[0], t[3])
+    )
+    assert len(plain) > 0
