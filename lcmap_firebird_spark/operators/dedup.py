@@ -346,7 +346,13 @@ def lsh_candidates(
     rows get _splits NULL ⇒ _cell = 0 everywhere. The broadcast is
     bounded by rows·bands/max_bucket entries (only bucket KEYS over
     the cap ship, never members), degenerate all-hot corpora
-    included."""
+    included. Known trade: the hot subtree sits under BOTH self-join
+    sides and Spark's exchange reuse does not currently canonicalize
+    the two broadcast stages, so the occupancy aggregate runs twice —
+    two map-side-combined passes over the in-memory checkpoint
+    (measured invisible at sf0.1; at cluster scale it is parallel
+    map work with a keys-only shuffle, still cheaper than r6's
+    blocking probe which paid one such pass PLUS a driver barrier)."""
     banded = band_keys(signatures, bands, rows)
     cell_cond = F.lit(True)
     if max_bucket is not None:
@@ -751,18 +757,30 @@ def dedup_clusters(
     # multi-tenant deployment should give CC its own session (configs
     # are per-SparkSession, contexts shared).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # tiny-graph fast path (the pagerank loops' BROADCAST_RANKS_MAX
+    # rule): per-round label/nbr_min/jump frames are 16 bytes/vertex —
+    # under the gate they broadcast, so the edge frame and the label
+    # frame are never re-shuffled inside the loop (only the nbr_min
+    # groupBy reduces). Above the gate the shuffle joins are the
+    # correct 100 TB shape. Label values are join-strategy-
+    # independent, so convergence and output are row-identical.
+    from .graph import BROADCAST_RANKS_MAX
+
+    tiny = (n_vertices or 0) <= BROADCAST_RANKS_MAX
+    bc = F.broadcast if tiny else (lambda df: df)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         for _ in range(max_iter):
             nbr_min = (
                 sym.join(
-                    labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
+                    bc(labels.select(F.col("doc_id").alias("dst"), "label")),
+                    "dst",
                 )
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
                 .withColumnRenamed("src", "doc_id")
             )
-            stepped = labels.join(nbr_min, "doc_id", "left").select(
+            stepped = labels.join(bc(nbr_min), "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
@@ -772,7 +790,7 @@ def dedup_clusters(
             jump = stepped.select(
                 F.col("doc_id").alias("label"), F.col("label").alias("label2")
             )
-            new_labels = stepped.join(jump, "label", "left").select(
+            new_labels = stepped.join(bc(jump), "label", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce("label2", F.col("label"))

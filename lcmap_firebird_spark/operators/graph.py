@@ -31,6 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Per-iteration rank frames are 16 bytes/vertex; under this vertex
+# count the loop broadcasts them (≤ ~32 MB) so the degree-annotated
+# edge frame is never re-shuffled inside the loop. Above it, the
+# shuffle join is the correct 100 TB shape (rank frame no longer
+# driver/executor-memory-safe to ship).
+BROADCAST_RANKS_MAX = 2_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -105,9 +112,18 @@ def pagerank(
         # seed action: materialize ranks₀ and read its dangling mass
         _, dangling = _stats(ranks, ranks)
         for _ in range(max_iter):
+            r_side = ranks.select(F.col("node").alias("src"), "rank")
+            if n <= BROADCAST_RANKS_MAX:
+                # tiny-graph fast path (PLANS broadcast rule): ship
+                # the 16-byte/vertex rank frame to the mappers so the
+                # (much larger) degree-annotated edge frame is never
+                # re-shuffled — one edge shuffle per ITERATION becomes
+                # zero; only the post-join groupBy reduces. The 100 TB
+                # path (n beyond the gate) keeps the shuffle join.
+                r_side = F.broadcast(r_side)
             contribs = (
                 ed.join(
-                    ranks.select(F.col("node").alias("src"), "rank"),
+                    r_side,
                     "src",
                 )
                 .groupBy("dst")
@@ -254,11 +270,15 @@ def pagerank_quantized(
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         for _ in range(n_iter):
+            r_side = ranks.select(F.col("node").alias("src"), "pr_q")
+            if n <= BROADCAST_RANKS_MAX:
+                # same tiny-graph broadcast as the float loop: exact
+                # integer results are join-strategy-independent, so
+                # the oracle twin is unaffected (asserted in
+                # test_graph's replica/twin parity)
+                r_side = F.broadcast(r_side)
             contribs = (
-                ed.join(
-                    ranks.select(F.col("node").alias("src"), "pr_q"),
-                    "src",
-                )
+                ed.join(r_side, "src")
                 .groupBy("dst")
                 .agg(F.expr("sum(pr_q div deg)").alias("_s"))
             )
