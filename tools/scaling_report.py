@@ -39,8 +39,9 @@ PICKS = [
     "x5_upsert",               # transactional lake MERGE (r5)
     "t2_lang_id_nb",           # NB train+score explode (r5 late)
     "d7_clusters_pagerank",    # CC + PageRank loops (r5 late)
-    "s3_knn_lsh",              # LSH ANN + probed hot-bucket cap (r6)
+    "s3_knn_lsh",              # LSH ANN + broadcast hot-bucket cap (r7)
     "t1_token_stats",          # token stats + quantized BM25 (r6)
+    "ml1_rf_classify",         # ensemble CASE replay, map-only (r7)
 ]
 
 
