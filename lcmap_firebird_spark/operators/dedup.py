@@ -310,11 +310,62 @@ def band_keys(signatures: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame
     ).select("doc_id", "band.band_id", "band.band_key")
 
 
+def cap_hot_buckets(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    tag: str,
+    max_bucket: int,
+    hot_broadcast: bool = True,
+) -> DataFrame:
+    """Shared hot-bucket cap of lsh_candidates and the ANN bucket
+    self-join (similarity._bucket_pairs) — one implementation so the
+    two candidate families can never drift (the r5→r7 cap redesigns
+    had to edit both files in lockstep each time). Adds a `_cell`
+    column: rows of a bucket with more than `max_bucket` members are
+    split into ceil(n/max_bucket) deterministic hash cells (pure
+    function of the row id — retry/recompute-stable), everything
+    else gets cell 0 via coalesce(_splits, 1). Full design rationale
+    and the measured three-shape ladder live on lsh_candidates'
+    docstring and PLANS.md rule 30.
+
+    `hot_broadcast=True` (default) pins the over-cap key frame —
+    empty for every sane corpus — as a broadcast: the common case is
+    a map-side lookup against an empty hash relation, zero driver
+    actions. The hot-key count is bounded by rows(df)/max_bucket
+    (only KEYS ship, never members), but a pathologically templated
+    corpus can push that bound itself past broadcast scale (~10⁷
+    keys); such deployments pass `hot_broadcast=False`, dropping the
+    hint so AQE sizes the join from the hot frame's RUNTIME stats —
+    still broadcast when tiny, shuffle-safe when not."""
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(
+            *keys,
+            F.ceil(F.col("_n") / F.lit(max_bucket)).cast("bigint").alias("_splits"),
+        )
+    )
+    if hot_broadcast:
+        hot = F.broadcast(hot)
+    return (
+        df.join(hot, list(keys), "left")
+        .withColumn(
+            "_cell",
+            hash60(F.concat_ws(":", F.lit(tag), F.col(id_col).cast("string")))
+            % F.coalesce(F.col("_splits"), F.lit(1)),
+        )
+        .drop("_splits")
+    )
+
+
 def lsh_candidates(
     signatures: DataFrame,
     bands: int = 4,
     rows: int = 4,
     max_bucket: int | None = 100_000,
+    hot_broadcast: bool = True,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all `rows` hashes of any band
     become a candidate pair. One explode + one self-join on the band
@@ -345,14 +396,16 @@ def lsh_candidates(
     checkpointed banded frame. Row-identical either way: under-cap
     rows get _splits NULL ⇒ _cell = 0 everywhere. The broadcast is
     bounded by rows·bands/max_bucket entries (only bucket KEYS over
-    the cap ship, never members), degenerate all-hot corpora
-    included. Known trade: the hot subtree sits under BOTH self-join
-    sides and Spark's exchange reuse does not currently canonicalize
-    the two broadcast stages, so the occupancy aggregate runs twice —
-    two map-side-combined passes over the in-memory checkpoint
-    (measured invisible at sf0.1; at cluster scale it is parallel
-    map work with a keys-only shuffle, still cheaper than r6's
-    blocking probe which paid one such pass PLUS a driver barrier)."""
+    the cap ship, never members); `hot_broadcast=False` is the
+    escape hatch for corpora where even that bound outgrows a
+    broadcast (see cap_hot_buckets). Known trade: the hot subtree
+    sits under BOTH self-join sides and Spark's exchange reuse does
+    not currently canonicalize the two broadcast stages, so the
+    occupancy aggregate runs twice — two map-side-combined passes
+    over the in-memory checkpoint (measured invisible at sf0.1; at
+    cluster scale it is parallel map work with a keys-only shuffle,
+    still cheaper than r6's blocking probe which paid one such pass
+    PLUS a driver barrier)."""
     banded = band_keys(signatures, bands, rows)
     cell_cond = F.lit(True)
     if max_bucket is not None:
@@ -361,30 +414,13 @@ def lsh_candidates(
         # sides read one materialization instead of re-running the
         # full signature build (sig is lazy by design)
         banded = banded.localCheckpoint(eager=True)
-        hot = (
-            banded.groupBy("band_id", "band_key")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select(
-                "band_id",
-                "band_key",
-                F.ceil(F.col("_n") / F.lit(max_bucket)).cast("bigint").alias("_splits"),
-            )
-        )
-        banded = (
-            banded.join(F.broadcast(hot), ["band_id", "band_key"], "left")
-            .withColumn(
-                "_cell",
-                hash60(
-                    F.concat_ws(
-                        ":",
-                        F.lit("bcell"),
-                        F.col("doc_id").cast("string"),
-                    )
-                )
-                % F.coalesce(F.col("_splits"), F.lit(1)),
-            )
-            .drop("_splits")
+        banded = cap_hot_buckets(
+            banded,
+            ("band_id", "band_key"),
+            "doc_id",
+            "bcell",
+            max_bucket,
+            hot_broadcast,
         )
         cell_cond = F.col("a._cell") == F.col("b._cell")
     a = banded.alias("a")

@@ -212,7 +212,7 @@ def pagerank_quantized(
     if validate is None:
         validate = os.environ.get(
             "SPARK_GRAFT_VALIDATE_SHARED_FRAMES", ""
-        ) not in ("", "0")
+        ).strip().lower() in ("1", "true", "yes", "on")
     if not pre_distinct:
         e = e.distinct().localCheckpoint(eager=True)
     elif validate and not (

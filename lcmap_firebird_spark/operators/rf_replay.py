@@ -104,21 +104,24 @@ def classify(df: DataFrame, model: dict, emb: str = "embedding") -> DataFrame:
     producer used 3x is never collapsed."""
     labels = model["labels"]
     votes = F.array(*[_tree_col(t, emb) for t in model["trees"]])
+    # staging columns carry a collision-proof prefix: classify() is a
+    # library transform, so a caller's own _votes/_cnts must survive
+    vc, cc = "__rf_votes__", "__rf_cnts__"
     # counts[c] = number of trees voting class c; argmax via
     # array_position (first occurrence -> smallest-index tie-break).
     cnts = F.transform(
         F.sequence(F.lit(0), F.lit(len(labels) - 1)),
-        lambda c: F.size(F.filter(F.col("_votes"), lambda v: v == c)),
+        lambda c: F.size(F.filter(F.col(vc), lambda v: v == c)),
     )
-    top = F.array_max("_cnts")
-    idx = F.array_position("_cnts", top)  # 1-based
+    top = F.array_max(cc)
+    idx = F.array_position(cc, top)  # 1-based
     label_arr = F.array(*[F.lit(x) for x in labels])
     return (
-        df.withColumn("_votes", votes)
-        .withColumn("_cnts", cnts)
+        df.withColumn(vc, votes)
+        .withColumn(cc, cnts)
         .withColumn("predicted_label", F.element_at(label_arr, idx.cast("int")).cast("int"))
         .withColumn("votes_top", top.cast("int"))
-        .drop("_votes", "_cnts")
+        .drop(vc, cc)
     )
 
 

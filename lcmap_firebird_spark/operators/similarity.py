@@ -484,8 +484,6 @@ def _bucket_pairs(
     buckets split into deterministic hash cells pairing internally —
     multi-table unions give a true neighbor num_tables chances to
     share a cell."""
-    from .dedup import hash60
-
     if num_planes is None:
         # derive ONCE: the count() job is identical for every table
         num_planes = derive_num_planes(embeddings.count())
@@ -499,41 +497,16 @@ def _bucket_pairs(
         ).localCheckpoint(eager=True)
         cell_cond = F.lit(True)
         if max_bucket is not None:
-            # broadcast the OVER-CAP buckets only (r7 — supersedes
-            # r6's per-table driver-side probe action; see
-            # operators/dedup.lsh_candidates for the measured
-            # attribution): `hot` is empty for every sane corpus, so
-            # the left broadcast-hash join is a map-side no-op
-            # lookup with no extra action, no shuffle barrier, and
-            # no second checkpoint. Under-cap rows get _splits NULL
-            # ⇒ _cell = 0 everywhere — row-identical to the
-            # uncapped plan. Only over-cap bucket KEYS ship
-            # (bounded by rows/max_bucket per table, never members).
-            hot = (
-                b.groupBy("bucket")
-                .agg(F.count("*").alias("_n"))
-                .filter(F.col("_n") > max_bucket)
-                .select(
-                    "bucket",
-                    F.ceil(F.col("_n") / F.lit(max_bucket))
-                    .cast("bigint")
-                    .alias("_splits"),
-                )
-            )
-            b = (
-                b.join(F.broadcast(hot), "bucket", "left")
-                .withColumn(
-                    "_cell",
-                    hash60(
-                        F.concat_ws(
-                            ":",
-                            F.lit(f"vcell:{t}"),
-                            F.col("vec_id").cast("string"),
-                        )
-                    )
-                    % F.coalesce(F.col("_splits"), F.lit(1)),
-                )
-                .drop("_splits")
+            # the shared over-cap-only broadcast cap (r7 — supersedes
+            # r6's per-table driver-side probe action): see
+            # dedup.cap_hot_buckets and dedup.lsh_candidates for the
+            # design rationale and the measured probe-vs-broadcast
+            # ladder. Row-identical to the uncapped plan whenever no
+            # bucket exceeds the cap.
+            from .dedup import cap_hot_buckets
+
+            b = cap_hot_buckets(
+                b, ("bucket",), "vec_id", f"vcell:{t}", max_bucket
             )
             cell_cond = F.col("a._cell") == F.col("c._cell")
         a = b.alias("a")

@@ -101,7 +101,6 @@ def test_bm25_topk_salted_row_identical(spark, hot_term_corpus):
     )
     plain = bm25_topk(hot_term_corpus, queries, k=5).collect()
     salted = bm25_topk(hot_term_corpus, queries, k=5, salt_terms=8).collect()
-    key = lambda r: (r.query_id, r.rank)  # noqa: E731
     assert sorted(map(tuple, plain), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, salted), key=lambda t: (t[0], t[3])
     )
