@@ -299,3 +299,19 @@ def test_lsh_candidates_hot_bucket_cap(spark):
     assert sorted(map(tuple, same.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+    # hot_broadcast=False (the AQE escape hatch for corpora whose
+    # over-cap key count outgrows a broadcast) is pair-identical in
+    # BOTH regimes and really drops the hint from the plan
+    for cap, want in ((10, capped), (100_000, uncapped)):
+        unhinted = lsh_candidates(sigs, max_bucket=cap, hot_broadcast=False)
+        assert sorted(map(tuple, unhinted.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    hinted_plan = lsh_candidates(
+        sigs, max_bucket=10
+    )._jdf.queryExecution().optimizedPlan().toString()
+    unhinted_plan = lsh_candidates(
+        sigs, max_bucket=10, hot_broadcast=False
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in hinted_plan.lower()
+    assert "broadcast" not in unhinted_plan.lower()
