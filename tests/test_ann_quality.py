@@ -1,0 +1,94 @@
+"""ANN quality harness: recall@k of the approximate paths (LSH
+bucketed, IVF probed) against the exact brute-force oracle.
+
+The bench/registry slots certify these operators' VALUES are
+engine-exact (quantized cosine, driver oracles); this suite certifies
+their RETRIEVAL QUALITY — the recall traded for replacing the
+all-pairs product with bucketed candidates — on a corpus that
+actually has neighborhood structure (20 tight clusters; the driver's
+synthetic embeddings are near-orthogonal, where any angular-hash
+method is structurally blind: measured lsh recall ≈ 0.04-0.07 there
+vs ≈ 0.5-0.7 here). All inputs and operators are deterministic
+(seeded numpy, derived planes/seeds, quantized scores), so floors
+carry real margin, not noise allowance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lcmap_firebird_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
+
+K = 5
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(7)
+    rows, vid = [], 0
+    for _ in range(20):
+        center = rng.normal(size=64)
+        center /= np.linalg.norm(center)
+        for _ in range(10):
+            v = center + rng.normal(scale=0.05, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+
+
+def _topmap(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r["n_id"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def truth(clustered):
+    return _topmap(knn_bruteforce(clustered, clustered, top_k=K))
+
+
+def _recall(m, truth):
+    vals = [len(m.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    return sum(vals) / len(vals)
+
+
+def test_lsh_recall_and_multi_table_monotonicity(clustered, truth):
+    r2 = _recall(_topmap(knn_lsh(clustered, top_k=K, num_tables=2)), truth)
+    r4 = _recall(_topmap(knn_lsh(clustered, top_k=K, num_tables=4)), truth)
+    # measured 0.463 / 0.696 — deterministic, floors carry margin
+    assert r2 >= 0.40
+    assert r4 >= 0.60
+    # more independent tables can only add candidates -> recall
+    assert r4 >= r2
+
+
+def test_ivf_recall_and_nprobe_monotonicity(clustered, truth):
+    r1 = _recall(_topmap(knn_ivf(clustered, top_k=K, nprobe=1)), truth)
+    r2 = _recall(_topmap(knn_ivf(clustered, top_k=K, nprobe=2)), truth)
+    # measured 0.695 / 0.870
+    assert r1 >= 0.60
+    assert r2 >= 0.80
+    # probing more cells can only add candidates -> recall
+    assert r2 >= r1
+
+
+def test_ann_never_returns_false_scores(clustered, truth):
+    """Every ANN hit must carry the EXACT cosine the brute-force path
+    computes (same quantized arithmetic) — approximation may drop
+    neighbors, never mis-score them."""
+    exact = {
+        (r["q_id"], r["n_id"]): r["cosine"]
+        for r in knn_bruteforce(clustered, clustered, top_k=200).collect()
+    }
+    for r in knn_lsh(clustered, top_k=K, num_tables=2).collect():
+        key = (r["q_id"], r["n_id"])
+        if key in exact:  # truth holds all pairs scored within top-200
+            assert r["cosine"] == exact[key]
