@@ -110,3 +110,70 @@ def test_split_rule_matches_mllib_boundary(spark):
     assert got == {1: 4, 2: 9}
     assert predict_row(model, [0.25])[0] == 4
     assert predict_row(model, [0.2500001])[0] == 9
+
+
+def test_randomized_models_triple_engine_parity(spark, oracle):
+    """Seeded random ensembles (varying depth/feature/threshold,
+    including negative zeros, denormal-ish and non-representable
+    decimals) replayed over random float32 vectors: Spark CASE ==
+    DuckDB twin == pure Python on every row. Guards the dialect
+    seams (literal round-trip, float->double promotion, 1-based
+    indexing, tie-breaks) against model shapes the checked-in
+    artifact doesn't happen to exercise."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20250815)
+    weird = [0.0, -0.0, 0.1 + 0.2, 1e-300, -1e-300, 0.25, -1.5, 3e38]
+
+    def gen_tree(depth, n_feat, n_cls):
+        if depth == 0 or rng.random() < 0.3:
+            return {"pred": rng.randrange(n_cls)}
+        thr = rng.choice(weird) if rng.random() < 0.4 else rng.uniform(-1, 1)
+        return {
+            "feat": rng.randrange(n_feat),
+            "thr": float(thr),
+            "left": gen_tree(depth - 1, n_feat, n_cls),
+            "right": gen_tree(depth - 1, n_feat, n_cls),
+        }
+
+    for trial in range(8):
+        n_feat = rng.randint(1, 6)
+        n_cls = rng.randint(2, 5)
+        labels = rng.sample(range(100), n_cls)
+        model = {
+            "n_features": n_feat,
+            "labels": labels,
+            "trees": [gen_tree(3, n_feat, n_cls) for _ in range(rng.randint(1, 7))],
+        }
+        import numpy as np
+
+        vrng = np.random.default_rng(trial)
+        vecs = [
+            [float(np.float32(x)) for x in vrng.normal(scale=0.5, size=n_feat)]
+            for _ in range(25)
+        ]
+        # a few vectors that sit exactly ON thresholds
+        for w in weird[:4]:
+            vecs.append([float(np.float32(w))] * n_feat)
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["vec_id"]: (r["predicted_label"], r["votes_top"])
+            for r in classify(df, model).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])"
+        )
+        con.executemany(
+            "INSERT INTO embeddings VALUES (?, ?)", rows
+        )
+        want = {
+            r[0]: (r[1], r[2]) for r in con.execute(rf_sql_twin(model)).fetchall()
+        }
+        for vid, emb in rows:
+            py = predict_row(model, emb)
+            assert got[vid] == py, f"trial {trial} vec {vid}: spark {got[vid]} != py {py}"
+            assert want[vid] == py, f"trial {trial} vec {vid}: duck {want[vid]} != py {py}"
