@@ -91,14 +91,21 @@ def test_random_op_sequence_matches_dict_model(spark, tmp_path, seed):
                 k: v for k, v in model.items() if not (lo <= k < lo + 300)
             }
         elif op == "apply_changes":
-            ups = [(next_id, f"c{step}", 9.0, "upsert")]
-            model[next_id] = (f"c{step}", 9.0)
-            next_id += 1
+            # pick the delete victim BEFORE inserting the fresh
+            # upsert key into the model: a victim chosen after could
+            # collide with the new id, producing an upsert+delete of
+            # the same key in one batch — which the engine correctly
+            # REJECTS as ambiguous ('duplicate keys in change
+            # batch'; pinned in test_lakehouse.py), found by the
+            # r7 30-seed fuzz (seeds 2024/9999)
             dels = []
             if model:
                 victim = rng.choice(sorted(model))
                 dels = [(victim, None, None, "delete")]
                 model.pop(victim)
+            ups = [(next_id, f"c{step}", 9.0, "upsert")]
+            model[next_id] = (f"c{step}", 9.0)
+            next_id += 1
             t.apply_changes(
                 spark.createDataFrame(
                     ups + dels, _schema() + ", _op string"
