@@ -315,3 +315,60 @@ def test_lsh_candidates_hot_bucket_cap(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" in hinted_plan.lower()
     assert "broadcast" not in unhinted_plan.lower()
+
+
+def test_tune_bands_rows_s_curve_properties():
+    """The tuner must honor the LSH theory: bands·rows == num_perm,
+    higher thresholds get more rows per band (sharper AND), recall
+    bias shifts toward more bands, and the chosen curve really does
+    separate the two sides of the threshold."""
+    from lcmap_firebird_spark.operators.dedup import tune_bands_rows
+
+    import pytest as _pytest
+
+    for t in (0.2, 0.5, 0.8):
+        b, r = tune_bands_rows(t, num_perm=16)
+        assert b * r == 16 and b >= 1 and r >= 1
+    # monotonicity: a stricter threshold never picks FEWER rows
+    rows_at = [tune_bands_rows(t, 16)[1] for t in (0.2, 0.5, 0.8)]
+    assert rows_at == sorted(rows_at)
+    # recall bias: weighting FNs harder never increases rows
+    b1, r1 = tune_bands_rows(0.5, 16, false_negative_weight=1.0)
+    b5, r5 = tune_bands_rows(0.5, 16, false_negative_weight=5.0)
+    assert r5 <= r1
+    # the selected curve separates the threshold: candidate
+    # probability is low well below t and high well above it
+    b, r = tune_bands_rows(0.5, 16)
+    p = lambda s: 1 - (1 - s**r) ** b  # noqa: E731
+    assert p(0.2) < 0.35 < 0.65 < p(0.8)
+    with _pytest.raises(ValueError):
+        tune_bands_rows(0.0)
+    with _pytest.raises(ValueError):
+        tune_bands_rows(1.0)
+
+
+def test_tune_bands_rows_composes_with_pipeline(spark):
+    """End-to-end: tuner-chosen (b, r) drive minhash_dedup and the
+    pair output still verifies against exact Jaccard (the threshold
+    filter downstream guarantees precision regardless of tuning)."""
+    from lcmap_firebird_spark.operators.dedup import (
+        minhash_dedup,
+        tune_bands_rows,
+    )
+
+    b, r = tune_bands_rows(0.5, num_perm=16)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),  # near-dup of 1
+            (3, "one two three four five six"),
+            (4, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup(docs, threshold=0.5, num_perm=16, bands=b, rows=r)
+    got = {(p["doc_a"], p["doc_b"]) for p in pairs.collect()}
+    assert (1, 4) in got          # exact dup always survives
+    assert all(a != 3 and bb != 3 for a, bb in got)  # 3 pairs with no one
+    for p in pairs.collect():
+        assert p["jaccard"] >= 0.5  # verification bound holds
