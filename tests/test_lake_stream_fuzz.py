@@ -1,0 +1,107 @@
+"""Randomized exactly-once resume fuzz for the CDF streaming source.
+
+A seeded random commit sequence (append / merge / COW delete /
+MOR delete / apply_changes) is interleaved with availableNow drains
+at random points — every drain is a full stop/restart from the same
+checkpoint. Invariant: the union of all streamed change rows equals,
+as a multiset, the concatenation of `table_changes(v-1, v)` over
+every data commit — each change row delivered EXACTLY once, no
+matter where the restarts landed. Composes the CDF replay-closure
+contract (test_cdf_closure) with the streaming offset contract
+(offsets are commit versions)."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from lcmap_firebird_spark.lakehouse import LakeTable
+
+SCHEMA = "id long, name string, val double"
+
+
+@pytest.mark.parametrize("seed", [29])
+def test_cdf_stream_exactly_once_under_random_restarts(spark, tmp_path, seed):
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    try:
+        spark.dataSource.register(LakeDataSource)
+    except Exception:
+        pass
+    rng = random.Random(seed)
+    root = str(tmp_path / "fuzztbl")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(i, f"n{i}", float(i)) for i in range(30)], SCHEMA),
+        key_cols=["id"],
+        enable_cdf=True,
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lake")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    next_id = 1000
+    n_drains = 0
+    for step in range(10):
+        op = rng.choice(["append", "merge", "delete", "delete_mor", "apply"])
+        if op == "append":
+            t.append(
+                spark.createDataFrame(
+                    [(next_id, f"a{step}", float(step))], SCHEMA
+                )
+            )
+            next_id += 1
+        elif op == "merge":
+            t.merge(
+                spark.createDataFrame(
+                    [(rng.randrange(30), f"m{step}", step + 0.5)], SCHEMA
+                )
+            )
+        elif op == "delete":
+            lo = rng.randrange(0, 1100)
+            t.delete(f"id >= {lo} AND id < {lo + 15}")
+        elif op == "delete_mor":
+            lo = rng.randrange(0, 1100)
+            t.delete_mor(f"id >= {lo} AND id < {lo + 15}")
+        elif op == "apply":
+            t.apply_changes(
+                spark.createDataFrame(
+                    [(next_id, f"c{step}", 9.0, "upsert")],
+                    SCHEMA + ", _op string",
+                )
+            )
+            next_id += 1
+        if rng.random() < 0.4:  # random restart point
+            drain()
+            n_drains += 1
+    drain()  # final catch-up
+    n_drains += 1
+    assert n_drains >= 2, "fuzz must exercise at least one resume"
+
+    streamed = Counter(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .drop("_commit_version")
+        .collect()
+    )
+    expected: Counter = Counter()
+    for v in range(1, t.latest_version() + 1):
+        for r in t.table_changes(v - 1, v).collect():
+            expected[tuple(r)] += 1
+    assert streamed == expected, f"seed {seed}: streamed feed != per-commit diffs"
