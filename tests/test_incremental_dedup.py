@@ -107,3 +107,39 @@ def test_fp_exact_pairs_for_short_docs(spark):
         for r in withfp.filter("doc_a = 1").collect()
     ]
     assert got == [(1, 3, 1.0)]
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_incremental_equals_batch_random_splits(spark, docs, seed):
+    """Fuzzed form of the invariant: ANY random partition of the
+    corpus into 2-5 arrival batches, folded through the signature
+    store, must union to the one-shot pairs byte-identically —
+    arrival order is an execution detail, never an answer change."""
+    import random
+
+    rng = random.Random(seed)
+    n_batches = rng.randint(2, 5)
+    salt = rng.randrange(1 << 30)
+    assign = (F.xxhash64(F.col("doc_id") + F.lit(salt)) % n_batches
+              + n_batches) % n_batches
+    batches = [docs.filter(assign == i) for i in range(n_batches)]
+    # every doc lands in exactly one batch
+    assert sum(b.count() for b in batches) == docs.count()
+
+    oneshot = _pairs_set(minhash_dedup(docs, threshold=THRESH, exact_first=False))
+
+    store = None
+    corpus = None
+    got = set()
+    for b in batches:
+        if store is None:
+            corpus = b
+            store = I.signature_table(b).cache()
+            got |= _pairs_set(
+                minhash_dedup(b, threshold=THRESH, exact_first=False)
+            )
+            continue
+        corpus = corpus.unionByName(b)
+        got |= _pairs_set(I.incremental_pairs(corpus, store, b, threshold=THRESH))
+        store = I.merge_batch(store, I.signature_table(b)).cache()
+    assert got == oneshot, f"seed {seed} ({n_batches} batches) diverged"
