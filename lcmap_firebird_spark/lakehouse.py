@@ -173,15 +173,24 @@ def _file_stats(path: str, key_cols: list[str]) -> dict:
 def _stats_intersect(rec: dict, ranges: dict, mapping: dict) -> bool:
     """True when the add record's per-file stats can intersect every
     [lo, hi] range (logical column names; stats are stored under
-    physical names). Missing stats are conservatively in scope. The
-    ONE pruning predicate shared by pruned_paths/scan, MERGE
-    candidate selection, and range-scoped compaction."""
+    physical names). Missing stats are conservatively in scope, as
+    are open bounds (lo/hi None — the DataSource pushdown pushes
+    one-sided predicates) and incomparable literal/stat type pairs.
+    The ONE pruning predicate shared by pruned_paths/scan, MERGE
+    candidate selection, range-scoped compaction, and the
+    DataSource's filter pushdown (sources/lake.LakePushdownReader) —
+    a stats-handling fix lands everywhere or nowhere."""
     for c, (lo, hi) in ranges.items():
         st = (rec.get("stats") or {}).get(mapping.get(c, c))
         if st is None:
             continue
-        if st[0] > hi or st[1] < lo:
-            return False
+        try:
+            if (hi is not None and st[0] > hi) or (
+                lo is not None and st[1] < lo
+            ):
+                return False
+        except TypeError:
+            continue  # incomparable literal/stat types: keep
     return True
 
 

@@ -188,15 +188,15 @@ class LakeDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "LakeWriter":
         import json as _json
         import os as _os
-        import time as _time
 
-        from ..lakehouse import LakeTable
+        from ..lakehouse import _TXN, LakeTable
 
         root = self._root()
-        txn = _os.path.join(root, "_txn")
+        txn = _os.path.join(root, _TXN)
         fresh = not _os.path.isdir(txn) or not any(
             f.endswith(".json") for f in _os.listdir(txn)
         )
+        bootstrap = None
         if fresh:
             keys = [
                 k.strip()
@@ -204,28 +204,23 @@ class LakeDataSource(DataSource):
                     "keys", schema.fields[0].name
                 ).split(",")
             ]
-            _os.makedirs(txn, exist_ok=True)
-            _os.makedirs(_os.path.join(root, "data"), exist_ok=True)
-            # same entry-0 fields LakeTable.create writes, so tables
-            # born through either surface are indistinguishable
-            entry0 = {
-                "version": 0,
-                "operation": "create",
-                "ts": _time.time(),
-                "add": [],
-                "remove": [],
-                "schema": schema.json(),
-                "key_cols": keys,
-                "cdf_enabled": False,
-                "constraints": {},
-            }
-            try:
-                with open(
-                    _os.path.join(txn, f"{0:020d}.json"), "x"
-                ) as f:
-                    _json.dump(entry0, f, indent=1)
-            except FileExistsError:
-                fresh = False  # lost the bootstrap race: table exists
+            names = {f.name for f in schema.fields}
+            missing = [k for k in keys if k not in names]
+            if missing:
+                # fail fast: entry 0 pins key_cols forever; a typo'd
+                # key would silently disable stats pruning on every
+                # later commit and break MERGE far from the cause
+                raise ValueError(
+                    f"option('keys', ...) names column(s) {missing!r} "
+                    "absent from the written DataFrame schema"
+                )
+            # entry 0 is NOT written here: plan-time bootstrap would
+            # leave a committed empty table pinned to a failed job's
+            # schema (abort() only reclaims staged data files), so a
+            # typo'd first write could never be retried cleanly. The
+            # driver-side commit() writes it instead — create and
+            # first append land only if the job succeeds.
+            bootstrap = (schema.json(), keys)
         cmap: dict = {}
         stats_cols: list = []
         if not fresh:
@@ -260,7 +255,9 @@ class LakeDataSource(DataSource):
                     f"{root}: {'; '.join(problems)} (cast/rename "
                     "before writing)"
                 )
-        return LakeWriter(root, keys, overwrite, cmap, stats_cols)
+        return LakeWriter(
+            root, keys, overwrite, cmap, stats_cols, bootstrap=bootstrap
+        )
 
 
 def _read_file_partition(part: LakeFilePartition):
@@ -297,8 +294,17 @@ def _read_file_partition(part: LakeFilePartition):
     id_col, id_base, id_step = (
         part.ident if part.ident else (None, 0, 1)
     )
+    consts = dict(part.const_cols)
+    # decode ONLY the physical columns the planned schema maps to:
+    # retired/dropped columns keep their bytes in old files by design
+    # and must not cost I/O/CPU on every scan of a wide evolved table
+    wanted = [
+        src
+        for src in (cmap.get(f.name, f.name) for f in target)
+        if src is not None and src in present
+    ]
     offset = 0
-    for batch in pf.iter_batches():
+    for batch in pf.iter_batches(columns=wanted):
         n = batch.num_rows
         # positions are only needed on the DV-masked or identity-fill
         # paths; the common plain read stays allocation-free
@@ -315,11 +321,13 @@ def _read_file_partition(part: LakeFilePartition):
                 pos = pos[keep]
                 if batch.num_rows == 0:
                     continue
-        consts = dict(part.const_cols)
         cols = []
         for field in target:
             src = cmap.get(field.name, field.name)
-            if src in present:
+            # src is None = forced null-fill (the column's physical
+            # identity is absent from this file — never fall back to
+            # a same-named dead column's bytes)
+            if src is not None and src in present:
                 col = batch.column(src).cast(field.type)
             elif field.name in consts:
                 col = pa.array(
@@ -355,19 +363,12 @@ class LakeReader(DataSourceReader):
         self._bounds: dict[str, list] = {}  # col -> [lo, hi]
 
     def _survives(self, rec: dict) -> bool:
-        for col, (lo, hi) in self._bounds.items():
-            # stats records are keyed by PHYSICAL column names
-            st = (rec.get("stats") or {}).get(self._cmap.get(col, col))
-            if st is None:
-                continue
-            try:
-                if (hi is not None and st[0] > hi) or (
-                    lo is not None and st[1] < lo
-                ):
-                    return False
-            except TypeError:
-                continue  # incomparable literal/stat types: keep
-        return True
+        # delegate to THE pruning predicate (lakehouse._stats_intersect
+        # handles open bounds + incomparable types) — two hand-rolled
+        # copies would silently diverge on the next stats change
+        from ..lakehouse import _stats_intersect
+
+        return _stats_intersect(rec, self._bounds, self._cmap)
 
     def partitions(self):
         import json as _json
@@ -475,14 +476,6 @@ class LakePushdownReader(LakeReader):
             yield f  # rows still filtered by Spark (stats only bound)
 
 
-# shipped to Python workers by class reference
-import sys  # noqa: E402
-
-import pyspark  # noqa: E402
-
-pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])
-
-
 # --------------------------------------------------------------------------
 # write side: df.write.format("lake") — Spark's two-phase commit
 # protocol mapped onto the commit log. Tasks stage immutable files and
@@ -520,12 +513,73 @@ class LakeWriter(DataSourceArrowWriter):
         overwrite: bool,
         col_map: dict | None = None,
         stats_cols: list[str] | None = None,
+        bootstrap: tuple | None = None,
     ):
         self._root = root
         self._keys = key_cols
         self._overwrite = overwrite
         self._cmap = col_map or {}
         self._stats_cols = list(stats_cols or [])
+        # (schema_json, key_cols) when the target path had no table at
+        # plan time: commit() creates entry 0 — never the planner, so
+        # a failed job leaves the path fresh and retryable
+        self._bootstrap = bootstrap
+
+    def _ensure_created(self):
+        """Driver-side, commit-time bootstrap. Loses the create race
+        gracefully: if someone else committed entry 0 between plan and
+        commit, re-run the plan-time schema-compatibility check
+        against THEIR head (pure JSON — no session needed) and refuse
+        on mismatch so Spark aborts and reclaims our staged files."""
+        import json as _json
+        import os as _os
+        import time as _time
+
+        from ..lakehouse import _entry_path
+
+        schema_json, keys = self._bootstrap
+        entry0 = {
+            "version": 0,
+            "operation": "create",
+            "ts": _time.time(),
+            "add": [],
+            "remove": [],
+            "schema": schema_json,
+            "key_cols": keys,
+            "cdf_enabled": False,
+            "constraints": {},
+        }
+        try:
+            # same entry-0 fields LakeTable.create writes, so tables
+            # born through either surface are indistinguishable
+            _os.makedirs(
+                _os.path.dirname(_entry_path(self._root, 0)), exist_ok=True
+            )
+            with open(_entry_path(self._root, 0), "x") as f:
+                _json.dump(entry0, f, indent=1)
+        except FileExistsError:
+            from ..lakehouse import LakeTable
+
+            _, head = LakeTable.attach(self._root)._live()
+            theirs = {
+                f["name"]: f["type"]
+                for f in _json.loads(head["schema"])["fields"]
+            }
+            mine = _json.loads(schema_json)["fields"]
+            bad = [
+                f["name"]
+                for f in mine
+                if theirs.get(f["name"]) != f["type"]
+            ]
+            if bad or (head.get("column_mapping") or {}):
+                raise ValueError(
+                    "lost the table-create race to an incompatible "
+                    f"table at {self._root} (columns {bad!r} differ "
+                    "or it already carries column mapping); staged "
+                    "files were written under this job's schema — "
+                    "rerun the write against the existing table"
+                )
+            self._keys = head["key_cols"]
 
     def write(self, iterator):
         """Executor side: stage this task's batches as ONE immutable
@@ -538,17 +592,37 @@ class LakeWriter(DataSourceArrowWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return LakeCommitMessage(recs=[])
-        table = pa.Table.from_batches(batches)
-        if self._cmap:
-            table = table.rename_columns(
-                [self._cmap.get(c, c) for c in table.column_names]
-            )
-        name = f"data/{_uuid.uuid4().hex}.parquet"
+        from ..lakehouse import _DATA
+
+        name = f"{_DATA}/{_uuid.uuid4().hex}.parquet"
         dst = os.path.join(self._root, name)
-        pq.write_table(table, dst)
+        # the planner no longer pre-creates data/ for fresh tables
+        # (bootstrap moved to commit time) — each task ensures it
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        # stream batch-at-a-time: materializing the whole partition
+        # (Table.from_batches) held every Arrow batch in worker
+        # memory simultaneously — O(partition) peak where this loop
+        # is O(one batch)
+        writer = None
+        try:
+            for batch in iterator:
+                if not batch.num_rows:
+                    continue
+                if self._cmap:
+                    batch = pa.RecordBatch.from_arrays(
+                        batch.columns,
+                        names=[
+                            self._cmap.get(c, c) for c in batch.schema.names
+                        ],
+                    )
+                if writer is None:
+                    writer = pq.ParquetWriter(dst, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return LakeCommitMessage(recs=[])
         stat_names = list(self._keys) + [
             c for c in self._stats_cols if c not in self._keys
         ]
@@ -561,6 +635,8 @@ class LakeWriter(DataSourceArrowWriter):
         """Driver side: one atomic log entry for every task's files."""
         from ..lakehouse import LakeTable
 
+        if self._bootstrap is not None:
+            self._ensure_created()
         t = LakeTable.attach(self._root)
         # PySpark runs this commit in a session-less Python worker,
         # so CHECK constraints CANNOT be validated here — refuse
@@ -850,11 +926,20 @@ def _cdf_partitions(
                 for f in _St.fromJson(_json.loads(e["schema"])).fields
             ]
             phys_to_entry = {emap.get(c, c): c for c in entry_names}
+            # (L, None) = FORCED null-fill: the planned column's
+            # physical identity does not exist in this entry, and a
+            # bare fallback to the logical name would resurrect a
+            # dead same-named column's bytes after drop/re-add or
+            # rename/re-add (LakeTable._relabel matches by physical
+            # identity; this map must too)
             entry_cmap = tuple(
                 sorted(
-                    (L, phys_to_entry[phys_of.get(L, L)])
-                    for L in planned
-                    if phys_to_entry.get(phys_of.get(L, L)) not in (None, L)
+                    (
+                        (L, phys_to_entry.get(phys_of.get(L, L)))
+                        for L in planned
+                        if phys_to_entry.get(phys_of.get(L, L)) != L
+                    ),
+                    key=lambda lv: lv[0],
                 )
             )
             for p in e["cdf"]["paths"]:
@@ -898,7 +983,14 @@ class LakeCDFReader(DataSourceReader):
     spark.read.format("lake").option("readChangeFeed", "true")
     .option("startingVersion", N)[.option("endingVersion", M)] —
     the DataSource twin of LakeTable.read_cdf (same per-commit
-    attribution, usable from plain reader options / SQL)."""
+    attribution, usable from plain reader options / SQL).
+
+    BOUNDARY: delivers commits in (N, M] — startingVersion is
+    EXCLUSIVE, matching this engine's uniform convention
+    (read_cdf/table_changes/stream offsets all mean 'version N
+    already consumed'). Delta Lake's identically-named option is
+    INCLUSIVE; a consumer porting Delta code must pass N-1 to get
+    commit N's changes."""
 
     def __init__(self, root: str, start_v: int, end_v: int | None, schema):
         import json as _json
@@ -920,3 +1012,15 @@ class LakeCDFReader(DataSourceReader):
 
     def read(self, part: LakeFilePartition):
         yield from _read_file_partition(part)
+
+
+# shipped to Python workers by class reference — LAST statement so
+# every worker-bound definition above is covered (CLAUDE.md rule 2:
+# registration is by module identity, but end-of-file placement is
+# the convention every module follows so a future reader never has
+# to reason about definition order)
+import sys  # noqa: E402
+
+import pyspark  # noqa: E402
+
+pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])
