@@ -109,13 +109,13 @@ def _read_store(
     a never-written or UNCOMMITTED path (first batch, a replay racing
     ahead of the snapshot its crashed predecessor didn't finish, or a
     crash mid-write that left part-files without the `_SUCCESS`
-    marker — the same commit-marker discipline as
-    rollup._committed_versions; a bare parquet read would silently
-    return a partial store)."""
-    import os as _os
+    marker — markers.is_committed, the package's one commit-marker
+    predicate; a bare parquet read would silently return a partial
+    store)."""
+    from .markers import is_committed
 
     p = _store_path(work_dir, version)
-    if version > 0 and _os.path.isfile(_os.path.join(p, "_SUCCESS")):
+    if version > 0 and is_committed(p):
         return spark.read.parquet(p)
     return spark.createDataFrame([], signature_schema(num_perm))
 
@@ -192,10 +192,9 @@ def read_pairs(spark: SparkSession, work_dir: str) -> DataFrame:
         for d in (_os.listdir(root) if _os.path.isdir(root) else [])
         if d.startswith("b")
     )
-    dirs = [
-        d for d in all_dirs
-        if _os.path.isfile(_os.path.join(d, "_SUCCESS"))
-    ]
+    from .markers import is_committed
+
+    dirs = [d for d in all_dirs if is_committed(d)]
     if dirs:
         return spark.read.parquet(*dirs)
     if all_dirs:

@@ -149,8 +149,20 @@ def dedup_keys(
 ) -> DataFrame:
     """Stateful streaming dedup: first arrival per key wins within
     the watermark horizon (state evicts after it). Only the keys are
-    emitted — which row 'wins' per key is arrival-order dependent,
-    the key set itself is deterministic."""
+    emitted — which row 'wins' per key is arrival-order dependent.
+
+    HORIZON semantics, not global DISTINCT: a key whose state was
+    evicted (watermark advanced past it between micro-batches) is
+    emitted AGAIN on recurrence — that is what
+    dropDuplicatesWithinWatermark means, and it is the bounded-state
+    contract that survives 100 TB (global distinct needs unbounded
+    state). The emitted key set equals SELECT DISTINCT only when the
+    run is effectively single-batch (st3's registry query: one
+    availableNow batch over the whole input — the oracle's DISTINCT
+    twin is exact there). A multi-batch run over data spanning more
+    than `watermark` of event time can legitimately emit duplicate
+    key rows; consumers needing exact global dedup at scale use the
+    batch/incremental dedup family (operators/dedup, incremental)."""
     return (
         events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys)
@@ -318,12 +330,12 @@ def run_available_now(
     name = f"st_{uuid.uuid4().hex[:12]}"
     # Stateful operators allocate one state store per shuffle
     # partition per operator; local availableNow runs over a few MB
-    # don't need 32+ stores spun up and checkpointed — 4 keeps the
-    # fixed cost low. The partition count is captured into the
-    # (fresh) checkpoint at start, so scoping the conf around
-    # start() affects only this query. On a real cluster you'd size
-    # this to throughput and keep it FIXED for the checkpoint's
-    # lifetime.
+    # don't need 32+ stores spun up and checkpointed —
+    # LOCAL_STATE_PARTITIONS holds the measured choice. The partition
+    # count is captured into the (fresh) checkpoint at start, so
+    # scoping the conf around start() affects only this query. On a
+    # real cluster you'd size this to throughput and keep it FIXED
+    # for the checkpoint's lifetime.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set(
@@ -343,4 +355,26 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
-    return spark.table(name)
+    # detach the result from the memory sink so the per-query driver
+    # state can be released: eager localCheckpoint materializes an
+    # independent copy, after which the temp view and the per-query
+    # checkpoint directory are dead weight — without this, every
+    # invocation in a long-lived session leaked one full result set
+    # on the driver plus one /tmp checkpoint tree
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    import shutil
+
+    shutil.rmtree(os.path.join(streaming_conf(), name), ignore_errors=True)
+    return out
+
+
+# shipped to Python workers (pandas-UDF kernel in running_user_totals,
+# StatefulProcessor in running_user_totals_tws) — CLAUDE.md rule 2;
+# today both are function-local (cloudpickle falls back to by-value),
+# but a hoist to module level must not start failing foreign-cwd runs
+import sys  # noqa: E402
+
+import pyspark  # noqa: E402
+
+pyspark.cloudpickle.register_pickle_by_value(sys.modules[__name__])

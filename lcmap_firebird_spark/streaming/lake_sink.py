@@ -120,17 +120,23 @@ def make_batch_sink(
                         "invalid _op values in bootstrap batch: "
                         "expected 'upsert' or 'delete'"
                     )
-                first = batch_df.filter("_op != 'delete'").drop("_op")
+                # duplicate-key check over the WHOLE batch (before
+                # the delete filter) — apply_changes rejects a key
+                # appearing twice regardless of ops, and bootstrap
+                # must be exactly as strict: an upsert+delete of one
+                # key in batch 0 is the same ambiguity it is in
+                # batch 1, not a silent upsert-wins
                 dups = (
-                    first.groupBy(*key_cols)
+                    batch_df.groupBy(*key_cols)
                     .count()
                     .filter(F.col("count") > 1)
                 )
                 if dups.limit(1).count():
                     raise ValueError(
-                        "duplicate keys among bootstrap upserts "
+                        "duplicate keys in bootstrap change batch "
                         "(ambiguous, like apply_changes)"
                     )
+                first = batch_df.filter("_op != 'delete'").drop("_op")
             LakeTable.create(
                 spark, root, first, key_cols=key_cols, extra=stamp
             )

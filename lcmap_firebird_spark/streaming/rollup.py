@@ -164,7 +164,10 @@ def _committed_versions(work_dir: str) -> list[int]:
     `_SUCCESS` marker Spark's file committer writes last). Spark
     creates the version directory before any data lands, so a bare
     `v*` listing would count an in-flight or crashed write as a
-    snapshot (round-3 advice) — the marker is the commit record."""
+    snapshot (round-3 advice) — markers.is_committed is the one
+    commit-marker predicate, shared with dedup_stream's stores."""
+    from .markers import is_committed
+
     root = f"{work_dir}/rollup"
     if not os.path.isdir(root):
         return []
@@ -173,7 +176,7 @@ def _committed_versions(work_dir: str) -> list[int]:
         for d in os.listdir(root)
         if d.startswith("v")
         and d[1:].isdigit()
-        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+        and is_committed(os.path.join(root, d))
     )
 
 
@@ -188,7 +191,19 @@ def _read_snapshot(
     by batch N-1 before Spark ever delivers batch N). Stepping down
     to the previous committed version — instead of silently returning
     the EMPTY store — is the recovery behavior for a corrupted or
-    concurrently-written store."""
+    concurrently-written store.
+
+    Known replay window: a crash AFTER committing v{N+1} but BEFORE
+    the checkpoint commit makes batch N replay and overwrite
+    v{N+1}'s directory; a CONCURRENT reader that already resolved
+    v{N+1} and got past the plan-time schema read can still hit
+    FileNotFoundException at action time while the overwrite is
+    mid-flight. The AnalysisException catch below covers only the
+    plan-time race. This demo store accepts that single-writer ×
+    concurrent-reader replay window; deployments needing read
+    isolation during crash replay should use the lakehouse sink
+    (streaming/lake_sink.py), whose commit-log snapshots are
+    immutable by construction."""
     for v in reversed(_committed_versions(work_dir)):
         if v <= version:
             try:

@@ -328,6 +328,16 @@ def test_bootstrap_applies_mode_discipline(spark, tmp_path):
             ),
             0,
         )
+    # ...and so is upsert+delete of ONE key (r7 review: the old check
+    # ran after the delete filter, so batch 0 silently resolved the
+    # ambiguity as upsert-wins where batch 1+ would raise)
+    with pytest.raises(ValueError, match="duplicate"):
+        sink_c(
+            spark.createDataFrame(
+                [(1, 1.0, "upsert"), (1, None, "delete")], cdc_schema
+            ),
+            0,
+        )
     sink_c(
         spark.createDataFrame(
             [(1, 1.0, "upsert"), (9, 0.0, "delete")], cdc_schema
