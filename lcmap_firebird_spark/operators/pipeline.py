@@ -41,8 +41,12 @@ def chunk_documents(
     100 TB the plan is scan → project → explode with the original
     file parallelism.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        # negative overlap passed the old guard and silently DROPPED
+        # tokens (stride > chunk_tokens leaves inter-window gaps no
+        # chunk covers — the reconstruct-the-stream invariant broke
+        # with no error)
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     staged = df.select(
         F.col(id_col).alias("doc_id"),
@@ -119,11 +123,26 @@ def pii_counts(
 ) -> Column:
     """map<type, hits> of PII matches per document — the audit
     column written next to redacted text so policy reviews don't
-    re-scan the corpus."""
-    c = F.col(col) if isinstance(col, str) else col
+    re-scan the corpus.
+
+    Counts what redact_pii actually redacts: pattern i is counted on
+    the text with patterns < i already replaced (counting every
+    pattern on the RAW text double-counted overlapping spans — an
+    email whose local part embeds a phone-shaped string reported
+    email=1 AND phone=1 while redaction consumed the whole span
+    once). NULL text audits as all-zeros, matching the module's
+    NULL-text discipline (a NULL map value crashes consumers doing
+    arithmetic on the audit)."""
+    c = F.coalesce(
+        F.col(col) if isinstance(col, str) else col, F.lit("")
+    )
+    counts = []
+    for name, pat in patterns:
+        counts.append(F.size(F.regexp_extract_all(c, F.lit(pat), 0)))
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
     return F.map_from_arrays(
         F.array(*[F.lit(n) for n, _ in patterns]),
-        F.array(*[F.size(F.regexp_extract_all(c, F.lit(p), 0)) for _, p in patterns]),
+        F.array(*counts),
     )
 
 
@@ -151,19 +170,31 @@ def contamination(
     bench_id, shingle-hit) triples reach the aggregation, which at a
     sane n (8-13 tokens) is a vanishing fraction of the corpus.
     Decontamination = left_anti join the report back on doc_id.
+    Shingles travel as 60-bit fingerprints on BOTH sides (the dedup
+    ladder discipline): the broadcast ships 8-byte bigints instead of
+    raw ~50-byte shingle strings (~6x smaller hash relation), at the
+    ladder's accepted ~2^-60 per-pair collision overcount.
     """
-    from .dedup import shingles, spread
+    from .dedup import hash60, shingles, spread
 
-    bench = benchmark.select(
-        F.col(bench_id_col).alias("bench_id"),
-        F.explode(shingles(bench_text_col, n)).alias("s"),
-    ).distinct()
-    corp = spread(corpus, id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(text_col, n)).alias("s"),
+    bench = (
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(shingles(bench_text_col, n)).alias("_s"),
+        )
+        .select("bench_id", hash60(F.col("_s")).alias("fp"))
+        .distinct()
+    )
+    corp = (
+        spread(corpus, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(text_col, n)).alias("_s"),
+        )
+        .select("doc_id", hash60(F.col("_s")).alias("fp"))
     )
     return (
-        corp.join(F.broadcast(bench), "s")
+        corp.join(F.broadcast(bench), "fp")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_hits)
@@ -177,12 +208,16 @@ def decontaminate(
     min_hits: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
 ) -> DataFrame:
     """Corpus minus contaminated documents (left_anti on the
-    contamination report)."""
+    contamination report). Benchmark column names pass through —
+    eval sets rarely share the corpus's (doc_id, text) shape."""
     hits = contamination(
         corpus, benchmark, n=n, min_hits=min_hits,
         id_col=id_col, text_col=text_col,
+        bench_id_col=bench_id_col, bench_text_col=bench_text_col,
     ).select("doc_id").distinct()
     return corpus.join(hits, corpus[id_col] == hits["doc_id"], "left_anti")
 
@@ -218,34 +253,39 @@ def contamination_fraction(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
+    # explode_outer keeps zero-shingle docs (short/NULL text) as one
+    # NULL row, so ONE corpus scan covers everyone — the previous
+    # shape paid a second full scan + distinct shuffle + join just to
+    # restore those docs (ids frame), an extra corpus pass at 100 TB
     corp = (
         spread(corpus, id_col)
         .select(
             F.col(id_col).alias("doc_id"),
-            F.explode(shingles(text_col, n)).alias("_s"),
+            F.explode_outer(shingles(text_col, n)).alias("_s"),
         )
         .select("doc_id", hash60(F.col("_s")).alias("fp"))
         .distinct()
     )
-    per_doc = (
+    return (
         corp.join(F.broadcast(bench), "fp", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_shingles"),
+            # count(fp) skips the NULL placeholder row: a
+            # zero-shingle doc reports (0, 0, 0.0)
+            F.count("fp").alias("n_shingles"),
             F.count("_hit").alias("n_shared"),
         )
-    )
-    ids = corpus.select(F.col(id_col).alias("doc_id")).distinct()
-    return ids.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
-        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-        F.when(
-            F.coalesce("n_shingles", F.lit(0)) > 0,
-            F.col("n_shared") / F.col("n_shingles"),
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_shared") / F.col("n_shingles"),
+            )
+            .otherwise(0.0)
+            .alias("frac"),
         )
-        .otherwise(0.0)
-        .alias("frac"),
     )
 
 
@@ -256,11 +296,13 @@ def decontaminate_fraction(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bench_text_col: str = "text",
 ) -> DataFrame:
     """Drop docs whose benchmark-overlap fraction EXCEEDS
     max_fraction (graded sibling of `decontaminate`)."""
     bad = contamination_fraction(
-        corpus, benchmark, n=n, id_col=id_col, text_col=text_col
+        corpus, benchmark, n=n, id_col=id_col, text_col=text_col,
+        bench_text_col=bench_text_col,
     ).filter(F.col("frac") > float(max_fraction)).select("doc_id")
     return corpus.join(
         bad, corpus[id_col] == bad["doc_id"], "left_anti"
@@ -284,13 +326,26 @@ def dedupe_segments(
     inside the HOF lambda would re-split the text per element
     (PLANS.md rule 14). The remaining per-doc cost is
     O(segments²) worst-case scans inside one row — row-local, no
-    shuffle, fine for real document line counts."""
+    shuffle, fine for real document line counts.
+
+    Two review-hardened edges (r7): EMPTY segments are exempt from
+    the first-occurrence rule — they are separators' structure
+    (blank lines between paragraphs), not repeated content, and
+    deduping them silently collapsed every second blank line; and
+    `sep` is quoted as a LITERAL for the split (F.split takes a Java
+    regex — an unquoted '. ' separator would split on any-char and
+    garble the rejoin)."""
     out_col = out_col or text_col
-    staged = df.withColumn("_segs", F.split(F.col(text_col), sep))
+    if "\\E" in sep:
+        raise ValueError(r"separator may not contain \E (Java \Q..\E quoting)")
+    staged = df.withColumn(
+        "_segs", F.split(F.col(text_col), "\\Q" + sep + "\\E")
+    )
     deduped = F.array_join(
         F.filter(
             F.col("_segs"),
-            lambda x, i: F.array_position(F.col("_segs"), x) == i + 1,
+            lambda x, i: (x == F.lit(""))
+            | (F.array_position(F.col("_segs"), x) == i + 1),
         ),
         sep,
     )
@@ -304,6 +359,7 @@ def pack_sequences(
     chunks: DataFrame,
     seq_len: int = 2048,
     partitions: int | None = None,
+    oversized: str = "error",
 ) -> DataFrame:
     """Greedy bin-packing of chunks into fixed-length training
     sequences ("sample packing"): consecutive chunks accumulate into
@@ -311,7 +367,16 @@ def pack_sequences(
 
     Input follows chunk_documents' contract (doc_id, chunk_id,
     n_tokens, chunk). Output: (pack_id, n_chunks, n_tokens, members)
-    with members = 'doc:chunk' strings in pack order.
+    with members = 'doc:chunk' strings in pack order; chunk_id never
+    contains ':' (it is chunk_documents' integer window index), so a
+    string doc_id containing ':' splits back unambiguously with
+    rsplit(':', 1).
+
+    A single chunk with n_tokens > seq_len cannot fit ANY pack:
+    `oversized='error'` (default) fails the job loudly — a silent
+    over-length pack overflows downstream fixed-context sequence
+    builders; `oversized='solo'` opts into emitting it as its own
+    over-length pack for callers that truncate later.
 
     Packing is inherently sequential, so it runs per partition as an
     Arrow-batched mapInPandas kernel: rows are hash-distributed by
@@ -332,6 +397,8 @@ def pack_sequences(
         StructType,
     )
 
+    if oversized not in ("error", "solo"):
+        raise ValueError("oversized must be 'error' or 'solo'")
     if partitions is None:
         partitions = chunks.sparkSession.sparkContext.defaultParallelism
     out_schema = StructType(
@@ -355,6 +422,13 @@ def pack_sequences(
                 pdf["doc_id"], pdf["chunk_id"], pdf["n_tokens"]
             ):
                 n_tok = 0 if pd.isna(n_tok) else int(n_tok)
+                if n_tok > seq_len and oversized == "error":
+                    raise ValueError(
+                        f"chunk {doc_id}:{chunk_id} has {n_tok} tokens"
+                        f" > seq_len={seq_len}; re-chunk with"
+                        " chunk_tokens <= seq_len or pass"
+                        " oversized='solo'"
+                    )
                 if cur_members and cur_tok + n_tok > seq_len:
                     rows_out.append(
                         (next_id, len(cur_members), cur_tok, cur_members)

@@ -324,3 +324,132 @@ def test_manifest_checksum_sees_multiplicity(spark):
     # identical corpus, different layout -> identical checksum
     ma2 = corpus_manifest(a.repartition(7))
     assert ma2["checksum"] == ma["checksum"]
+
+
+# --- r7 review regressions ---------------------------------------------------
+
+
+def test_dedupe_segments_preserves_blank_line_structure(spark):
+    from lcmap_firebird_spark.operators.pipeline import dedupe_segments
+
+    df = spark.createDataFrame(
+        [(1, "a\n\nb\n\nc"), (2, "x\nx\n\ny\n\nx")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in dedupe_segments(df).collect()}
+    # blank lines are structure, not repeated content — both survive
+    assert got[1] == "a\n\nb\n\nc"
+    # repeated non-empty lines still dedupe to first occurrence
+    assert got[2] == "x\n\ny\n"
+
+
+def test_dedupe_segments_metachar_separator_is_literal(spark):
+    from lcmap_firebird_spark.operators.pipeline import dedupe_segments
+
+    df = spark.createDataFrame(
+        [(1, "one. two. one. three")], "doc_id long, text string"
+    )
+    got = dedupe_segments(df, sep=". ").collect()[0].text
+    # '.' must not act as regex any-char: segments are sentences and
+    # the repeated 'one' drops once
+    assert got == "one. two. three"
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    import pytest as _pytest
+
+    from lcmap_firebird_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=-4)
+
+
+def test_pii_counts_null_text_and_overlapping_spans(spark):
+    from pyspark.sql import functions as F
+
+    from lcmap_firebird_spark.operators.pipeline import pii_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, "mail me at john.555-123-4567@mail.com today"),
+            (3, "call 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.hits for r in df.select(
+        "doc_id", pii_counts("text").alias("hits")
+    ).collect()}
+    # NULL text audits as zeros, never NULL map values
+    assert got[1] == {"email": 0, "ssn": 0, "phone": 0, "ipv4": 0, "cc": 0}
+    # the email span is consumed ONCE: no phantom phone count from
+    # the digits inside the redacted email
+    assert got[2]["email"] == 1 and got[2]["phone"] == 0
+    assert got[3]["phone"] == 1
+
+
+def test_pack_sequences_oversized_chunk_policy(spark):
+    import pytest as _pytest
+
+    from lcmap_firebird_spark.operators.pipeline import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 300, "big"), (2, 0, 10, "small")],
+        "doc_id long, chunk_id long, n_tokens long, chunk string",
+    )
+    with _pytest.raises(Exception, match="seq_len"):
+        pack_sequences(chunks, seq_len=256, partitions=1).collect()
+    solo = pack_sequences(
+        chunks, seq_len=256, partitions=1, oversized="solo"
+    ).collect()
+    sizes = sorted(r.n_tokens for r in solo)
+    assert sizes == [10, 300]  # over-length pack emitted, flagged by size
+
+
+def test_decontaminate_passes_benchmark_column_names(spark):
+    from lcmap_firebird_spark.operators.pipeline import (
+        contamination_fraction,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "completely unrelated corpus text with many words here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog")],
+        "qid long, question string",
+    )
+    kept = decontaminate(
+        corpus, bench, bench_id_col="qid", bench_text_col="question"
+    )
+    assert [r.doc_id for r in kept.collect()] == [2]
+    fr = {
+        r.doc_id: r.frac
+        for r in contamination_fraction(
+            corpus, bench, bench_text_col="question"
+        ).collect()
+    }
+    assert fr[1] > 0.5 and fr[2] == 0.0
+
+
+def test_contamination_fraction_single_pass_keeps_short_docs(spark):
+    from lcmap_firebird_spark.operators.pipeline import contamination_fraction
+
+    corpus = spark.createDataFrame(
+        [(1, "too short"), (2, None),
+         (3, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_shingles, r.n_shared, r.frac)
+           for r in contamination_fraction(corpus, bench).collect()}
+    assert got[1] == (0, 0, 0.0) and got[2] == (0, 0, 0.0)
+    assert got[3][0] > 0 and got[3][2] == 1.0
