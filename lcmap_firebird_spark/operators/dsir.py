@@ -221,11 +221,17 @@ def gumbel_key(id_col: Column | str, salt: str = "dsir") -> Column:
     """Deterministic standard-Gumbel 'noise' from an id: u =
     (hash60 + 0.5)/2^60 ∈ (0,1), g = −log(−log u). A pure hash
     function — the sampling-without-replacement membership is
-    reproducible on any engine (same posture as sampling.py)."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    reproducible on any engine (same posture as sampling.py).
+
+    NULL ids ride sampling.salted_key's shared sentinel instead of
+    propagating NULL — a NULL selection key sorted LAST, silently
+    excluding the row from the Gumbel top-k regardless of weight
+    (the exact failure split_bucket's sentinel exists to prevent;
+    oracle twins hash non-null doc_id, so parity holds)."""
+    from .sampling import salted_key
+
     u = (
-        hash60(F.concat(F.lit(salt), c.cast("string"))).cast("double")
-        + F.lit(0.5)
+        hash60(salted_key(id_col, salt)).cast("double") + F.lit(0.5)
     ) / F.lit(float(1 << 60))
     return -F.log(-F.log(u))
 

@@ -51,20 +51,26 @@ def mix_bucket(key: Column | str, salt: str = "") -> Column:
     modulo is exactly uniform) — routing through sampling's 10,000-way
     split_bucket first would leave buckets 0..1807 carrying ~1.5× the
     mass of 1808..4095 (10000 % 4096 = 1808)."""
-    c = F.col(key) if isinstance(key, str) else key
-    # NULL keys coalesce to a sentinel (one deterministic bucket)
-    # rather than propagating NULL out of the membership function —
-    # same convention as sampling.split_bucket
-    return hash60(
-        F.concat(
-            F.lit(salt), F.coalesce(c.cast("string"), F.lit("\x00null"))
-        )
-    ) % MIX_BUCKETS
+    # NULL keys coalesce to the shared sentinel (one deterministic
+    # bucket) rather than propagating NULL out of the membership
+    # function — sampling.salted_key is the single definition of the
+    # salt/sentinel scheme every split surface shares
+    from .sampling import salted_key
+
+    return hash60(salted_key(key, salt)) % MIX_BUCKETS
 
 
 def _bucketed(
     df: DataFrame, domain_col: str, key_col: str, text_col: str, salt: str
 ) -> DataFrame:
+    # the staging columns would silently OVERWRITE same-named input
+    # columns (and select(*df.columns) would then return the mangled
+    # values) — refuse instead
+    clash = [c for c in ("_bkt", "_tok") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already carries reserved column(s) {clash!r}"
+        )
     return df.withColumn(
         "_bkt", mix_bucket(key_col, salt)
     ).withColumn("_tok", token_count(text_col))
@@ -135,7 +141,14 @@ def token_budget_sample(
     (approached from below at bucket resolution). Domains missing
     from `budgets` are dropped; a domain whose budget exceeds its
     tokens is kept whole (use `compose_mixture` for upsampling)."""
+    if not budgets:
+        raise ValueError("budgets must name at least one domain")
     bucketed = _bucketed(df, domain_col, key_col, text_col, salt)
+    # two consumers (the threshold aggregate's broadcast build side +
+    # the probe-side filter) would each re-run the tokenize+md5 scan
+    # on the un-materialized frame (the dsir.py pathology, PLANS.md
+    # rule 15) — checkpoint once
+    bucketed = bucketed.localCheckpoint(eager=True)
     # alias the threshold key: a df that itself carries a column
     # named 'domain' (web curation output) would otherwise make the
     # join condition AMBIGUOUS_REFERENCE
@@ -164,15 +177,36 @@ def compose_mixture(
     downsample. Output = input columns + `epoch` (0-based; epoch 0 is
     the selection baseline), deterministic end to end.
     """
+    if "epoch" in df.columns:
+        raise ValueError(
+            "input already carries an 'epoch' column — compose_mixture "
+            "emits its own (re-budgeting a mixture output must drop or "
+            "rename the old epoch first)"
+        )
+    if not weights:
+        raise ValueError("weights must name at least one domain")
     wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
     budgets = {
         d: int(w / wsum * total_tokens) for d, w in weights.items()
     }
+    # THREE consumers read this frame (domain token counts, the
+    # remainder-threshold aggregate, the selection filter) — an
+    # un-materialized version re-ran the tokenize+md5 scan per
+    # consumer (the dsir.py pathology, PLANS.md rule 15)
     bucketed = _bucketed(df, domain_col, key_col, text_col, salt)
+    bucketed = bucketed.localCheckpoint(eager=True)
 
     counts = {
-        r["domain"]: int(r["n_tokens"])
-        for r in domain_token_counts(df, domain_col, text_col).collect()
+        r["domain"]: int(r["n_tokens"] or 0)
+        # derive from the checkpointed frame's _tok — NOT a fresh
+        # domain_token_counts(df) pass over the raw corpus; `or 0`
+        # because an all-NULL-text domain sums to NULL (ANSI) and
+        # int(None) crashed the driver
+        for r in bucketed.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.sum("_tok").alias("n_tokens"))
+        .collect()
         if r["domain"] in budgets
     }
     # a domain with zero corpus tokens gets zero epochs (otherwise

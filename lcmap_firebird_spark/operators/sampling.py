@@ -24,6 +24,30 @@ from .dedup import hash60
 
 SAMPLE_MOD = 10_000
 
+NULL_KEY_SENTINEL = "\x00null"
+
+
+def salted_key(key: Column | str, salt: str = "") -> Column:
+    """THE salted, NULL-coalesced hash input every deterministic
+    membership function derives from (split_bucket, mixture's
+    mix_bucket, dsir's gumbel_key): concat(salt, coalesce(key,
+    sentinel)). One definition — a change to the sentinel or salt
+    scheme lands on every split surface or none (they must agree on
+    the same keys)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.concat(
+        F.lit(salt), F.coalesce(c.cast("string"), F.lit(NULL_KEY_SENTINEL))
+    )
+
+
+def bucket_threshold(fraction: float) -> int:
+    """fraction -> kept-bucket threshold, shared by the operators AND
+    the DuckDB oracle twins (both sides must truncate identically).
+    round() before int(): bare int(0.57 * 10000) is 5699 under binary
+    float (5699.999...), silently losing one bucket from the
+    documented 'kept iff bucket < fraction*MOD' contract."""
+    return int(round(float(fraction) * SAMPLE_MOD))
+
 
 def split_bucket(key: Column | str, salt: str = "") -> Column:
     """Deterministic bucket in [0, SAMPLE_MOD) from a key column
@@ -36,19 +60,14 @@ def split_bucket(key: Column | str, salt: str = "") -> Column:
     false) while train_val_test routed them all to 'test' via its
     otherwise() branch: two split surfaces disagreeing on the same
     keys. (Oracle twins hash non-null doc_id, so parity holds.)"""
-    c = F.col(key) if isinstance(key, str) else key
-    return hash60(
-        F.concat(
-            F.lit(salt), F.coalesce(c.cast("string"), F.lit("\x00null"))
-        )
-    ) % SAMPLE_MOD
+    return hash60(salted_key(key, salt)) % SAMPLE_MOD
 
 
 def hash_sample(
     df: DataFrame, key: str, fraction: float, salt: str = ""
 ) -> DataFrame:
     """Keep ~fraction of rows, membership a pure function of key."""
-    return df.filter(split_bucket(key, salt) < int(fraction * SAMPLE_MOD))
+    return df.filter(split_bucket(key, salt) < bucket_threshold(fraction))
 
 
 def train_val_test(
@@ -60,8 +79,8 @@ def train_val_test(
     """Disjoint, exhaustive, deterministic split assignment column
     ('train'/'val'/'test') — consistent for the same key forever."""
     b = split_bucket(key, salt)
-    t1 = int(weights[0] * SAMPLE_MOD)
-    t2 = t1 + int(weights[1] * SAMPLE_MOD)
+    t1 = bucket_threshold(weights[0])
+    t2 = t1 + bucket_threshold(weights[1])
     assignment = (
         F.when(b < t1, "train").when(b < t2, "val").otherwise("test")
     )
@@ -96,7 +115,7 @@ def stratified_hash_sample(
     case = None
     c = F.col(strata_col)
     for stratum, frac in fractions.items():
-        t = int(frac * SAMPLE_MOD)
+        t = bucket_threshold(frac)
         case = F.when(c == stratum, t) if case is None else case.when(c == stratum, t)
     thresholds = case.otherwise(0) if case is not None else F.lit(0)
     return df.filter(split_bucket(key, salt) < thresholds)

@@ -409,8 +409,13 @@ QUERIES = {
     "z1_zorder": z1_zorder,
 }
 
+from ..operators.sampling import bucket_threshold  # noqa: E402
+
+# thresholds MUST come from the shared helper — the Spark side
+# filters on the identical integers, so truncation rules can never
+# diverge between the query and its oracle
 _X4_CASE = " ".join(
-    f"WHEN '{s}' THEN {int(f * 10_000)}" for s, f in X4_FRACTIONS.items()
+    f"WHEN '{s}' THEN {bucket_threshold(f)}" for s, f in X4_FRACTIONS.items()
 )
 
 
