@@ -111,6 +111,12 @@ def ts_unit(path: str, column: str = "ts", glob: str = "*.parquet") -> str:
         # one file's unit; disagreement falls back to the per-row
         # sniff, which handles the ns/µs mix correctly. Empty part
         # files carry no evidence and are ignored.
+        # PORTABILITY (same seam as streaming/markers.is_committed):
+        # the glob above is LOCAL-FS; on an object store it finds no
+        # files and this function returns "sniff" — still CORRECT
+        # (the per-row CASE handles ns/µs), just without the
+        # footer-level certainty. A Hadoop-FS port would list through
+        # the JVM FileSystem API here.
         units = {u for u in (_file_unit(fn) for fn in files) if u != "empty"}
         if len(units) == 1:
             return units.pop()
@@ -259,19 +265,28 @@ def read_partitioned(
     path: str,
     ids: DataFrame | None = None,
     keys: tuple[str, ...] = ("cx", "cy"),
+    semi: bool = True,
 ) -> DataFrame:
     """Selective read: scan a partitioned table restricted to the
     requested ids (reference read pattern: `ids.join(table, keys,
     'inner')`, ccdc/chip.py:49-51 et al.).
 
-    Implemented as a broadcast inner join on the partition keys —
-    with AQE + dynamic partition pruning the scan only touches the
-    matching (cx, cy) directories, which is the Parquet equivalent of
+    Implemented as a broadcast join on the partition keys — with AQE
+    + dynamic partition pruning the scan only touches the matching
+    (cx, cy) directories, which is the Parquet equivalent of
     Cassandra partition-key lookup.
+
+    The ids side is projected to `keys` first (r8 glue review): a
+    work list carrying extra columns must not leak them into the
+    table's schema. Default `semi=True` gives pure restriction
+    semantics — a duplicate id row in the work list yields each
+    matching table row ONCE (`semi=False` reproduces the reference's
+    literal inner join, where duplicate ids duplicate output rows).
     """
     from pyspark.sql.functions import broadcast
 
     df = spark.read.parquet(path)
     if ids is None:
         return df
-    return df.join(broadcast(ids), on=list(keys), how="inner")
+    how = "left_semi" if semi else "inner"
+    return df.join(broadcast(ids.select(*keys)), on=list(keys), how=how)

@@ -83,6 +83,20 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
     write with manifest (plans/corpus.prepare_corpus + write_corpus)."""
     from .plans.corpus import prepare_corpus, write_corpus
 
+    if args.mixture and args.mixture_tokens is None:
+        # prepare_corpus raises the same constraint as a ValueError;
+        # from the CLI that's a traceback — fail the argparse way
+        print(
+            "--mixture requires --mixture-tokens (total token budget)",
+            file=sys.stderr,
+        )
+        return 2
+    languages = tuple(
+        s.strip() for s in args.languages.split(",") if s.strip()
+    )
+    if not languages:
+        print("--languages must name at least one language", file=sys.stderr)
+        return 2
     spark = session("firebird-corpus")
     docs = spark.read.parquet(args.documents)
     kwargs: dict = {}
@@ -119,7 +133,7 @@ def _cmd_corpus(args: argparse.Namespace) -> int:
         kwargs["domain_col"] = args.domain_col
     out = prepare_corpus(
         docs,
-        languages=tuple(args.languages.split(",")),
+        languages=languages,
         jaccard_threshold=args.jaccard_threshold,
         redact=args.redact,
         **kwargs,
@@ -158,6 +172,12 @@ def _cmd_lake(args: argparse.Namespace) -> int:
         print(json.dumps({"checkpointed_at": v}))
         return 0
 
+    if action == "show" and args.version is not None and args.as_of is not None:
+        # picking one silently would time-travel to a different
+        # version than the user named
+        print("--version and --as-of are mutually exclusive",
+              file=sys.stderr)
+        return 2
     spark = session("firebird-lake")
     t = LakeTable(spark, root)
     if action == "show":
@@ -246,7 +266,8 @@ def main(argv: list[str] | None = None) -> int:
     cd.add_argument("--observations", required=True)
     cd.add_argument("--x", type=float, default=None)
     cd.add_argument("--y", type=float, default=None)
-    cd.add_argument("--number", type=int, default=2500)  # cli.py:29 default
+    cd.add_argument("--number", type=int, default=2500,  # cli.py:29 default
+                    help="max chips to process (0 = the whole tile)")
     cd.add_argument("--output", default=None)
     cd.set_defaults(fn=_cmd_changedetection)
 

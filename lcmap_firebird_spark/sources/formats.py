@@ -107,7 +107,21 @@ def parse_kafka_events(
     without re-reading the broker. Works identically on a static
     DataFrame (tests) and a readStream source (production) — the plan
     is the same Catalyst tree.
+
+    A value-schema field named like one of the reserved metadata
+    columns is rejected HERE: the select itself would succeed with
+    two identically-named columns, and every downstream reference
+    would die with AMBIGUOUS_REFERENCE far from the cause (r8 glue
+    review finding).
     """
+    reserved = {"_topic", "_partition", "_offset", "_ts"}
+    clash = reserved & {f.name for f in value_schema.fields}
+    if clash:
+        raise ValueError(
+            f"value_schema field(s) {sorted(clash)} collide with the "
+            "reserved kafka metadata columns (_topic/_partition/"
+            "_offset/_ts); rename them in the declared schema"
+        )
     return kafka_df.select(
         F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
         F.col("topic").alias("_topic"),

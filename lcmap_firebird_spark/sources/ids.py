@@ -16,6 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from ..schemas import chip_id_schema, tile_id_schema
 
 
+def _ids_frame(spark, xys, schema, num_partitions):
+    if num_partitions is not None and num_partitions < 1:
+        # a falsy-0 used to silently mean "no repartition" — loud
+        # beats silent for a fan-out control (r8 glue review)
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    df = spark.createDataFrame([(int(x), int(y)) for x, y in xys], schema)
+    return df.repartition(num_partitions) if num_partitions else df
+
+
 def chip_ids(
     spark: SparkSession,
     xys: Sequence[tuple[int, int]],
@@ -24,10 +33,7 @@ def chip_ids(
     """Chip-coordinate work list (ccdc/ids.py:23-40; schema
     ids.py:9-13). Partition count bounds downstream fan-out the way
     the reference's chunk_size does (ccdc/core.py:98-99)."""
-    df = spark.createDataFrame(
-        [(int(x), int(y)) for x, y in xys], chip_id_schema()
-    )
-    return df.repartition(num_partitions) if num_partitions else df
+    return _ids_frame(spark, xys, chip_id_schema(), num_partitions)
 
 
 def tile_ids(
@@ -36,7 +42,4 @@ def tile_ids(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Tile-coordinate work list (ccdc/ids.py:16-20 schema)."""
-    df = spark.createDataFrame(
-        [(int(x), int(y)) for x, y in xys], tile_id_schema()
-    )
-    return df.repartition(num_partitions) if num_partitions else df
+    return _ids_frame(spark, xys, tile_id_schema(), num_partitions)
