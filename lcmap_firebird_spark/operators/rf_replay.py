@@ -12,13 +12,21 @@ from a seeded MLlib fit — as nested CASE expressions, so inference is
   model broadcast, no MLlib runtime on the scoring path. At 100 TB
   this is a map-only scan — the ensemble is ~500 literal nodes baked
   into the plan, scoring cost is O(trees * depth) comparisons/row.
-* **oracle-certifiable**: prediction is integer hard-voting (each
-  tree votes its leaf class; majority wins, smallest class index
-  breaks ties), a deterministic integer function of (artifact, row)
-  that a generated DuckDB twin replays exactly — no float-sum
-  tie-break ambiguity (MLlib's own predictRaw sums per-tree leaf
-  class *fractions*; the hard-vote rule trades that for exactness,
-  documented deviation).
+* **oracle-certifiable**: the REGISTRY slot's prediction is integer
+  hard-voting (each tree votes its leaf class; majority wins,
+  smallest class index breaks ties), a deterministic integer
+  function of (artifact, row) that a generated DuckDB twin replays
+  exactly — no float-sum tie-break ambiguity.
+* **both inference semantics are certified** (r8): MLlib's actual
+  `transform` rule — predictRaw sums per-tree leaf class *fractions*
+  (RandomForestClassificationModel.predictRaw), argmax with
+  first-max tie-break — is replayed by :func:`classify_soft` over
+  quantized integer leaf distributions (round(fraction·1e6), baked
+  at EXPORT time so no float math exists in any replay plan), and
+  tests/test_rf_replay.py proves it equals `model.transform`'s
+  predictions row-for-row on the sf0.01 embeddings. The registry
+  keeps hard-vote (the exactness-safe choice for the DuckDB oracle);
+  on tie-adjacent rows the two rules can differ by design.
 
 Split rule matches MLlib's ContinuousSplit: feature <= threshold
 goes left. Feature i reads `embedding[i+1]` (1-based element_at),
@@ -150,6 +158,145 @@ def rf_sql_twin(model: dict, table: str = "embeddings", emb: str = "embedding") 
                CAST(list_max(cnts) AS INT) AS votes_top
         FROM c
     """
+
+
+# ------------------------------------------------- soft-vote (MLlib rule)
+
+SOFT_SCALE = 1_000_000
+
+
+def _tree_dist_case(node: dict, probe_fmt, d_fmt) -> str:
+    """Recursive CASE text yielding the leaf's QUANTIZED class
+    distribution as an integer array literal."""
+    if "pred" in node:
+        q = node.get("q")
+        if q is None:
+            raise ValueError(
+                "artifact leaf lacks 'q' (quantized class distribution); "
+                "regenerate with tools/train_ml1_model.py"
+            )
+        return "array(" + ",".join(f"{int(v)}L" for v in q) + ")"
+    return (
+        f"CASE WHEN {probe_fmt(node['feat'])} <= {d_fmt(node['thr'])}"
+        f" THEN {_tree_dist_case(node['left'], probe_fmt, d_fmt)}"
+        f" ELSE {_tree_dist_case(node['right'], probe_fmt, d_fmt)} END"
+    )
+
+
+def classify_soft(df: DataFrame, model: dict, emb: str = "embedding") -> DataFrame:
+    """MLlib-semantics RF inference: per tree, the matched leaf
+    contributes its class-count *fractions* (quantized to integers at
+    export — round(count_c/total·1e6)); fractions are SUMMED across
+    trees and the argmax (first max == smallest class index, exactly
+    `Vector.argmax`'s tie rule) maps back through the exported
+    StringIndexer labels. This is RandomForestClassificationModel
+    .predictRaw + probability2prediction with integer-exact
+    arithmetic; tests prove row-for-row equality with
+    `model.transform` on real data.
+
+    Same plan discipline as :func:`classify`: the ensemble subtree
+    appears ONCE (staged column), the fold is a zip_with aggregate
+    over it — map-only, zero-UDF, shuffle-free.
+    """
+    labels = model["labels"]
+    k = len(labels)
+    dists = F.array(
+        *[
+            F.expr(
+                _tree_dist_case(
+                    t,
+                    lambda f: f"CAST(element_at({emb}, {f + 1}) AS DOUBLE)",
+                    _d,
+                )
+            )
+            for t in model["trees"]
+        ]
+    )
+    dc, sc = "__rf_dists__", "__rf_sum__"
+    zero = F.expr(f"array_repeat(CAST(0 AS BIGINT), {k})")
+    summed = F.aggregate(
+        F.col(dc), zero, lambda a, x: F.zip_with(a, x, lambda p, q: p + q)
+    )
+    top = F.array_max(F.col(sc))
+    idx = F.array_position(F.col(sc), top)  # 1-based, first max
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    return (
+        df.withColumn(dc, dists)
+        .withColumn(sc, summed)
+        .withColumn(
+            "predicted_label",
+            F.element_at(label_arr, idx.cast("int")).cast("int"),
+        )
+        .withColumn("score_top", top.cast("long"))
+        .drop(dc, sc)
+    )
+
+
+def predict_row_soft(model: dict, embedding: list[float]) -> tuple[int, int]:
+    """Pure-Python replica of the quantized soft-vote rule."""
+    labels = model["labels"]
+    k = len(labels)
+    acc = [0] * k
+    for tree in model["trees"]:
+        node = tree
+        while "pred" not in node:
+            node = (
+                node["left"]
+                if float(embedding[node["feat"]]) <= node["thr"]
+                else node["right"]
+            )
+        for c, v in enumerate(node["q"]):
+            acc[c] += int(v)
+    top = max(acc)
+    return labels[acc.index(top)], top
+
+
+def export_ensemble(si_model, rf_model) -> dict:
+    """Export a fitted StringIndexer + RandomForestClassificationModel
+    into the artifact shape BOTH replay rules run on (single source of
+    truth for the leaf quantization — tools/train_ml1_model.py and the
+    certification test call this same function).
+
+    Leaf `q` is MLlib's per-leaf impurityStats (class counts)
+    normalized to fractions and quantized: round(count_c/total·1e6).
+    MLlib numClasses can exceed len(labels) (StringIndexer
+    handleInvalid='keep' reserves an unseen slot never populated in
+    training) — trailing all-zero stats are truncated, anything else
+    raises.
+    """
+    labels = [int(x) for x in si_model.labels]
+    k = len(labels)
+
+    def walk(jnode) -> dict:
+        if jnode.getClass().getName().endswith("InternalNode"):
+            split = jnode.split()
+            return {
+                "feat": split.featureIndex(),
+                "thr": split.threshold(),
+                "left": walk(jnode.leftChild()),
+                "right": walk(jnode.rightChild()),
+            }
+        stats = list(jnode.impurityStats().stats())
+        if len(stats) > k:
+            extra = stats[k:]
+            if any(v != 0.0 for v in extra):
+                raise ValueError(
+                    f"leaf carries mass in class indices >= {k}: {stats}"
+                )
+            stats = stats[:k]
+        total = sum(stats)
+        if total <= 0:
+            raise ValueError(f"leaf with non-positive total count: {stats}")
+        return {
+            "pred": int(jnode.prediction()),
+            "q": [int(round(v / total * SOFT_SCALE)) for v in stats],
+        }
+
+    return {
+        "n_features": rf_model.numFeatures,
+        "labels": labels,
+        "trees": [walk(t._call_java("rootNode")) for t in rf_model.trees],
+    }
 
 
 # ------------------------------------------------------------ pure replica

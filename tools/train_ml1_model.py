@@ -44,18 +44,7 @@ OUT = os.path.join(
 )
 
 
-def walk(jnode) -> dict:
-    """Export one MLlib tree node via py4j (continuous splits only —
-    the embedding features are all continuous)."""
-    if jnode.getClass().getName().endswith("InternalNode"):
-        split = jnode.split()
-        return {
-            "feat": split.featureIndex(),
-            "thr": split.threshold(),
-            "left": walk(jnode.leftChild()),
-            "right": walk(jnode.rightChild()),
-        }
-    return {"pred": int(jnode.prediction())}
+from lcmap_firebird_spark.operators.rf_replay import export_ensemble
 
 
 def main() -> None:
@@ -92,11 +81,10 @@ def main() -> None:
     )
     model = pipe.fit(fdf)
     si, rf = model.stages
-    artifact = {
-        "n_features": 64,
-        "labels": [int(x) for x in si.labels],
-        "trees": [walk(t._call_java("rootNode")) for t in rf.trees],
-    }
+    # shared exporter (operators/rf_replay.export_ensemble): tree
+    # structure for BOTH replay rules + quantized leaf distributions
+    # for the soft-vote (MLlib-semantics) replay
+    artifact = export_ensemble(si, rf)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(artifact, f)
