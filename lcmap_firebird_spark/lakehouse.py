@@ -750,17 +750,23 @@ class LakeTable:
             raise
         return t
 
-    def _conform(self, df: DataFrame, head: dict) -> DataFrame:
+    def _conform(
+        self, df: DataFrame, head: dict, keep: tuple[str, ...] = ()
+    ) -> DataFrame:
         """Project df onto the table schema: reject columns the table
         doesn't have (misspellings must not silently land as a file
         readers null-fill away), COMPUTE absent generated columns
         from their declared expressions, null-fill absent
         evolution-added columns (pre-evolution writer shapes stay
         valid), and cast the rest — an unconverted type would commit
-        a file every subsequent scan chokes on."""
+        a file every subsequent scan chokes on.
+
+        `keep` names non-table columns carried through VERBATIM after
+        the schema fields (apply_changes' op column) — they must be
+        present in df."""
         schema = StructType.fromJson(json.loads(head["schema"]))
         gen = head.get("generated") or {}
-        known = {f.name for f in schema.fields}
+        known = {f.name for f in schema.fields} | set(keep)
         extra_cols = [c for c in df.columns if c not in known]
         if extra_cols:
             raise ValueError(
@@ -775,7 +781,9 @@ class LakeTable:
                 return F.expr(gen[f.name]).cast(f.dataType).alias(f.name)
             return F.lit(None).cast(f.dataType).alias(f.name)
 
-        return df.select(*[_col(f) for f in schema.fields])
+        return df.select(
+            *[_col(f) for f in schema.fields], *[F.col(c) for c in keep]
+        )
 
     def append(self, df: DataFrame, extra: dict | None = None) -> int:
         """Atomic multi-file append (order-independent: retries
@@ -2560,18 +2568,16 @@ class LakeTable:
         data, dvs = self._split_live(live)
         key_cols = head_entry["key_cols"]
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
-        for c, expr in (head_entry.get("generated") or {}).items():
-            if c not in changes.columns:
-                changes = changes.withColumn(c, F.expr(expr))
-        ident = self._identity()
-        if ident and ident["col"] not in changes.columns:
-            changes = changes.withColumn(
-                ident["col"], F.lit(None).cast("bigint")
-            )
-        ops = changes.select(
-            *[F.col(f.name).cast(f.dataType) for f in schema.fields],
-            F.col(op_col).alias("_op"),
-        )
+        # the SAME writer contract as append/merge (_conform): absent
+        # evolution-added columns null-fill (a pre-evolution CDC
+        # source stays valid after add_column — r8 combined-mix fuzz
+        # found the hand-rolled projection here crashed on it),
+        # absent generated columns compute, misspelled columns raise
+        # instead of silently dropping their data, and the op column
+        # rides through verbatim
+        ops = self._conform(changes, head_entry, keep=(op_col,))
+        if op_col != "_op":
+            ops = ops.withColumnRenamed(op_col, "_op")
         dups = ops.groupBy(*key_cols).count().filter(F.col("count") > 1)
         if dups.limit(1).count():
             raise ValueError("duplicate keys in change batch")

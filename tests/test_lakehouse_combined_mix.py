@@ -1,0 +1,277 @@
+"""Combined lakehouse feature-mix fuzz (r7 VERDICT next-round #5):
+column mapping (rename + drop + re-add of the SAME logical name),
+identity columns, and shallow clones interleaved with every rewrite
+class (append/merge/COW delete/MOR delete/apply_changes/compact/
+compact_deletes/cluster/restore) in ONE random mix — feature
+interactions are where the r5-r7 bugs clustered (CDF column rebirth,
+bloom-vs-mapping, vacuum-vs-clone).
+
+Model notes:
+- the extra column is tracked per row as (generation, value): a
+  drop + re-add of logical name `extra` creates a new GENERATION
+  (fresh physical name), and a row only displays its value when its
+  generation matches the live one — the no-resurrection contract.
+- restore keeps the NEWER schema (documented in lakehouse.restore)
+  but re-references the target version's files, so the model rolls
+  data back while the column state stays put.
+- identity values are asserted non-NULL and unique at every step
+  (their exact values depend on commit internals, deliberately
+  unmodeled); clone appends must not disturb the source.
+
+Default run pins two seeds; set SPARK_GRAFT_FUZZ_SEEDS=n to sweep n
+random seeds (the r8 closeout ran 12)."""
+
+from __future__ import annotations
+
+import copy
+import os
+import random
+
+import pytest
+
+from lcmap_firebird_spark.lakehouse import LakeTable
+
+
+def test_apply_changes_writer_contract(spark, tmp_path):
+    """Point regression for the r8 combined-mix finding: apply_changes
+    follows the SAME writer contract as append/merge (_conform) —
+    a change batch omitting an evolution-added column null-fills it
+    (pre-evolution CDC sources stay valid after add_column), and a
+    misspelled column raises instead of silently dropping its data
+    (the old hand-rolled projection crashed on the former and
+    ignored the latter)."""
+    root = str(tmp_path / "cdc")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"),
+        key_cols=["id"],
+    )
+    t.add_column("extra", "double")
+    # pre-evolution CDC shape: no `extra` column
+    t.apply_changes(
+        spark.createDataFrame(
+            [(1, "a2", "upsert"), (2, None, "delete")],
+            "id long, name string, _op string",
+        )
+    )
+    rows = sorted(tuple(r) for r in t.snapshot().collect())
+    assert rows == [(1, "a2", None)]
+    # misspelled column: loud, not silent data loss
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nme"):
+        t.apply_changes(
+            spark.createDataFrame(
+                [(3, "x", "upsert")], "id long, nme string, _op string"
+            )
+        )
+
+
+def _seeds():
+    n = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "0"))
+    if n:
+        return list(range(8000, 8000 + n))
+    return [7, 31]
+
+
+def _display(model, live_gen):
+    """Expected (id, name, val, extra) rows under the live extra
+    generation (None = no extra column)."""
+    out = []
+    for k, (name, val, gen, ev) in sorted(model.items()):
+        if live_gen is None:
+            out.append((k, name, val))
+        else:
+            out.append((k, name, val, ev if gen == live_gen else None))
+    return out
+
+
+def _got(t, cols, extra_live, version=None):
+    sel = ["id", cols["name"], cols["val"]] + (
+        ["extra"] if extra_live else []
+    )
+    rows = t.snapshot(version=version).select(*sel).collect()
+    return sorted(tuple(r) for r in rows)
+
+
+def _rids(t):
+    return [r["rid"] for r in t.snapshot().select("rid").collect()]
+
+
+@pytest.mark.parametrize("seed", _seeds())
+def test_combined_feature_mix(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    root = str(tmp_path / f"mix{seed}")
+    # model: id -> (name, val, extra_gen, extra_val)
+    model = {i: (f"n{i}", float(i), -1, None) for i in range(30)}
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in model.items()],
+            "id long, name string, val double",
+        ),
+        key_cols=["id"],
+        identity="rid",
+    )
+    cols = {"name": "name", "val": "val"}
+    extra_gen: int | None = None  # live generation of `extra`, if any
+    gen_counter = 0
+    next_id = 1000
+    # per-version record: (model snapshot, cols, extra_gen)
+    history = {t.latest_version(): (copy.deepcopy(model), dict(cols), extra_gen)}
+    clone_n = 0
+
+    def _wschema(with_extra):
+        s = f"id long, {cols['name']} string, {cols['val']} double"
+        return s + (", extra double" if with_extra else "")
+
+    for step in range(20):
+        op = rng.choice(
+            [
+                "append", "merge", "delete", "delete_mor",
+                "apply_changes", "compact", "compact_deletes",
+                "cluster", "restore", "rename", "addcol", "dropcol",
+                "clone",
+            ]
+        )
+        if op == "append":
+            with_extra = extra_gen is not None and rng.random() < 0.7
+            rows = []
+            for _ in range(rng.randint(1, 3)):
+                ev = float(step) + 0.25 if with_extra else None
+                rows.append(
+                    (next_id, f"a{next_id}", float(step))
+                    + ((ev,) if with_extra else ())
+                )
+                model[next_id] = (
+                    f"a{next_id}",
+                    float(step),
+                    extra_gen if extra_gen is not None else -1,
+                    ev,
+                )
+                next_id += 1
+            t.append(spark.createDataFrame(rows, _wschema(with_extra)))
+        elif op == "merge":
+            with_extra = extra_gen is not None and rng.random() < 0.7
+            keys = rng.sample(sorted(model) or [next_id], k=min(3, len(model)))
+            keys.append(next_id)
+            next_id += 1
+            rows = []
+            for k in set(keys):
+                ev = float(step) + 0.5 if with_extra else None
+                rows.append(
+                    (k, f"m{step}", float(step))
+                    + ((ev,) if with_extra else ())
+                )
+                # merge REPLACES the whole row (absent cols null-fill)
+                model[k] = (
+                    f"m{step}",
+                    float(step),
+                    extra_gen if extra_gen is not None else -1,
+                    ev,
+                )
+            t.merge(spark.createDataFrame(rows, _wschema(with_extra)))
+        elif op == "delete":
+            cut = rng.choice([3, 5, 7])
+            t.delete(f"id % {cut} = 0")
+            model = {k: v for k, v in model.items() if k % cut != 0}
+        elif op == "delete_mor":
+            lo = rng.randint(0, 1100)
+            t.delete_mor(f"id >= {lo} AND id < {lo + 200}")
+            model = {
+                k: v for k, v in model.items() if not (lo <= k < lo + 200)
+            }
+        elif op == "apply_changes":
+            dels = []
+            if model:
+                victim = rng.choice(sorted(model))
+                dels = [(victim, None, None, "delete")]
+                model.pop(victim)
+            ups = [(next_id, f"c{step}", 9.0, "upsert")]
+            model[next_id] = (
+                f"c{step}",
+                9.0,
+                extra_gen if extra_gen is not None else -1,
+                None,
+            )
+            next_id += 1
+            t.apply_changes(
+                spark.createDataFrame(
+                    ups + dels, _wschema(False) + ", _op string"
+                )
+            )
+        elif op == "compact":
+            t.compact(target_rows=1_000)
+        elif op == "compact_deletes":
+            t.compact_deletes(min_deleted_fraction=0.3)
+        elif op == "cluster":
+            t.cluster()
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            t.restore(target)
+            model = copy.deepcopy(history[target][0])
+            # schema/mapping stay the NEWER ones (restore contract);
+            # cols/extra_gen unchanged
+        elif op == "rename":
+            sem = rng.choice(["name", "val"])
+            new = f"{sem}_{step}"
+            t.rename_column(cols[sem], new)
+            cols[sem] = new
+        elif op == "addcol":
+            if extra_gen is None:
+                t.add_column("extra", "double")
+                extra_gen = gen_counter
+                gen_counter += 1
+            else:
+                t.drop_column("extra")
+                extra_gen = None
+        elif op == "dropcol":
+            if extra_gen is not None:
+                t.drop_column("extra")
+                extra_gen = None
+            else:
+                t.add_column("extra", "double")
+                extra_gen = gen_counter
+                gen_counter += 1
+        elif op == "clone":
+            dest = str(tmp_path / f"clone{seed}_{clone_n}")
+            clone_n += 1
+            c = t.clone(dest)
+            assert _got(c, cols, extra_gen is not None) == _display(
+                model, extra_gen
+            ), f"step {step}: clone != model"
+            # clone mutates independently; source must not move
+            c.append(
+                spark.createDataFrame(
+                    [(90_000 + step, "cl", -1.0)], _wschema(False)
+                )
+            )
+            crids = [
+                r["rid"] for r in c.snapshot().select("rid").collect()
+            ]
+            assert None not in crids and len(set(crids)) == len(crids)
+
+        got = _got(t, cols, extra_gen is not None)
+        want = _display(model, extra_gen)
+        assert got == want, f"seed {seed} step {step} ({op}): snapshot != model"
+        rids = _rids(t)
+        assert None not in rids, f"step {step}: NULL identity value"
+        assert len(set(rids)) == len(rids), f"step {step}: identity collision"
+        history[t.latest_version()] = (
+            copy.deepcopy(model),
+            dict(cols),
+            extra_gen,
+        )
+
+    # every recorded version still time-travels to its recorded state,
+    # displayed under the column names in force AT that version
+    for v, (m, vcols, vgen) in history.items():
+        assert _got(t, vcols, vgen is not None, version=v) == _display(
+            m, vgen
+        ), f"seed {seed}: version {v} time travel"
+
+    # aggressive vacuum keeps the head equal to the model
+    t.vacuum(keep_last=1, retention_seconds=0)
+    assert _got(t, cols, extra_gen is not None) == _display(model, extra_gen)
