@@ -41,7 +41,20 @@ def salted_join(
     """Equi-join where `big` has skewed keys: big rows get a
     deterministic salt in [0, salt); `small` is exploded across all
     salts. Each hot key's rows now land on `salt` reducers instead
-    of one. Result is identical to a plain join."""
+    of one. Result is identical to a plain join — for the BIG-side-
+    preserving join types only: an unmatched SMALL row exists `salt`
+    times after the explode, so right/full outer would duplicate it
+    salt-fold (r8 review); those types are rejected rather than
+    silently wrong."""
+    if how.replace("outer", "").strip("_") not in (
+        "inner", "left", "leftsemi", "left_semi", "leftanti", "left_anti",
+        "cross",
+    ):
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: the "
+            "replicated small side would duplicate unmatched rows "
+            f"{salt}x under right/full outer joins"
+        )
     big_s = big.withColumn("_salt", _salt_col(big, keys, salt))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

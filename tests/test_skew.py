@@ -105,3 +105,17 @@ def test_bm25_topk_salted_row_identical(spark, hot_term_corpus):
         map(tuple, salted), key=lambda t: (t[0], t[3])
     )
     assert len(plain) > 0
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark, skewed):
+    """right/full outer would duplicate an unmatched small row salt
+    times (it exists once per salt after the explode) — rejected
+    loudly rather than silently wrong (r8 review)."""
+    import pytest
+
+    dim = spark.createDataFrame([(1, "one"), (99, "unmatched")], ["k", "name"])
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(skewed, dim, ["k"], salt=4, how=how)
+    # big-side-preserving types still pass through
+    assert salted_join(skewed, dim, ["k"], salt=4, how="left_anti").count() >= 0
