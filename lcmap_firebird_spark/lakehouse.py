@@ -1104,6 +1104,49 @@ class LakeTable:
                         for p in e["cdf"]["paths"]
                     ]
                 )
+                # Identity values are a SCAN-time attribute (assigned
+                # from the commit's reserved range), so change rows
+                # staged DURING merge/apply_changes carry NULL for
+                # engine-assigned ids — but a CDF consumer must see
+                # the same values a snapshot reader sees (r8 combined
+                # -mix fuzz: read_cdf replay diverged on the identity
+                # column). Fill insert/update_postimage NULLs by key
+                # from the commit's own rewritten files, where the
+                # scan materializes them. Duplicate keys inside one
+                # commit's adds collapse to min() — unreachable for
+                # merge/apply_changes sources (unique keys enforced);
+                # only a duplicate-keyed TABLE could hit it, where
+                # per-row attribution is ambiguous anyway.
+                ident = self._identity()
+                if ident:
+                    icol = ident["col"]
+                    keys_e = e["key_cols"]
+                    adds = [
+                        r for r in e.get("add", [])
+                        if r.get("kind") not in ("dv",) and r.get("rows")
+                    ]
+                    if adds and icol not in keys_e:
+                        fills = (
+                            self._scan_live(
+                                adds, [], schema, mapping=_entry_mapping(e)
+                            )
+                            .groupBy(*keys_e)
+                            .agg(F.min(icol).alias("__rid_fill__"))
+                        )
+                        fillable = F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        )
+                        df = (
+                            df.join(fills, list(keys_e), "left")
+                            .withColumn(
+                                icol,
+                                F.when(
+                                    F.col(icol).isNull() & fillable,
+                                    F.col("__rid_fill__"),
+                                ).otherwise(F.col(icol)),
+                            )
+                            .drop("__rid_fill__")
+                        )
             elif e["operation"] in ("append", "create"):
                 adds = [
                     r for r in e.get("add", [])
@@ -1308,22 +1351,21 @@ class LakeTable:
         data, dvs = self._split_live(live)
         key_cols = head_entry["key_cols"]
         schema = StructType.fromJson(json.loads(head_entry["schema"]))
-        # generated columns may be omitted by the merge source — the
-        # engine computes them (provided values are still validated
-        # against the expression at commit)
-        for c, expr in (head_entry.get("generated") or {}).items():
-            if c not in source.columns:
-                source = source.withColumn(c, F.expr(expr))
-        # the identity column may be omitted too: NULLs materialize
-        # from the commit's reserved range at scan (BY DEFAULT rule)
-        ident = self._identity()
-        if ident and ident["col"] not in source.columns:
-            source = source.withColumn(
-                ident["col"], F.lit(None).cast("bigint")
+        # the SAME writer contract as append (_conform): absent
+        # generated columns compute, absent evolution-added columns
+        # (identity included — NULLs materialize from the commit's
+        # reserved range at scan, the BY DEFAULT rule) null-fill, and
+        # unknown columns raise. The hand-rolled projection this
+        # replaces crashed on a source omitting an evolution-added
+        # column (r8 combined-mix fuzz — the same gap apply_changes
+        # had). Key columns are required EXPLICITLY: _conform would
+        # null-fill an absent key, silently merging by NULL.
+        missing_keys = [k for k in key_cols if k not in source.columns]
+        if missing_keys:
+            raise ValueError(
+                f"merge source lacks key column(s) {missing_keys}"
             )
-        source = source.select(
-            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
-        )
+        source = self._conform(source, head_entry)
         if dedupe_source:
             source = source.dropDuplicates(key_cols)
         else:
@@ -2574,7 +2616,13 @@ class LakeTable:
         # found the hand-rolled projection here crashed on it),
         # absent generated columns compute, misspelled columns raise
         # instead of silently dropping their data, and the op column
-        # rides through verbatim
+        # rides through verbatim. Key columns are required
+        # explicitly (_conform would null-fill an absent key).
+        missing_keys = [k for k in key_cols if k not in changes.columns]
+        if missing_keys:
+            raise ValueError(
+                f"change batch lacks key column(s) {missing_keys}"
+            )
         ops = self._conform(changes, head_entry, keep=(op_col,))
         if op_col != "_op":
             ops = ops.withColumnRenamed(op_col, "_op")

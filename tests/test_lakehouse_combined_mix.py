@@ -26,10 +26,58 @@ from __future__ import annotations
 import copy
 import os
 import random
+from collections import Counter
 
 import pytest
 
 from lcmap_firebird_spark.lakehouse import LakeTable
+
+
+def _replay(base: Counter, change_rows) -> Counter:
+    out = Counter(base)
+    for row, kind in change_rows:
+        if kind in ("delete", "update_preimage"):
+            out[row] -= 1
+            if out[row] <= 0:
+                del out[row]
+        elif kind in ("insert", "update_postimage"):
+            out[row] += 1
+        else:
+            raise AssertionError(f"unexpected _change_type {kind!r}")
+    return out
+
+
+def _closure_check(t, v_prev, v_cur, use_cdf, ctx):
+    """snapshot(v_prev) ⊎ changes(v_prev, v_cur) == snapshot(v_cur)
+    as multisets — across renames, add/drop (physical-identity
+    relabel), identity values, and every rewrite class. Checked for
+    BOTH feeds: table_changes (snapshot diff) and, when the table
+    records CDF, read_cdf (per-commit change rows). Rows compare in
+    v_cur's logical space, identity column INCLUDED."""
+    cols = t.snapshot(version=v_cur).columns
+    _, e_prev = t._live(v_prev)
+    _, e_cur = t._live(v_cur)
+    base = Counter(
+        tuple(r)
+        for r in t._relabel(t.snapshot(version=v_prev), e_prev, e_cur)
+        .select(*cols)
+        .collect()
+    )
+    want = Counter(
+        tuple(r) for r in t.snapshot(version=v_cur).select(*cols).collect()
+    )
+    feeds = [("table_changes", t.table_changes(v_prev, v_cur))]
+    if use_cdf:
+        feeds.append(("read_cdf", t.read_cdf(v_prev, v_cur)))
+    for feed_name, ch in feeds:
+        rows = [
+            (tuple(r)[:-1], r["_change_type"])
+            for r in ch.select(*cols, "_change_type").collect()
+        ]
+        got = _replay(base, rows)
+        assert got == want, (
+            f"{ctx}: {feed_name} replay {v_prev}->{v_cur} diverged"
+        )
 
 
 def test_apply_changes_writer_contract(spark, tmp_path):
@@ -65,6 +113,18 @@ def test_apply_changes_writer_contract(spark, tmp_path):
             spark.createDataFrame(
                 [(3, "x", "upsert")], "id long, nme string, _op string"
             )
+        )
+    # merge shares the contract (its hand-rolled projection crashed
+    # on the same omission — found by the CDF-crossed mix, r8)
+    t.merge(spark.createDataFrame([(1, "a3"), (5, "e")], "id long, name string"))
+    rows = sorted(tuple(r) for r in t.snapshot().collect())
+    assert rows == [(1, "a3", None), (5, "e", None)]
+    # an absent KEY column is refused, never null-filled into a merge
+    with _pytest.raises(ValueError, match="key column"):
+        t.merge(spark.createDataFrame([("x",)], "name string"))
+    with _pytest.raises(ValueError, match="key column"):
+        t.apply_changes(
+            spark.createDataFrame([("x", "upsert")], "name string, _op string")
         )
 
 
@@ -114,6 +174,7 @@ def test_combined_feature_mix(spark, tmp_path, seed):
         ),
         key_cols=["id"],
         identity="rid",
+        enable_cdf=True,
     )
     cols = {"name": "name", "val": "val"}
     extra_gen: int | None = None  # live generation of `extra`, if any
@@ -128,6 +189,7 @@ def test_combined_feature_mix(spark, tmp_path, seed):
         return s + (", extra double" if with_extra else "")
 
     for step in range(20):
+        v_before = t.latest_version()
         op = rng.choice(
             [
                 "append", "merge", "delete", "delete_mor",
@@ -259,7 +321,16 @@ def test_combined_feature_mix(spark, tmp_path, seed):
         rids = _rids(t)
         assert None not in rids, f"step {step}: NULL identity value"
         assert len(set(rids)) == len(rids), f"step {step}: identity collision"
-        history[t.latest_version()] = (
+        v_after = t.latest_version()
+        if v_after > v_before and (rng.random() < 0.4 or step == 19):
+            # CDF replay closure across THIS step's commit(s): crosses
+            # the recorded change feed with identity values, renames,
+            # add/drop generations, and whatever rewrite just ran
+            _closure_check(
+                t, v_before, v_after, use_cdf=True,
+                ctx=f"seed {seed} step {step} ({op})",
+            )
+        history[v_after] = (
             copy.deepcopy(model),
             dict(cols),
             extra_gen,
