@@ -1331,6 +1331,67 @@ class LakeTable:
             extra=extra,
         )
 
+    def _fill_identity_in_changes(
+        self,
+        changes: DataFrame,
+        add: list[dict],
+        head_entry: dict,
+        schema: StructType,
+    ) -> DataFrame:
+        """Materialize engine-assigned identity values into CDF rows
+        at WRITE time. merge/apply_changes are never-retried commits
+        (expected_head pins the head, so a lost race raises instead
+        of re-reserving), which makes the per-file identity bases
+        `_commit` will assign fully deterministic HERE — replicate
+        its exact assignment loop over the just-staged add records,
+        scan those files (where the identity projection
+        materializes), and fill NULL identity on
+        insert/update_postimage rows by key. The staged change file
+        then carries the same values a snapshot reader sees — which
+        is what makes the STREAMING CDF source exact too (r8; batch
+        read_cdf keeps a read-time fill as well, a no-op on files
+        staged through this path but covering change files committed
+        before it existed)."""
+        ident = head_entry.get("identity")
+        if not ident:
+            return changes
+        icol = ident["col"]
+        key_cols = head_entry["key_cols"]
+        if icol in key_cols:
+            return changes
+        # EXACTLY _commit's reservation loop (same order, same
+        # condition, same zero-row handling)
+        wm, step = int(ident["watermark"]), int(ident["step"])
+        recs = []
+        for r in add:
+            if r.get("kind") is None:
+                rr = dict(r)
+                rr["identity_base"] = wm + step
+                wm += step * int(r.get("rows") or 0)
+                recs.append(rr)
+        if not recs:
+            return changes
+        fills = (
+            self._scan_live(
+                recs, [], schema, mapping=_entry_mapping(head_entry)
+            )
+            .groupBy(*key_cols)
+            .agg(F.min(icol).alias("__rid_fill__"))
+        )
+        fillable = F.col("_change_type").isin("insert", "update_postimage")
+        return (
+            changes.join(fills, list(key_cols), "left")
+            .withColumn(
+                icol,
+                F.when(
+                    F.col(icol).isNull() & fillable, F.col("__rid_fill__")
+                ).otherwise(F.col(icol)),
+            )
+            .select(
+                *[f.name for f in schema.fields], "_change_type"
+            )
+        )
+
     def merge(
         self,
         source: DataFrame,
@@ -1384,6 +1445,7 @@ class LakeTable:
         )
         cols = [f.name for f in schema.fields]
         cdf_extra: dict = {}
+        change_rows: DataFrame | None = None
         if affected:
             # DV-applied scan: rows already deleted merge-on-read
             # must not resurrect in the rewritten files
@@ -1395,11 +1457,7 @@ class LakeTable:
                 # scan feeds both survivors and the change rows
                 scan = scan.localCheckpoint(eager=True)
                 source = source.localCheckpoint(eager=True)
-                rec = self._stage_cdf(
-                    self._merge_cdf(scan, source, key_cols, cols)
-                )
-                if rec:
-                    cdf_extra["cdf"] = rec
+                change_rows = self._merge_cdf(scan, source, key_cols, cols)
             survivors = scan.join(
                 F.broadcast(keys), key_cols, "left_anti"
             )
@@ -1409,14 +1467,21 @@ class LakeTable:
             if self._cdf_enabled():
                 source = source.localCheckpoint(eager=True)
                 rewritten = source
-                rec = self._stage_cdf(
-                    source.select(
-                        *cols, F.lit("insert").alias("_change_type")
-                    )
+                change_rows = source.select(
+                    *cols, F.lit("insert").alias("_change_type")
                 )
-                if rec:
-                    cdf_extra["cdf"] = rec
         add = self._stage_files(rewritten)
+        if change_rows is not None:
+            # staged AFTER the data files so engine-assigned identity
+            # values can be filled in from them (write-time fill —
+            # see _fill_identity_in_changes)
+            rec = self._stage_cdf(
+                self._fill_identity_in_changes(
+                    change_rows, add, head_entry, schema
+                )
+            )
+            if rec:
+                cdf_extra["cdf"] = rec
         return self._commit(
             "merge", add, affected, expected_head=head,
             extra=(extra or {}) | cdf_extra,
@@ -2648,6 +2713,7 @@ class LakeTable:
         upserts = ops.filter(F.col("_op") != "delete").drop("_op")
         cols = [f.name for f in schema.fields]
         cdf_extra: dict = {}
+        change_rows: DataFrame | None = None
         if affected:
             recs = [r for r in data if r["path"] in set(affected)]
             scan = self._scan_live(
@@ -2676,11 +2742,7 @@ class LakeTable:
                 ins = upserts.join(tkeys, key_cols, "left_anti").select(
                     *cols, F.lit("insert").alias("_change_type")
                 )
-                rec = self._stage_cdf(
-                    pre.unionByName(post).unionByName(ins)
-                )
-                if rec:
-                    cdf_extra["cdf"] = rec
+                change_rows = pre.unionByName(post).unionByName(ins)
             survivors = scan.join(F.broadcast(keys), key_cols, "left_anti")
             rewritten = survivors.unionByName(upserts)
         else:
@@ -2688,14 +2750,20 @@ class LakeTable:
             if self._cdf_enabled():
                 upserts = upserts.localCheckpoint(eager=True)
                 rewritten = upserts
-                rec = self._stage_cdf(
-                    upserts.select(
-                        *cols, F.lit("insert").alias("_change_type")
-                    )
+                change_rows = upserts.select(
+                    *cols, F.lit("insert").alias("_change_type")
                 )
-                if rec:
-                    cdf_extra["cdf"] = rec
         add = self._stage_files(rewritten)
+        if change_rows is not None:
+            # staged AFTER the data files: write-time identity fill
+            # (see _fill_identity_in_changes)
+            rec = self._stage_cdf(
+                self._fill_identity_in_changes(
+                    change_rows, add, head_entry, schema
+                )
+            )
+            if rec:
+                cdf_extra["cdf"] = rec
         return self._commit(
             "apply_changes", add, affected, expected_head=head,
             extra=(extra or {}) | cdf_extra or None,

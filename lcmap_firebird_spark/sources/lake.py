@@ -819,18 +819,14 @@ class LakeCDFStreamReader(DataSourceStreamReader):
     (read_cdf computes their snapshot diff), which is Delta's posture
     for non-additive changes without CDF data.
 
-    IDENTITY DEVIATION (documented; pinned in test_identity): on an
-    identity table, insert/update_postimage rows from change-FILE
-    commits (merge/apply_changes) stream the identity column as NULL
-    — identity values are a scan-time attribute assigned from the
-    commit's reserved range, and the single-file partition readers
-    here cannot run the cross-file keyed fill that batch
-    `LakeTable.read_cdf` performs (r8). Consumers needing identity
-    values on those rows should read the feed through read_cdf. The
-    clean fix is write-time materialization: merge/apply_changes are
-    never-retried commits (ConcurrentWriteError, no retry loop), so
-    the reserved range is known at staging time and could be written
-    physically — a round-9 candidate (ROADMAP)."""
+    Identity tables stream exact values on every change row (pinned
+    in test_identity): merge/apply_changes are never-retried commits,
+    so the reserved identity range is deterministic at staging time
+    and `LakeTable._fill_identity_in_changes` materializes
+    engine-assigned values INTO the staged change file — the
+    single-file partition readers here need no cross-file fill (r8;
+    batch read_cdf additionally keeps a read-time fill covering
+    change files committed before the write-time fill existed)."""
 
     def __init__(self, root: str, schema, start: int = 0):
         import json as _json
