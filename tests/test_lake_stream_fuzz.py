@@ -22,8 +22,18 @@ from lcmap_firebird_spark.lakehouse import LakeTable
 SCHEMA = "id long, name string, val double"
 
 
+@pytest.mark.parametrize("identity", [None, "rid"])
 @pytest.mark.parametrize("seed", [29])
-def test_cdf_stream_exactly_once_under_random_restarts(spark, tmp_path, seed):
+def test_cdf_stream_exactly_once_under_random_restarts(
+    spark, tmp_path, seed, identity
+):
+    """The identity='rid' leg additionally crosses exactly-once
+    restarts with engine-assigned identity values: every writer frame
+    omits rid, and streamed change rows must STILL equal the
+    per-commit table_changes diffs with rid included — merge/apply
+    change files carry write-time-filled values
+    (lakehouse._fill_identity_in_changes), append inserts materialize
+    from their add files' reserved ranges (r8)."""
     from lcmap_firebird_spark.sources.lake import LakeDataSource
 
     try:
@@ -31,13 +41,14 @@ def test_cdf_stream_exactly_once_under_random_restarts(spark, tmp_path, seed):
     except Exception:
         pass
     rng = random.Random(seed)
-    root = str(tmp_path / "fuzztbl")
+    root = str(tmp_path / f"fuzztbl{identity or 'plain'}")
     t = LakeTable.create(
         spark,
         root,
         spark.createDataFrame([(i, f"n{i}", float(i)) for i in range(30)], SCHEMA),
         key_cols=["id"],
         enable_cdf=True,
+        identity=identity,
     )
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
