@@ -195,7 +195,7 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 "append", "merge", "delete", "delete_mor",
                 "apply_changes", "compact", "compact_deletes",
                 "cluster", "restore", "rename", "addcol", "dropcol",
-                "clone",
+                "clone", "checkpoint", "bloom", "safe_vacuum",
             ]
         )
         if op == "append":
@@ -297,6 +297,19 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 t.add_column("extra", "double")
                 extra_gen = gen_counter
                 gen_counter += 1
+        elif op == "checkpoint":
+            # log checkpoint: pure metadata, no row change — crosses
+            # checkpointed-log replay with mapping/identity/CDF state
+            t.checkpoint_log()
+        elif op == "bloom":
+            # bloom sidecar build: metadata commit; crosses sidecar
+            # liveness with renames/clones/vacuum (r6 guard territory)
+            t.build_bloom_index()
+        elif op == "safe_vacuum":
+            # conservative sweep (huge retention): must delete NOTHING
+            # and disturb nothing — runs the liveness logic mid-mix
+            removed = t.vacuum(keep_last=1, retention_seconds=1e9)
+            assert removed == [], f"step {step}: safe vacuum removed {removed}"
         elif op == "clone":
             dest = str(tmp_path / f"clone{seed}_{clone_n}")
             clone_n += 1
