@@ -657,9 +657,11 @@ class LakeTable:
         only; the column refuses rename/drop; CHECK constraints and
         generated expressions may not reference it (values are
         assigned after staging-time validation, which would see
-        NULL); CDF change rows for merge-inserted rows show the
-        writer's value (NULL when omitted — the snapshot shows the
-        assigned value)."""
+        NULL). CDF change rows carry the ASSIGNED values: merge/
+        apply_changes never retry, so their reserved ranges are
+        deterministic at staging and the change file records the
+        materialized ids (_fill_identity_in_changes, r8); append
+        inserts derive from add files, which readers materialize."""
         # exist_ok: a crashed create may have left the empty dirs
         # behind; the O_EXCL entry-0 create below is the real guard
         # against two concurrent creates
