@@ -136,19 +136,21 @@ def _seeds():
 
 
 def _display(model, live_gen):
-    """Expected (id, name, val, extra) rows under the live extra
-    generation (None = no extra column)."""
+    """Expected (id, name, val, idb, extra) rows under the live extra
+    generation (None = no extra column). `idb` is the GENERATED
+    column id % 5 — a pure function of the key, so the model derives
+    it instead of tracking it."""
     out = []
     for k, (name, val, gen, ev) in sorted(model.items()):
         if live_gen is None:
-            out.append((k, name, val))
+            out.append((k, name, val, k % 5))
         else:
-            out.append((k, name, val, ev if gen == live_gen else None))
+            out.append((k, name, val, k % 5, ev if gen == live_gen else None))
     return out
 
 
 def _got(t, cols, extra_live, version=None):
-    sel = ["id", cols["name"], cols["val"]] + (
+    sel = ["id", cols["name"], cols["val"], "idb"] + (
         ["extra"] if extra_live else []
     )
     rows = t.snapshot(version=version).select(*sel).collect()
@@ -175,6 +177,11 @@ def test_combined_feature_mix(spark, tmp_path, seed):
         key_cols=["id"],
         identity="rid",
         enable_cdf=True,
+        # generated over the KEY (never renamed in this mix — DDL
+        # guards lock a generated input against rename) + a declared
+        # stats column that the rename op moves
+        generated={"idb": "id % 5"},
+        stats_cols=["val"],
     )
     cols = {"name": "name", "val": "val"}
     extra_gen: int | None = None  # live generation of `extra`, if any
@@ -196,6 +203,7 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 "apply_changes", "compact", "compact_deletes",
                 "cluster", "restore", "rename", "addcol", "dropcol",
                 "clone", "checkpoint", "bloom", "safe_vacuum",
+                "bad_generated",
             ]
         )
         if op == "append":
@@ -281,6 +289,8 @@ def test_combined_feature_mix(spark, tmp_path, seed):
             new = f"{sem}_{step}"
             t.rename_column(cols[sem], new)
             cols[sem] = new
+            # the declared stats column follows its rename
+            assert (t._live()[1].get("stats_cols") or []) == [cols["val"]]
         elif op == "addcol":
             if extra_gen is None:
                 t.add_column("extra", "double")
@@ -297,6 +307,26 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 t.add_column("extra", "double")
                 extra_gen = gen_counter
                 gen_counter += 1
+        elif op == "bad_generated":
+            # a writer-provided generated value that contradicts the
+            # expression must be rejected ATOMICALLY at any point in
+            # the history: model unchanged, no version consumed
+            from lcmap_firebird_spark.lakehouse import ConstraintViolation
+
+            v0 = t.latest_version()
+            bad = spark.createDataFrame(
+                [(next_id, "bad", 0.0, (next_id % 5) + 1)],
+                f"id long, {cols['name']} string, {cols['val']} double,"
+                " idb bigint",
+            )
+            try:
+                t.append(bad)
+                raise AssertionError(
+                    f"step {step}: contradicting generated value landed"
+                )
+            except ConstraintViolation:
+                pass
+            assert t.latest_version() == v0
         elif op == "checkpoint":
             # log checkpoint: pure metadata, no row change — crosses
             # checkpointed-log replay with mapping/identity/CDF state
