@@ -203,7 +203,7 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 "apply_changes", "compact", "compact_deletes",
                 "cluster", "restore", "rename", "addcol", "dropcol",
                 "clone", "checkpoint", "bloom", "safe_vacuum",
-                "bad_generated",
+                "bad_generated", "constraint",
             ]
         )
         if op == "append":
@@ -307,6 +307,30 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 t.add_column("extra", "double")
                 extra_gen = gen_counter
                 gen_counter += 1
+        elif op == "constraint":
+            # CHECK constraint toggling mid-mix (the r5 model test's
+            # op, crossed here with mapping/identity/generated/CDF):
+            # while present, a violating append is rejected atomically
+            from lcmap_firebird_spark.lakehouse import ConstraintViolation
+
+            cons = t._live()[1].get("constraints") or {}
+            if "id_pos" not in cons:
+                t.add_constraint("id_pos", "id >= 0")
+                v0 = t.latest_version()
+                try:
+                    t.append(
+                        spark.createDataFrame(
+                            [(-1, "bad", -1.0)], _wschema(False)
+                        )
+                    )
+                    raise AssertionError(
+                        f"step {step}: violating append landed"
+                    )
+                except ConstraintViolation:
+                    pass
+                assert t.latest_version() == v0
+            else:
+                t.drop_constraint("id_pos")
         elif op == "bad_generated":
             # a writer-provided generated value that contradicts the
             # expression must be rejected ATOMICALLY at any point in
