@@ -46,9 +46,28 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    queries, _ = merged()
+    # test/attribution hook (r9 review pass): SPARK_GRAFT_BENCH_QUERIES
+    # scopes the run to a comma-separated subset, validated BEFORE the
+    # session spins up. The driver never sets it, so driver behavior
+    # is unchanged; unknown names exit LOUDLY (a typo'd subset
+    # silently timing nothing is the same trap the r9 driver_sim
+    # review fixed).
+    only = [
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
+        if s.strip()
+    ]
+    if only:
+        unknown = sorted(set(only) - set(queries))
+        if unknown:
+            print(
+                f"unknown SPARK_GRAFT_BENCH_QUERIES: {unknown}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
     spark = session("firebird-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries, _ = merged()
 
     # untimed warmup: JVM/codegen/Python-worker spin-up is a fixed
     # cost irrelevant to per-query throughput at scale. Contained:
@@ -66,6 +85,8 @@ def main() -> None:
     names = [n for n in HEADLINE if n in queries]
     # extend with everything else that exists, cheap coverage signal
     names += [n for n in sorted(queries) if n not in names]
+    if only:
+        names = [n for n in names if n in set(only)]
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

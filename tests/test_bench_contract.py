@@ -1,0 +1,66 @@
+"""bench.py contract tests (r9 review pass — the timing protocol had
+never had a dedicated pass; round 2 lost its entire bench signal to a
+crash, so the one-JSON-line contract is driver-critical).
+
+Runs bench.py as a SUBPROCESS (the driver's invocation shape) at
+sf0.001 scoped to a 2-query subset via SPARK_GRAFT_BENCH_QUERIES (a
+test-only hook the driver never sets) and asserts the contract:
+exactly one JSON line on stdout with metric/value/unit/queries/sf,
+headline `value` present, per-query timings positive. The typo'd
+subset exits 2 loudly instead of silently timing nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _run(extra_env: dict, timeout: int = 420):
+    env = os.environ.copy() | {
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+        "SPARK_GRAFT_CPUS": "4",
+    } | extra_env
+    return subprocess.run(
+        [sys.executable, BENCH],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=timeout,
+        cwd="/tmp",  # foreign cwd, like every driver-contract check
+    )
+
+
+def test_bench_one_json_line_contract():
+    r = _run(
+        {"SPARK_GRAFT_BENCH_QUERIES": "a4_pricing_summary,p1_conform_project"}
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    payload = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in payload, payload
+    assert payload["metric"] == "headline_query_time"
+    assert payload["unit"] == "sec"
+    assert payload["sf"] == 0.001
+    assert set(payload["queries"]) == {
+        "a4_pricing_summary", "p1_conform_project"
+    }
+    assert all(v > 0 for v in payload["queries"].values())
+    # the one subset member that IS a headline query contributes to
+    # value; no headline member errored, so value is a number
+    assert payload["value"] is not None and payload["value"] > 0
+    assert "errors" not in payload
+    assert payload["total_all_queries"] >= payload["value"]
+
+
+def test_bench_unknown_subset_exits_loudly():
+    r = _run({"SPARK_GRAFT_BENCH_QUERIES": "a4_pricing_summary,zz_typo"}, timeout=120)
+    assert r.returncode == 2
+    assert "zz_typo" in r.stderr

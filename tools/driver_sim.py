@@ -2,17 +2,19 @@
 config), run entry() + every queries() entry at sf0.01, compare with
 oracle_sql() via duckdb exactly like CORRECTNESS does.
 
-Canonicalization deliberately mirrors the driver's: EVERY query's
-pandas output — rows-only entries included — is sorted with
-``pandas.sort_values`` over the RAW cells. List/array/struct cells
-make that crash (``TypeError: unhashable type: 'list'``) exactly like
-the real driver (rounds 1/2/3 tracebacks in CORRECTNESS_r*.json), so
-a list-typed registry output can never pass here and fail there.
+The canonicalization + comparison live in tools/oracle_compare.py —
+ONE implementation shared with tests/test_oracle_mutation.py, which
+certifies that this exact comparison goes red under query
+perturbations (r8 VERDICT #1). See that module's docstring for the
+list-cell crash semantics the driver shares.
 """
-import sys, math
+import os
+import sys
+
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join("/root/repo", "tools"))
 import duckdb
-import numpy as np, pandas as pd
+from oracle_compare import canon, compare
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as e
@@ -33,29 +35,15 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
-
-def canon(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Driver-style canonicalization: sort columns by name, then
-    sort_values over the raw cells (NO normalization first — the
-    driver doesn't normalize either, and raw-cell sorting is what
-    crashes on list cells)."""
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    if len(pdf):
-        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
-    return pdf.reset_index(drop=True)
-
-
-def norm(v):
-    if v is None or v is pd.NaT: return None
-    if isinstance(v, np.integer): return int(v)
-    if isinstance(v, (np.floating, float)):
-        f = float(v); return None if math.isnan(f) else f
-    if isinstance(v, (np.ndarray, list, tuple)): return tuple(norm(x) for x in v)
-    if isinstance(v, pd.Timestamp): return v.to_datetime64().astype("datetime64[us]").item()
-    return v
-
 qs, os_ = e.queries(), e.oracle_sql()
 only = set(sys.argv[1:])  # optional: verify just the named queries
+# loud on typos: a misspelled slot used to be SILENTLY skipped, so a
+# scoped run could print "FAILURES: none" having verified nothing
+# (r9 review finding — it bit this session on 'u5_pyccd_segments')
+unknown = only - set(qs)
+if unknown:
+    print(f"UNKNOWN query name(s): {sorted(unknown)}; registry has: {sorted(qs)}")
+    sys.exit(2)
 fails = []
 for name in sorted(qs):
     if only and name not in only:
@@ -69,11 +57,8 @@ for name in sorted(qs):
     if name not in os_:
         print(f"{name}: rows-only ({len(got)} rows)"); continue
     want = canon(con.execute(os_[name]).fetchdf())
-    cols_ok = sorted(got.columns) == sorted(want.columns)
-    n_ok = len(got) == len(want)
-    g = sorted((tuple(norm(r[c]) for c in sorted(got.columns)) for _, r in got.iterrows()), key=repr)
-    w = sorted((tuple(norm(r[c]) for c in sorted(want.columns)) for _, r in want.iterrows()), key=repr)
-    ok = cols_ok and n_ok and g == w
+    verdict = compare(got, want)
+    ok = all(verdict.values())
     print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(got)} rows)")
     if not ok: fails.append(name)
 print("FAILURES:", fails if fails else "none")
