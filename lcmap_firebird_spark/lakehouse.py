@@ -752,8 +752,34 @@ class LakeTable:
             raise
         return t
 
+    def _original_physical(self) -> frozenset:
+        """PHYSICAL names of the create-time (entry 0) schema columns
+        — one O(1) immutable-file read, memoized per handle (PLANS.md
+        rule 25). Physical names are stable and never reused
+        (add_column uuid-suffixes any collision with a live or
+        retired physical name), so membership is exact across later
+        renames and drop+re-adds: a head-schema column is
+        EVOLUTION-ADDED iff its physical name is absent here. A
+        shallow clone's entry 0 carries the clone-time schema — its
+        'original' set is the schema it was born with, by design."""
+        cached = getattr(self, "_orig_phys_cache", None)
+        if cached is None:
+            with open(_entry_path(self.root, 0)) as f:
+                e0 = json.load(f)
+            schema0 = StructType.fromJson(json.loads(e0["schema"]))
+            m0 = _entry_mapping(e0)
+            cached = frozenset(
+                m0.get(f.name, f.name) for f in schema0.fields
+            )
+            self._orig_phys_cache = cached
+        return cached
+
     def _conform(
-        self, df: DataFrame, head: dict, keep: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        head: dict,
+        keep: tuple[str, ...] = (),
+        strict_original: bool = False,
     ) -> DataFrame:
         """Project df onto the table schema: reject columns the table
         doesn't have (misspellings must not silently land as a file
@@ -762,6 +788,15 @@ class LakeTable:
         evolution-added columns (pre-evolution writer shapes stay
         valid), and cast the rest — an unconverted type would commit
         a file every subsequent scan chokes on.
+
+        `strict_original=True` (merge/apply_changes) confines the
+        silent null-fill to EVOLUTION-ADDED columns (plus the
+        identity column, whose omission means 'engine-assign'): a
+        source that omits a create-time column raises instead, since
+        on update the null-fill would silently overwrite existing
+        values with NULL (r8 ADVICE). Tracked by physical identity
+        via `_original_physical`, so renames follow the column and a
+        drop+re-add counts as evolution-added.
 
         `keep` names non-table columns carried through VERBATIM after
         the schema fields (apply_changes' op column) — they must be
@@ -775,12 +810,28 @@ class LakeTable:
                 f"columns {extra_cols!r} not in table schema "
                 f"{sorted(known)}"
             )
+        orig = self._original_physical() if strict_original else frozenset()
+        mapping = _entry_mapping(head)
+        ident_col = (head.get("identity") or {}).get("col")
 
         def _col(f):
             if f.name in df.columns:
                 return F.col(f.name).cast(f.dataType).alias(f.name)
             if f.name in gen:
                 return F.expr(gen[f.name]).cast(f.dataType).alias(f.name)
+            if (
+                strict_original
+                and f.name != ident_col
+                and mapping.get(f.name, f.name) in orig
+            ):
+                raise ValueError(
+                    f"source omits original-schema column {f.name!r}: "
+                    "on update the null-fill would silently overwrite "
+                    "existing values with NULL. Silent null-fill is "
+                    "reserved for evolution-added columns; include "
+                    "the column explicitly (or pass NULLs "
+                    "deliberately)."
+                )
             return F.lit(None).cast(f.dataType).alias(f.name)
 
         return df.select(
@@ -1119,7 +1170,18 @@ class LakeTable:
                 # merge/apply_changes sources (unique keys enforced);
                 # only a duplicate-keyed TABLE could hit it, where
                 # per-row attribution is ambiguous anyway.
-                ident = self._identity()
+                # Entries whose change file was staged through the
+                # write-time fill (or from scanned pre-images) carry
+                # 'identity_filled' and skip this — the extra
+                # per-entry file scan + join was pure overhead on
+                # post-r8 tables (r8 ADVICE); the read-time fill
+                # stays for change files committed before the flag
+                # existed.
+                ident = (
+                    None
+                    if e["cdf"].get("identity_filled")
+                    else self._identity()
+                )
                 if ident:
                     icol = ident["col"]
                     keys_e = e["key_cols"]
@@ -1149,7 +1211,19 @@ class LakeTable:
                             )
                             .drop("__rid_fill__")
                         )
-            elif e["operation"] in ("append", "create"):
+            elif e["operation"] in ("append", "create", "clone"):
+                # 'clone' (r9): the clone's v1 references the source
+                # snapshot's files — its CDF feed starts at its
+                # create (history never transfers), and that initial
+                # population derives as inserts exactly like
+                # create's, so replay closure holds from version 0 of
+                # the clone. A clone commit CAN carry DV records (the
+                # source's live deletion vectors transfer) — those
+                # must APPLY to the scan, or MOR-deleted source rows
+                # would appear as clone inserts.
+                dv_recs = [
+                    r for r in e.get("add", []) if r.get("kind") == "dv"
+                ]
                 adds = [
                     r for r in e.get("add", [])
                     if r.get("kind") not in ("dv",) and r.get("rows")
@@ -1157,10 +1231,11 @@ class LakeTable:
                 if not adds:
                     continue
                 # data files carry PHYSICAL names: read through the
-                # central mapped scan (no DVs apply — the inserts are
-                # the rows as of THAT commit)
+                # central mapped scan (no DVs apply for append/create
+                # — the inserts are the rows as of THAT commit; a
+                # clone's transferred DVs DO apply)
                 df = self._scan_live(
-                    adds, [], schema, mapping=_entry_mapping(e)
+                    adds, dv_recs, schema, mapping=_entry_mapping(e)
                 ).withColumn("_change_type", F.lit("insert"))
             elif e["operation"] in ("restore", "overwrite"):
                 # table_changes emits v's logical names already
@@ -1273,6 +1348,10 @@ class LakeTable:
                 )
             )
             if rec:
+                # delete pre-images are SCANNED rows — identity is
+                # already materialized; flag so read_cdf skips its
+                # read-time fill (r8 ADVICE: pure overhead here)
+                rec["identity_filled"] = True
                 cdf_extra["cdf"] = rec
         extra = (extra or {}) | cdf_extra or None
         new_dv = matches
@@ -1423,12 +1502,15 @@ class LakeTable:
         # column (r8 combined-mix fuzz — the same gap apply_changes
         # had). Key columns are required EXPLICITLY: _conform would
         # null-fill an absent key, silently merging by NULL.
+        # strict_original (r9): null-fill is confined to
+        # evolution-added columns — an absent ORIGINAL column raises
+        # rather than NULL-overwriting existing values on update.
         missing_keys = [k for k in key_cols if k not in source.columns]
         if missing_keys:
             raise ValueError(
                 f"merge source lacks key column(s) {missing_keys}"
             )
-        source = self._conform(source, head_entry)
+        source = self._conform(source, head_entry, strict_original=True)
         if dedupe_source:
             source = source.dropDuplicates(key_cols)
         else:
@@ -1483,6 +1565,10 @@ class LakeTable:
                 )
             )
             if rec:
+                # write-time filled (or nothing to fill — the fill's
+                # early-exits mirror read_cdf's own skip conditions):
+                # read_cdf can skip its read-time fill (r8 ADVICE)
+                rec["identity_filled"] = True
                 cdf_extra["cdf"] = rec
         return self._commit(
             "merge", add, affected, expected_head=head,
@@ -1531,6 +1617,8 @@ class LakeTable:
                 )
             )
             if rec:
+                # scanned pre-images: identity already materialized
+                rec["identity_filled"] = True
                 cdf_extra["cdf"] = rec
         # SQL DELETE semantics: a row is deleted only when the
         # predicate is TRUE — rows where it evaluates to NULL must
@@ -2174,9 +2262,12 @@ class LakeTable:
         column mapping and live deletion vectors as of now; from then
         on the two logs evolve independently (writes to the clone
         stage into ITS OWN data/ directory; COW rewrites drop the
-        absolute references file by file). CDF history does not
+        absolute references file by file). CDF HISTORY does not
         transfer (the clone's feed starts at its create — Delta's
-        rule).
+        rule), but the cdf_enabled PROPERTY inherits like every other
+        table property (r9; Delta clones inherit
+        delta.enableChangeDataFeed too): a clone of a CDF table
+        records change rows for its OWN commits from version 1 on.
 
         Caveats (same as Delta): `vacuum()` on the clone never
         touches source files (it only sweeps the clone's own data
@@ -2208,7 +2299,9 @@ class LakeTable:
             "remove": [],
             "schema": head_entry["schema"],
             "key_cols": head_entry["key_cols"],
-            "cdf_enabled": False,
+            # the property lives in entry 0 only (never in later
+            # commit entries) — inherit from the source's entry 0
+            "cdf_enabled": self._cdf_enabled(),
             "constraints": head_entry.get("constraints") or {},
             "column_mapping": _entry_mapping(head_entry),
             "retired_cols": head_entry.get("retired_cols") or [],
@@ -2690,7 +2783,29 @@ class LakeTable:
             raise ValueError(
                 f"change batch lacks key column(s) {missing_keys}"
             )
-        ops = self._conform(changes, head_entry, keep=(op_col,))
+        # op_col must not collide with the schema: _conform(keep=)
+        # would emit two identically-named columns and every later
+        # reference would die with AMBIGUOUS_REFERENCE (r8 ADVICE);
+        # same for a table column named '_op', the pipeline's
+        # internal label the op column is renamed to.
+        field_names = {f.name for f in schema.fields}
+        if op_col in field_names:
+            raise ValueError(
+                f"op_col {op_col!r} is a table column: the change "
+                "batch's operation column must not collide with the "
+                "schema — pass a differently-named op column"
+            )
+        if "_op" in field_names:
+            raise ValueError(
+                "table has a column named '_op', which apply_changes "
+                "uses internally for the operation label; this table "
+                "cannot take CDC batches through apply_changes"
+            )
+        # strict_original (r9): same contract as merge — absent
+        # ORIGINAL columns raise; only evolution-added null-fill.
+        ops = self._conform(
+            changes, head_entry, keep=(op_col,), strict_original=True
+        )
         if op_col != "_op":
             ops = ops.withColumnRenamed(op_col, "_op")
         dups = ops.groupBy(*key_cols).count().filter(F.col("count") > 1)
@@ -2765,6 +2880,9 @@ class LakeTable:
                 )
             )
             if rec:
+                # write-time filled — read_cdf skips its read-time
+                # fill for this entry (r8 ADVICE)
+                rec["identity_filled"] = True
                 cdf_extra["cdf"] = rec
         return self._commit(
             "apply_changes", add, affected, expected_head=head,

@@ -46,9 +46,13 @@ def salted_join(
     times after the explode, so right/full outer would duplicate it
     salt-fold (r8 review); those types are rejected rather than
     silently wrong."""
+    # Spark-valid spellings only: 'semi'/'anti' are aliases Spark
+    # accepts for the left variants (r8 ADVICE — they were wrongly
+    # rejected); 'cross' is NOT accepted because df.join(on=keys,
+    # how='cross') is itself invalid in Spark (cross takes no keys).
     if how.replace("outer", "").strip("_") not in (
-        "inner", "left", "leftsemi", "left_semi", "leftanti", "left_anti",
-        "cross",
+        "inner", "left", "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
     ):
         raise ValueError(
             f"salted_join cannot preserve {how!r} semantics: the "

@@ -960,7 +960,21 @@ def _cdf_partitions(
                         col_map=entry_cmap,
                     )
                 )
-        elif e["operation"] in ("append", "create"):
+        elif e["operation"] in ("append", "create", "clone"):
+            # 'clone' (r9): a CDF-inheriting clone's v1 references
+            # the source snapshot's files — derive them as inserts
+            # exactly like create's adds, WITH the transferred
+            # deletion vectors applied (a MOR-deleted source row must
+            # not stream as a clone insert). append/create commits
+            # never carry DVs, so dv_for stays empty for them.
+            from ..lakehouse import _dv_key as _dvk
+
+            dv_for: dict[str, list] = {}
+            for rec in e.get("add", []):
+                if rec.get("kind") == "dv":
+                    p = _os.path.join(root, rec["path"])
+                    for c in rec.get("covers", []):
+                        dv_for.setdefault(c, []).append(p)
             for rec in e.get("add", []):
                 if rec.get("kind") == "dv" or not rec.get("rows"):
                     continue
@@ -968,6 +982,10 @@ def _cdf_partitions(
                     LakeFilePartition(
                         _os.path.join(root, rec["path"]),
                         sj,
+                        rel=_dvk(rec["path"]),
+                        dv_paths=tuple(
+                            dv_for.get(_dvk(rec["path"]), ())
+                        ),
                         const_cols=(
                             ("_change_type", "insert"),
                             ("_commit_version", v),

@@ -128,6 +128,96 @@ def test_apply_changes_writer_contract(spark, tmp_path):
         )
 
 
+def test_strict_original_conform(spark, tmp_path):
+    """r8 ADVICE: merge/apply_changes confine the silent null-fill to
+    EVOLUTION-ADDED columns. A source omitting a create-time column
+    raises (the fill would NULL-overwrite existing values on update);
+    the evolution-added fill keeps working; tracking is by PHYSICAL
+    identity so a rename follows the column and a drop+re-add counts
+    as evolution-added."""
+    root = str(tmp_path / "strict")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, name string, val double"
+        ),
+        key_cols=["id"],
+    )
+    # omit ORIGINAL column `val` -> loud, both writers
+    with pytest.raises(ValueError, match="original-schema"):
+        t.merge(spark.createDataFrame([(1, "a2")], "id long, name string"))
+    with pytest.raises(ValueError, match="original-schema"):
+        t.apply_changes(
+            spark.createDataFrame(
+                [(1, "a2", "upsert")], "id long, name string, _op string"
+            )
+        )
+    # evolution-added columns still null-fill silently
+    t.add_column("extra", "double")
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a2", 1.5)], "id long, name string, val double"
+        )
+    )
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == [
+        (1, "a2", 1.5, None),
+        (2, "b", 2.0, None),
+    ]
+    # rename an original column: the strict check follows the
+    # PHYSICAL column, so omitting it under the NEW name still raises
+    t.rename_column("val", "score")
+    with pytest.raises(ValueError, match="original-schema"):
+        t.merge(spark.createDataFrame([(2, "b2")], "id long, name string"))
+    # drop + re-add of an original name = a NEW physical column =
+    # evolution-added: omission null-fills
+    t.drop_column("score")
+    t.add_column("score", "double")
+    t.merge(spark.createDataFrame([(2, "b2")], "id long, name string"))
+    got = sorted(tuple(r) for r in t.snapshot().select("id", "name", "score").collect())
+    assert got == [(1, "a2", None), (2, "b2", None)]
+    # append keeps the permissive contract (no strict check): a
+    # partial append inserts NULLs but overwrites nothing
+    t.append(spark.createDataFrame([(9, "i")], "id long, name string"))
+    assert t.snapshot().filter("id = 9").count() == 1
+
+
+def test_apply_changes_op_col_collision_rejected(spark, tmp_path):
+    """r8 ADVICE: op_col equal to a table column used to reach
+    _conform(keep=) and emit two identically-named columns (every
+    later reference died with AMBIGUOUS_REFERENCE) — now rejected up
+    front; so is a table whose schema claims the internal '_op'
+    label."""
+    root = str(tmp_path / "opcol")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "up")], "id long, op string"),
+        key_cols=["id"],
+    )
+    with pytest.raises(ValueError, match="op_col"):
+        t.apply_changes(
+            spark.createDataFrame(
+                [(1, "up", "upsert")], "id long, op string, opx string"
+            ),
+            op_col="op",
+        )
+    root2 = str(tmp_path / "opcol2")
+    t2 = LakeTable.create(
+        spark,
+        root2,
+        spark.createDataFrame([(1, "x")], "id long, _op string"),
+        key_cols=["id"],
+    )
+    with pytest.raises(ValueError, match="_op"):
+        t2.apply_changes(
+            spark.createDataFrame(
+                [(1, "x", "upsert")], "id long, _op string, myop string"
+            ),
+            op_col="myop",
+        )
+
+
 def _seeds():
     n = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "0"))
     if n:
@@ -190,6 +280,11 @@ def test_combined_feature_mix(spark, tmp_path, seed):
     # per-version record: (model snapshot, cols, extra_gen)
     history = {t.latest_version(): (copy.deepcopy(model), dict(cols), extra_gen)}
     clone_n = 0
+    # r9: the first clone becomes a persistent CDF leg mutated every
+    # step alongside the source (schema/cols frozen at clone time —
+    # data ops only), with independent replay closure on BOTH tables
+    # and cross-contamination checks after every mutation
+    active_clone: dict | None = None
 
     def _wschema(with_extra):
         s = f"id long, {cols['name']} string, {cols['val']} double"
@@ -371,16 +466,39 @@ def test_combined_feature_mix(spark, tmp_path, seed):
             assert _got(c, cols, extra_gen is not None) == _display(
                 model, extra_gen
             ), f"step {step}: clone != model"
-            # clone mutates independently; source must not move
-            c.append(
-                spark.createDataFrame(
-                    [(90_000 + step, "cl", -1.0)], _wschema(False)
+            if active_clone is None:
+                # r9 (r8 VERDICT #2): the FIRST clone becomes a
+                # persistent CDF-ENABLED leg — cdf_enabled inherits
+                # from the source (Delta property inheritance), its
+                # feed starts at ITS create, and from here on BOTH
+                # tables keep mutating with independent per-step
+                # replay closure. Certify the initial-population
+                # closure (clone v1 adds derive as inserts) up front.
+                assert c._cdf_enabled(), "clone did not inherit cdf"
+                _closure_check(
+                    c, 0, c.latest_version(), use_cdf=True,
+                    ctx=f"seed {seed} step {step} (clone v1)",
                 )
-            )
-            crids = [
-                r["rid"] for r in c.snapshot().select("rid").collect()
-            ]
-            assert None not in crids and len(set(crids)) == len(crids)
+                active_clone = {
+                    "t": c,
+                    "model": copy.deepcopy(model),
+                    "cols": dict(cols),
+                    "extra_gen": extra_gen,
+                    "next_id": 50_000,
+                    "step_tag": step,
+                }
+            else:
+                # later clones stay throwaway: mutate once, check
+                # independence, move on (pre-r9 behavior)
+                c.append(
+                    spark.createDataFrame(
+                        [(90_000 + step, "cl", -1.0)], _wschema(False)
+                    )
+                )
+                crids = [
+                    r["rid"] for r in c.snapshot().select("rid").collect()
+                ]
+                assert None not in crids and len(set(crids)) == len(crids)
 
         got = _got(t, cols, extra_gen is not None)
         want = _display(model, extra_gen)
@@ -389,6 +507,98 @@ def test_combined_feature_mix(spark, tmp_path, seed):
         assert None not in rids, f"step {step}: NULL identity value"
         assert len(set(rids)) == len(rids), f"step {step}: identity collision"
         v_after = t.latest_version()
+
+        if active_clone is not None and active_clone["t"].root != t.root:
+            ac = active_clone
+            c, cm = ac["t"], ac["model"]
+            ccols, cgen = ac["cols"], ac["extra_gen"]
+            c_has_extra = cgen is not None
+
+            def _crow(k, name, val, ev):
+                # clone writers must supply EVERY original clone
+                # column explicitly (strict_original: 'extra' live at
+                # clone time is part of the clone's create schema)
+                return (k, name, val) + ((ev,) if c_has_extra else ())
+
+            def _cschema(tail=""):
+                s = (
+                    f"id long, {ccols['name']} string,"
+                    f" {ccols['val']} double"
+                )
+                return s + (", extra double" if c_has_extra else "") + tail
+
+            cv_before = c.latest_version()
+            cop = rng.choice(
+                ["append", "merge", "delete", "apply_changes", "compact"]
+            )
+            if cop == "append":
+                k = ac["next_id"]
+                ac["next_id"] += 1
+                ev = float(step) + 0.75 if c_has_extra else None
+                c.append(
+                    spark.createDataFrame(
+                        [_crow(k, f"ca{k}", float(step), ev)], _cschema()
+                    )
+                )
+                cm[k] = (f"ca{k}", float(step), cgen if cgen is not None else -1, ev)
+            elif cop == "merge":
+                keys = rng.sample(sorted(cm) or [ac["next_id"]], k=min(2, len(cm)))
+                keys.append(ac["next_id"])
+                ac["next_id"] += 1
+                rows = []
+                for k in set(keys):
+                    ev = float(step) + 0.125 if c_has_extra else None
+                    rows.append(_crow(k, f"cm{step}", float(step), ev))
+                    cm[k] = (f"cm{step}", float(step), cgen if cgen is not None else -1, ev)
+                c.merge(spark.createDataFrame(rows, _cschema()))
+            elif cop == "delete":
+                cut = rng.choice([2, 3, 7])
+                c.delete(f"id % {cut} = 1")
+                for k in [k for k in cm if k % cut == 1]:
+                    cm.pop(k)
+            elif cop == "apply_changes":
+                dels = []
+                if cm:
+                    victim = rng.choice(sorted(cm))
+                    dels = [
+                        _crow(victim, None, None, None) + ("delete",)
+                    ]
+                    cm.pop(victim)
+                k = ac["next_id"]
+                ac["next_id"] += 1
+                ev = 8.5 if c_has_extra else None
+                ups = [_crow(k, f"cc{step}", 8.0, ev) + ("upsert",)]
+                cm[k] = (f"cc{step}", 8.0, cgen if cgen is not None else -1, ev)
+                c.apply_changes(
+                    spark.createDataFrame(
+                        ups + dels, _cschema(", _op string")
+                    )
+                )
+            elif cop == "compact":
+                c.compact(target_rows=1_000)
+            # clone == its own model, identity hygiene holds
+            assert _got(c, ccols, c_has_extra) == _display(cm, cgen), (
+                f"seed {seed} step {step} (clone {cop}): clone != model"
+            )
+            crids = _rids(c)
+            assert None not in crids and len(set(crids)) == len(crids), (
+                f"seed {seed} step {step}: clone identity broke"
+            )
+            # per-step replay closure on the CLONE's own CDF feed
+            cv_after = c.latest_version()
+            if cv_after > cv_before and (rng.random() < 0.5 or step == 19):
+                _closure_check(
+                    c, cv_before, cv_after, use_cdf=True,
+                    ctx=f"seed {seed} step {step} (clone {cop})",
+                )
+            # cross-contamination: mutating the clone moved NOTHING
+            # on the source (histories are independent logs)
+            assert t.latest_version() == v_after, (
+                f"step {step}: clone op advanced the SOURCE log"
+            )
+            assert _got(t, cols, extra_gen is not None) == want, (
+                f"seed {seed} step {step}: clone {cop} leaked into source"
+            )
         if v_after > v_before and (rng.random() < 0.4 or step == 19):
             # CDF replay closure across THIS step's commit(s): crosses
             # the recorded change feed with identity values, renames,

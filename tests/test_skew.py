@@ -119,3 +119,26 @@ def test_salted_join_rejects_small_side_preserving_types(spark, skewed):
             salted_join(skewed, dim, ["k"], salt=4, how=how)
     # big-side-preserving types still pass through
     assert salted_join(skewed, dim, ["k"], salt=4, how="left_anti").count() >= 0
+
+
+def test_salted_join_accepts_semi_anti_aliases_rejects_cross(spark, skewed):
+    """'semi'/'anti' are Spark-valid aliases for the left variants and
+    big-side-preserving — they must pass (r8 ADVICE: the whitelist
+    wrongly rejected them). 'cross' is rejected: Spark itself refuses
+    df.join(on=keys, how='cross'), so allowing it only deferred the
+    error to a confusing Spark exception."""
+    import pytest
+
+    dim = spark.createDataFrame([(1, "one"), (99, "unmatched")], ["k", "name"])
+    plain_semi = skewed.join(dim, ["k"], "semi")
+    salted_semi = salted_join(skewed, dim, ["k"], salt=4, how="semi")
+    assert sorted(map(tuple, plain_semi.collect())) == sorted(
+        map(tuple, salted_semi.collect())
+    )
+    plain_anti = skewed.join(dim, ["k"], "anti")
+    salted_anti = salted_join(skewed, dim, ["k"], salt=4, how="anti")
+    assert sorted(map(tuple, plain_anti.collect())) == sorted(
+        map(tuple, salted_anti.collect())
+    )
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(skewed, dim, ["k"], salt=4, how="cross")
