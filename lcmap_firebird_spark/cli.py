@@ -57,6 +57,11 @@ def _cmd_classification(args: argparse.Namespace) -> int:
         return 1
     if args.model_out:
         model.write().overwrite().save(args.model_out)
+    if args.export_model_out:
+        from .plans.classification import export_model
+
+        with open(args.export_model_out, "w") as f:
+            json.dump(export_model(model), f)
     if args.predictions_out:
         from pyspark.sql import functions as F
 
@@ -73,7 +78,9 @@ def _cmd_classification(args: argparse.Namespace) -> int:
                 (F.col("sday") >= args.msday) & (F.col("eday") <= args.meday)
             ),
         )
-        classify(model, fdf).write.mode("overwrite").parquet(args.predictions_out)
+        classify(model, fdf, method=args.method).write.mode(
+            "overwrite"
+        ).parquet(args.predictions_out)
     return 0
 
 
@@ -280,6 +287,17 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--seed", type=int, default=42)
     cl.add_argument("--model-out", default=None)
     cl.add_argument("--predictions-out", default=None)
+    cl.add_argument(
+        "--method", choices=("mllib", "replay"), default="mllib",
+        help="serving leg for --predictions-out: MLlib transform, or "
+             "the zero-UDF Catalyst replay of the exported ensemble "
+             "(rfrawp as array<double>)",
+    )
+    cl.add_argument(
+        "--export-model-out", default=None,
+        help="write the JSON replay artifact (serveable without any "
+             "MLlib runtime via classify(method='replay'))",
+    )
     cl.set_defaults(fn=_cmd_classification)
 
     co = sub.add_parser(

@@ -59,6 +59,22 @@ def load_model() -> dict:
 # ------------------------------------------------- shared tree generator
 
 
+def _split_cond(node: dict, probe_fmt, d_fmt) -> str:
+    """Go-left condition for one internal node. ContinuousSplit:
+    value <= threshold. CategoricalSplit (`cats` — produced when the
+    pipeline's VectorIndexer declared the feature categorical, r9):
+    value IN leftCategories, rendered as OR'd exact equalities on the
+    indexed doubles. A NULL probe (a category the fitted VectorIndexer
+    never saw — MLlib's transform would raise) makes the condition
+    NULL, which CASE routes to the ELSE/right child."""
+    p = probe_fmt(node["feat"])
+    if "cats" in node:
+        if not node["cats"]:
+            return "FALSE"
+        return "(" + " OR ".join(f"{p} = {d_fmt(c)}" for c in node["cats"]) + ")"
+    return f"{p} <= {d_fmt(node['thr'])}"
+
+
 def _tree_case(node: dict, probe_fmt, d_fmt) -> str:
     """Recursive CASE text for one tree; `probe_fmt(feat)` renders the
     feature access, `d_fmt(x)` an exact double literal — the only two
@@ -66,10 +82,32 @@ def _tree_case(node: dict, probe_fmt, d_fmt) -> str:
     if "pred" in node:
         return str(node["pred"])
     return (
-        f"CASE WHEN {probe_fmt(node['feat'])} <= {d_fmt(node['thr'])}"
+        f"CASE WHEN {_split_cond(node, probe_fmt, d_fmt)}"
         f" THEN {_tree_case(node['left'], probe_fmt, d_fmt)}"
         f" ELSE {_tree_case(node['right'], probe_fmt, d_fmt)} END"
     )
+
+
+def _probe_fmt_for(model: dict, raw_fmt):
+    """Feature-probe renderer honoring the exported VectorIndexer
+    category maps (r9): MLlib's trees split on the INDEXED feature
+    space, so a categorical feature's raw value must pass through the
+    same value -> category-index mapping before any comparison.
+    Continuous features probe raw. Unseen categorical values render
+    NULL (no ELSE) — see `_split_cond` for the routing rule."""
+    cmaps = {int(f): m for f, m in (model.get("category_maps") or [])}
+
+    def fmt(feat: int) -> str:
+        raw = raw_fmt(feat)
+        m = cmaps.get(feat)
+        if not m:
+            return raw
+        whens = " ".join(
+            f"WHEN {raw} = {_d(float(v))} THEN {_d(float(i))}" for v, i in m
+        )
+        return f"CASE {whens} END"
+
+    return fmt
 
 
 def _d(x: float) -> str:
@@ -83,18 +121,18 @@ def _d(x: float) -> str:
 # ---------------------------------------------------------------- Spark side
 
 
-def _tree_col(node: dict, emb: str) -> Column:
+def _spark_probe(model: dict, emb: str):
+    return _probe_fmt_for(
+        model, lambda f: f"CAST(element_at({emb}, {f + 1}) AS DOUBLE)"
+    )
+
+
+def _tree_col(node: dict, probe_fmt) -> Column:
     """One tree as a Catalyst expression via a SINGLE F.expr parse —
     building ~500 nodes through the Column API costs thousands of
     py4j round-trips (~5 s of pure driver time, measured), where the
     JVM-side SQL parser takes milliseconds on the same text."""
-    return F.expr(
-        _tree_case(
-            node,
-            lambda f: f"CAST(element_at({emb}, {f + 1}) AS DOUBLE)",
-            _d,
-        )
-    )
+    return F.expr(_tree_case(node, probe_fmt, _d))
 
 
 def classify(df: DataFrame, model: dict, emb: str = "embedding") -> DataFrame:
@@ -111,7 +149,8 @@ def classify(df: DataFrame, model: dict, emb: str = "embedding") -> DataFrame:
     CollapseProject keeps `_cnts` un-inlined because a non-cheap
     producer used 3x is never collapsed."""
     labels = model["labels"]
-    votes = F.array(*[_tree_col(t, emb) for t in model["trees"]])
+    probe = _spark_probe(model, emb)
+    votes = F.array(*[_tree_col(t, probe) for t in model["trees"]])
     # staging columns carry a collision-proof prefix: classify() is a
     # library transform, so a caller's own _votes/_cnts must survive
     vc, cc = "__rf_votes__", "__rf_cnts__"
@@ -136,15 +175,16 @@ def classify(df: DataFrame, model: dict, emb: str = "embedding") -> DataFrame:
 # --------------------------------------------------------------- DuckDB twin
 
 
-def _tree_sql(node: dict, emb: str) -> str:
-    return _tree_case(node, lambda f: f"CAST({emb}[{f + 1}] AS DOUBLE)", _d)
+def _duck_probe(model: dict, emb: str):
+    return _probe_fmt_for(model, lambda f: f"CAST({emb}[{f + 1}] AS DOUBLE)")
 
 
 def rf_sql_twin(model: dict, table: str = "embeddings", emb: str = "embedding") -> str:
     """DuckDB replay of :func:`classify` over ``table`` — same trees,
     same hard-vote rule, same tie-break (list_position = first max)."""
     labels = model["labels"]
-    votes = ", ".join(_tree_sql(t, emb) for t in model["trees"])
+    probe = _duck_probe(model, emb)
+    votes = ", ".join(_tree_case(t, probe, _d) for t in model["trees"])
     counts = ", ".join(
         f"CAST(len(list_filter(votes, x -> x = {c})) AS INT)" for c in range(len(labels))
     )
@@ -177,13 +217,18 @@ def _tree_dist_case(node: dict, probe_fmt, d_fmt) -> str:
             )
         return "array(" + ",".join(f"{int(v)}L" for v in q) + ")"
     return (
-        f"CASE WHEN {probe_fmt(node['feat'])} <= {d_fmt(node['thr'])}"
+        f"CASE WHEN {_split_cond(node, probe_fmt, d_fmt)}"
         f" THEN {_tree_dist_case(node['left'], probe_fmt, d_fmt)}"
         f" ELSE {_tree_dist_case(node['right'], probe_fmt, d_fmt)} END"
     )
 
 
-def classify_soft(df: DataFrame, model: dict, emb: str = "embedding") -> DataFrame:
+def classify_soft(
+    df: DataFrame,
+    model: dict,
+    emb: str = "embedding",
+    raw_col: str | None = None,
+) -> DataFrame:
     """MLlib-semantics RF inference: per tree, the matched leaf
     contributes its class-count *fractions* (quantized to integers at
     export — round(count_c/total·1e6)); fractions are SUMMED across
@@ -191,8 +236,13 @@ def classify_soft(df: DataFrame, model: dict, emb: str = "embedding") -> DataFra
     `Vector.argmax`'s tie rule) maps back through the exported
     StringIndexer labels. This is RandomForestClassificationModel
     .predictRaw + probability2prediction with integer-exact
-    arithmetic; tests prove row-for-row equality with
-    `model.transform` on real data.
+    arithmetic. The equality with `model.transform` is CERTIFIED ON
+    THE TEST CORPUS (row-for-row on the sf0.01 embeddings,
+    tests/test_rf_replay.py) — it is not a universal guarantee:
+    fractions are quantized to round(f*1e6), so on an unseen row
+    whose float fraction-sums differ by less than ~1e-6 the
+    quantized argmax can break the near-tie differently than MLlib's
+    float argmax (r8 ADVICE).
 
     Same plan discipline as :func:`classify`: the ensemble subtree
     appears ONCE (staged column), the fold is a zip_with aggregate
@@ -200,17 +250,9 @@ def classify_soft(df: DataFrame, model: dict, emb: str = "embedding") -> DataFra
     """
     labels = model["labels"]
     k = len(labels)
+    probe = _spark_probe(model, emb)
     dists = F.array(
-        *[
-            F.expr(
-                _tree_dist_case(
-                    t,
-                    lambda f: f"CAST(element_at({emb}, {f + 1}) AS DOUBLE)",
-                    _d,
-                )
-            )
-            for t in model["trees"]
-        ]
+        *[F.expr(_tree_dist_case(t, probe, _d)) for t in model["trees"]]
     )
     dc, sc = "__rf_dists__", "__rf_sum__"
     zero = F.expr(f"array_repeat(CAST(0 AS BIGINT), {k})")
@@ -220,7 +262,7 @@ def classify_soft(df: DataFrame, model: dict, emb: str = "embedding") -> DataFra
     top = F.array_max(F.col(sc))
     idx = F.array_position(F.col(sc), top)  # 1-based, first max
     label_arr = F.array(*[F.lit(x) for x in labels])
-    return (
+    out = (
         df.withColumn(dc, dists)
         .withColumn(sc, summed)
         .withColumn(
@@ -228,8 +270,25 @@ def classify_soft(df: DataFrame, model: dict, emb: str = "embedding") -> DataFra
             F.element_at(label_arr, idx.cast("int")).cast("int"),
         )
         .withColumn("score_top", top.cast("long"))
-        .drop(dc, sc)
     )
+    if raw_col is not None:
+        # MLlib's rawPrediction (predictRaw = the per-class sum of
+        # per-tree leaf fractions) reconstructed from the quantized
+        # integer sums — exact to the 1e-6/tree quantization (r9,
+        # serves the classification plan's replay leg as `rfrawp`);
+        # zero-padded to MLlib's raw width (the truncated
+        # handleInvalid='keep' slot carries no mass by construction)
+        raw = F.transform(
+            F.col(sc),
+            lambda v: v.cast("double") / F.lit(float(SOFT_SCALE)),
+        )
+        pad = int(model.get("n_raw", k)) - k
+        if pad > 0:
+            raw = F.concat(
+                raw, F.expr(f"array_repeat(CAST(0 AS DOUBLE), {pad})")
+            )
+        out = out.withColumn(raw_col, raw)
+    return out.drop(dc, sc)
 
 
 def predict_row_soft(model: dict, embedding: list[float]) -> tuple[int, int]:
@@ -238,14 +297,7 @@ def predict_row_soft(model: dict, embedding: list[float]) -> tuple[int, int]:
     k = len(labels)
     acc = [0] * k
     for tree in model["trees"]:
-        node = tree
-        while "pred" not in node:
-            node = (
-                node["left"]
-                if float(embedding[node["feat"]]) <= node["thr"]
-                else node["right"]
-            )
-        for c, v in enumerate(node["q"]):
+        for c, v in enumerate(_descend(model, tree, embedding)["q"]):
             acc[c] += int(v)
     top = max(acc)
     return labels[acc.index(top)], top
@@ -270,12 +322,22 @@ def export_ensemble(si_model, rf_model) -> dict:
     def walk(jnode) -> dict:
         if jnode.getClass().getName().endswith("InternalNode"):
             split = jnode.split()
-            return {
-                "feat": split.featureIndex(),
-                "thr": split.threshold(),
+            base = {
                 "left": walk(jnode.leftChild()),
                 "right": walk(jnode.rightChild()),
             }
+            if split.getClass().getName().endswith("CategoricalSplit"):
+                # categorical feature (VectorIndexer-declared):
+                # row goes LEFT iff the indexed value is in
+                # leftCategories (MLlib's CategoricalSplit rule, r9)
+                return {
+                    "feat": split.featureIndex(),
+                    "cats": [float(c) for c in list(split.leftCategories())],
+                } | base
+            return {
+                "feat": split.featureIndex(),
+                "thr": split.threshold(),
+            } | base
         stats = list(jnode.impurityStats().stats())
         if len(stats) > k:
             extra = stats[k:]
@@ -295,11 +357,71 @@ def export_ensemble(si_model, rf_model) -> dict:
     return {
         "n_features": rf_model.numFeatures,
         "labels": labels,
+        # MLlib's raw-vector width (can exceed len(labels): the
+        # StringIndexer handleInvalid='keep' slot) — the replay pads
+        # its reconstructed rawPrediction with zeros to this width so
+        # serving output is shape-identical to transform's (r9)
+        "n_raw": int(rf_model.numClasses),
         "trees": [walk(t._call_java("rootNode")) for t in rf_model.trees],
     }
 
 
+def export_pipeline(pipeline_model) -> dict:
+    """Export plans/classification's fitted 3-stage PipelineModel
+    (StringIndexer -> VectorIndexer -> RandomForestClassifier,
+    mirroring /root/reference/ccdc/randomforest.py:25-39) into the
+    replay artifact: `export_ensemble`'s trees + labels PLUS the
+    VectorIndexer's category maps (`category_maps`:
+    [[feat, [[raw_value, category_index], ...]], ...]) — MLlib's
+    trees split on the INDEXED feature space, so the replay probe
+    must apply the same raw-value -> index mapping (r9; the serving
+    path the reference's classify job needs, randomforest.py:90-103)."""
+    si = vi = rf = None
+    for st in pipeline_model.stages:
+        name = type(st).__name__
+        if name == "StringIndexerModel":
+            si = st
+        elif name == "VectorIndexerModel":
+            vi = st
+        elif name == "RandomForestClassificationModel":
+            rf = st
+    if si is None or rf is None:
+        raise ValueError(
+            "pipeline must contain StringIndexerModel and "
+            f"RandomForestClassificationModel stages; got "
+            f"{[type(s).__name__ for s in pipeline_model.stages]}"
+        )
+    art = export_ensemble(si, rf)
+    if vi is not None and vi.categoryMaps:
+        art["category_maps"] = [
+            [int(f), sorted([float(v), int(i)] for v, i in m.items())]
+            for f, m in sorted(vi.categoryMaps.items())
+        ]
+    return art
+
+
 # ------------------------------------------------------------ pure replica
+
+
+def _descend(model: dict, tree: dict, embedding) -> dict:
+    """Walk one tree to its leaf, honoring category maps and
+    categorical splits exactly like the SQL renderers: an unmapped
+    categorical value probes NULL -> every condition false -> right."""
+    cmaps = {
+        int(f): {float(v): float(i) for v, i in m}
+        for f, m in (model.get("category_maps") or [])
+    }
+    node = tree
+    while "pred" not in node:
+        x = float(embedding[node["feat"]])
+        if node["feat"] in cmaps:
+            x = cmaps[node["feat"]].get(x)  # None = unseen category
+        if "cats" in node:
+            left = x is not None and x in set(node["cats"])
+        else:
+            left = x is not None and x <= node["thr"]
+        node = node["left"] if left else node["right"]
+    return node
 
 
 def predict_row(model: dict, embedding: list[float]) -> tuple[int, int]:
@@ -307,13 +429,6 @@ def predict_row(model: dict, embedding: list[float]) -> tuple[int, int]:
     labels = model["labels"]
     counts = [0] * len(labels)
     for tree in model["trees"]:
-        node = tree
-        while "pred" not in node:
-            node = (
-                node["left"]
-                if float(embedding[node["feat"]]) <= node["thr"]
-                else node["right"]
-            )
-        counts[node["pred"]] += 1
+        counts[_descend(model, tree, embedding)["pred"]] += 1
     top = max(counts)
     return labels[counts.index(top)], top

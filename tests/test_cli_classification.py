@@ -68,6 +68,47 @@ def test_cli_classification_trains_and_predicts(spark, paths):
     assert model.stages[-1].getNumTrees == 5
 
 
+def test_cli_classification_replay_method(spark, paths, tmp_path):
+    """--method replay serves predictions through the zero-UDF
+    Catalyst replay and --export-model-out writes the JSON artifact a
+    serving job can load without MLlib (r9)."""
+    import json
+
+    preds2 = str(tmp_path / "preds_replay")
+    art_path = str(tmp_path / "model.json")
+    rc = main(
+        [
+            "classification",
+            "--aux", paths["aux"],
+            "--segments", paths["segments"],
+            "--msday", "0", "--meday", "100000",
+            "--trees", "5",
+            "--method", "replay",
+            "--export-model-out", art_path,
+            "--predictions-out", preds2,
+        ]
+    )
+    assert rc == 0
+    with open(art_path) as f:
+        art = json.load(f)
+    assert art["trees"] and art["labels"] and art["n_raw"] >= len(art["labels"])
+    out = spark.read.parquet(preds2)
+    rows = out.collect()
+    assert rows and all(r.rfrawp is not None for r in rows)
+    # replay rfrawp is a plain array<double>, parquet-native
+    assert dict(out.dtypes)["rfrawp"] == "array<double>"
+    # argmax agrees with the mllib leg written by the sibling test
+    mllib = {
+        (r.cx, r.cy, r.px, r.py, r.sday, r.eday): list(r.rfrawp.toArray())
+        for r in spark.read.parquet(paths["preds"]).collect()
+    }
+    for r in rows:
+        k = (r.cx, r.cy, r.px, r.py, r.sday, r.eday)
+        got, want = list(r.rfrawp), mllib[k]
+        assert len(got) == len(want)
+        assert got.index(max(got)) == want.index(max(want))
+
+
 def test_cli_classification_empty_window_fails_cleanly(paths):
     rc = main(
         [
