@@ -346,6 +346,163 @@ def test_mut_d2_constants(spark, oracle, sf_dir):
     _assert_red(spark, oracle, sf_dir, name, QD, mut_k, "shingle k + 1")
 
 
+# --- extended.py twins (named in the r8 VERDICT as last passed r5) -----------
+
+
+def test_mut_j7_wrong_left_filter(spark, oracle, sf_dir):
+    """As-of join left side filtered to the wrong event type — a
+    wrong-constant bug; the twin recomputes the backward as-of over
+    the correct sides."""
+    from lcmap_firebird_spark.operators.asof import asof_join_backward
+    from lcmap_firebird_spark.queries import extended as QE
+
+    name = "j7_asof_join"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    ev = read_table(spark, "events", sf_dir).withColumn("t_us", micros("ts"))
+    errors = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "t_us", F.col("value").alias("signup_value")
+    )
+    mut = asof_join_backward(
+        errors, signups, by=["user_id"], ts_col="t_us",
+        right_value_cols=["signup_value"], order_cols=["event_id"],
+    ).select("event_id", "user_id", "signup_value")
+    _assert_red(spark, oracle, sf_dir, name, QE, mut, "left filter error -> purchase")
+
+
+def test_mut_j8_interval_offbyone(spark, oracle, sf_dir):
+    """Range-join upper bound 30 -> 29 days: rows shipped exactly 30
+    days after their order exist (2 at sf0.001), so group aggregates
+    move."""
+    from lcmap_firebird_spark.queries import extended as QE
+
+    name = "j8_range_join"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    orders = read_table(spark, "orders", sf_dir)
+    li = read_table(spark, "lineitem", sf_dir)
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 29 DAYS"))
+    )
+    mut = (
+        li.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_shipped_30d"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+    _assert_red(spark, oracle, sf_dir, name, QE, mut, "interval 30 -> 29 days")
+
+
+def test_mut_a10_missing_pivot_value(spark, oracle, sf_dir):
+    """A pivot-values list missing one event type — schema diverges.
+    AUDIT FINDING (r9, kept on record): at sf0.001 every user has all
+    5 event types, so dropping the COALESCE(0) null-fill is
+    UNDETECTABLE there (no missing cell exists) — the detectable
+    mutation class for this slot is the declared value list."""
+    from lcmap_firebird_spark.queries import extended as QE
+
+    name = "a10_pivot"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    ev = read_table(spark, "events", sf_dir)
+    types = [t for t in QE.EVENT_TYPES if t != "view"]
+    mut = ev.groupBy("user_id").pivot("event_type", types).count()
+    mut = mut.select(
+        "user_id", *[F.coalesce(t, F.lit(0)).alias(t) for t in types]
+    )
+    _assert_red(spark, oracle, sf_dir, name, QE, mut, "pivot values missing 'view'")
+
+
+def test_mut_sql1_sql2_constants(spark, oracle, sf_dir):
+    """Raw-SQL front door: shifted shipdate constant in Q3 and a
+    wrong subquery priority constant in the correlated-subquery slot.
+
+    AUDIT FINDING (r9, kept on record): Q3's LIMIT 10 narrows the
+    twin's visibility to the top-10 revenue groups — a ONE-MONTH
+    shipdate drift (72 affected lineitems at sf0.001) stayed GREEN
+    because none of them belong to a top-10 order. Small predicate
+    drift on heavily-limited outputs is a blind spot of the slot
+    itself (both engines agree on the drifted query, so correctness
+    is not at risk — but a regression confined to non-top rows would
+    not surface through sql1). The mutation below drifts a full year
+    to cross the visible region."""
+    from lcmap_firebird_spark.catalog import register_views
+    from lcmap_firebird_spark.queries import extended as QE
+
+    for name in ("sql1_tpch_q3", "sql2_correlated_subquery"):
+        _assert_green(spark, oracle, sf_dir, name, QE)
+    register_views(spark, sf_dir, only=("customer", "orders", "lineitem"))
+    mut1 = spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP_NTZ '1997-01-01'
+          AND l_shipdate > TIMESTAMP_NTZ '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+    _assert_red(
+        spark, oracle, sf_dir, "sql1_tpch_q3", QE, mut1,
+        "shipdate constant 1997 -> 1998",
+    )
+    mut2 = spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '5-LOW') AS n_urgent
+        FROM customer
+        """
+    )
+    _assert_red(
+        spark, oracle, sf_dir, "sql2_correlated_subquery", QE, mut2,
+        "subquery priority 1-URGENT -> 5-LOW",
+    )
+
+
+def test_mut_x3_wrong_budget(spark, oracle, sf_dir):
+    """The mixture slot's oracle is GENERATED from the pinned
+    weights/budget constants — a Spark side composed under a
+    different token budget must diverge (tests that the twin truly
+    pins the constants rather than mirroring the call)."""
+    from lcmap_firebird_spark.operators.mixture import compose_mixture
+    from lcmap_firebird_spark.operators.sampling import train_val_test
+    from lcmap_firebird_spark.operators.text import token_count
+    from lcmap_firebird_spark.queries import extended as QE
+
+    name = "x3_mixture_split"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    docs = read_table(spark, "documents", sf_dir)
+    mixed = compose_mixture(
+        docs, QE.MIX1_WEIGHTS, QE.MIX1_TOTAL_TOKENS * 2, domain_col="lang"
+    )
+    out = train_val_test(mixed, "doc_id", (0.8, 0.1, 0.1))
+    mut = out.groupBy(
+        F.col("lang").alias("domain"),
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "split",
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("min_id"),
+    )
+    _assert_red(spark, oracle, sf_dir, name, QE, mut, "token budget x2")
+
+
 # --- comparator dimensions, each proven independently -------------------------
 
 
