@@ -289,3 +289,86 @@ def test_randomized_models_triple_engine_parity(spark, oracle):
             py = predict_row(model, emb)
             assert got[vid] == py, f"trial {trial} vec {vid}: spark {got[vid]} != py {py}"
             assert want[vid] == py, f"trial {trial} vec {vid}: duck {want[vid]} != py {py}"
+
+
+def test_categorical_splits_triple_parity(spark, oracle):
+    """Category-mapped replay (r9): a pipeline whose VectorIndexer
+    declares features CATEGORICAL produces trees with
+    CategoricalSplit nodes and an indexed feature space — export must
+    capture both, and all four replay surfaces must agree with MLlib:
+    Spark hard-vote, Spark soft-vote, the DuckDB twin, and the
+    pure-Python replicas."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import StringIndexer, VectorIndexer
+    from pyspark.ml.functions import array_to_vector
+
+    from lcmap_firebird_spark.operators.rf_replay import (
+        classify_soft,
+        export_pipeline,
+        predict_row_soft,
+        rf_sql_twin,
+    )
+
+    # 3 features, each with <= 4 distinct values -> all categorical
+    rows = [
+        (i, [float(i % 3), float((i // 3) % 4), float(i % 2) * 10.0], i % 2)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    fdf = df.select(
+        "vec_id", "label", array_to_vector("embedding").alias("raw")
+    )
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(inputCol="label", outputCol="li", handleInvalid="keep"),
+            VectorIndexer(inputCol="raw", outputCol="features", maxCategories=8),
+            RandomForestClassifier(
+                labelCol="li", featuresCol="features", numTrees=7, maxDepth=4,
+                seed=7,
+            ),
+        ]
+    )
+    model = pipe.fit(fdf)
+    art = export_pipeline(model)
+    assert art.get("category_maps"), "VectorIndexer produced no category maps"
+
+    def has_cats(node):
+        if "pred" in node:
+            return False
+        return "cats" in node or has_cats(node["left"]) or has_cats(node["right"])
+
+    assert any(has_cats(t) for t in art["trees"]), "no CategoricalSplit exported"
+
+    si_labels = [int(x) for x in model.stages[0].labels]
+    want = {
+        r["vec_id"]: si_labels[int(r["prediction"])]
+        for r in model.transform(fdf).collect()
+    }
+    # Spark soft-vote == transform
+    soft = {
+        r["vec_id"]: r["predicted_label"]
+        for r in classify_soft(df, art).collect()
+    }
+    assert soft == want
+    # Spark hard-vote == pure-Python hard replica (rule differs from
+    # transform by design on tie-adjacent rows; here we pin engine
+    # parity, not semantic equality)
+    hard = {
+        r["vec_id"]: (r["predicted_label"], r["votes_top"])
+        for r in classify(df, art).collect()
+    }
+    for vid, emb, _ in rows:
+        assert hard[vid] == predict_row(art, emb), vid
+        assert predict_row_soft(art, emb)[0] == soft[vid], vid
+    # DuckDB twin over the same rows
+    oracle.execute("CREATE OR REPLACE TABLE _cat_rows (vec_id BIGINT, embedding DOUBLE[])")
+    oracle.executemany(
+        "INSERT INTO _cat_rows VALUES (?, ?)", [(i, e) for i, e, _ in rows]
+    )
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in oracle.execute(rf_sql_twin(art, table="_cat_rows")).fetchall()
+    }
+    assert duck == hard
+    oracle.execute("DROP TABLE _cat_rows")
