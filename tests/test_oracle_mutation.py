@@ -503,6 +503,626 @@ def test_mut_x3_wrong_budget(spark, oracle, sf_dir):
     _assert_red(spark, oracle, sf_dir, name, QE, mut, "token budget x2")
 
 
+# --- quantized / iterative twins (r10 candidate #2, pulled into r9) ----------
+# These twins are GENERATED from pinned constants, so a joint
+# query+twin bug would most plausibly hide here: every mutation
+# perturbs the SPARK-side constant while the oracle keeps the
+# registry's, proving the twin truly pins it.
+
+
+def test_mut_d3_shingle_and_threshold(spark, oracle, sf_dir):
+    """MinHash-LSH verified pairs: shingle width changes every
+    n_common/jaccard value; a threshold crossing the occupied score
+    region changes the row set (same bimodal-corpus caveat as d2)."""
+    name = "d3_minhash_lsh"
+    _assert_green(spark, oracle, sf_dir, name, QD)
+    docs = read_table(spark, "documents", sf_dir)
+    mut_k = D.minhash_dedup(
+        docs, threshold=QD.JACCARD_T, num_perm=QD.NUM_PERM,
+        bands=QD.BANDS, rows=QD.ROWS, k=QD.K + 1,
+    )
+    _assert_red(spark, oracle, sf_dir, name, QD, mut_k, "shingle k + 1")
+    mut_t = D.minhash_dedup(
+        docs, threshold=0.95, num_perm=QD.NUM_PERM,
+        bands=QD.BANDS, rows=QD.ROWS, k=QD.K,
+    )
+    _assert_red(spark, oracle, sf_dir, name, QD, mut_t, "threshold 0.3 -> 0.95")
+
+
+def test_mut_d5_hamming_budget(spark, oracle, sf_dir):
+    """SimHash blocked pairs: halving the Hamming budget drops every
+    pair with distance in (10, 20] (thousands exist at sf0.001)."""
+    name = "d5_simhash_pairs"
+    _assert_green(spark, oracle, sf_dir, name, QD)
+    mut = D.simhash_pairs(
+        read_table(spark, "documents", sf_dir),
+        max_hamming=QD.HAMMING_MAX - 10,
+        bits=QD.SIMHASH_BITS,
+        prefix_bits=QD.PREFIX_BITS,
+    )
+    _assert_red(spark, oracle, sf_dir, name, QD, mut, "max_hamming 20 -> 10")
+
+
+def test_mut_d6_eps(spark, oracle, sf_dir):
+    """SemDeDup: eps 0.6 -> 0.05 raises the drop threshold above the
+    corpus's max within-cell cosine (~0.49), so the 18 dropped docs
+    at sf0.001 all flip back to keepers."""
+    from lcmap_firebird_spark.operators.semdedup import semdedup
+    from lcmap_firebird_spark.queries.dedup import SEM_CELLS
+
+    name = "d6_semdedup"
+    _assert_green(spark, oracle, sf_dir, name, QD)
+    mut = semdedup(
+        read_table(spark, "embeddings", sf_dir), eps=0.05, num_cells=SEM_CELLS
+    ).select("vec_id", "cell", F.col("rk").cast("int").alias("rk"), "is_keeper")
+    _assert_red(spark, oracle, sf_dir, name, QD, mut, "eps 0.6 -> 0.05")
+
+
+def test_mut_d7_threshold(spark, oracle, sf_dir):
+    """Cluster + PageRank output under a pair-graph threshold that
+    breaks near-dup edges apart: cluster ids and keeper flags move.
+    (An ITERATION-count mutation would stay green here by structure:
+    the registry corpus's components are cliques, where integer
+    PageRank is stationary from round 1 — the known documented
+    degeneracy; discrimination is pinned on a degree-asymmetric
+    graph in tests/test_graph.py.)"""
+    name = "d7_clusters_pagerank"
+    _assert_green(spark, oracle, sf_dir, name, QD)
+    mut = D.minhash_clusters(
+        read_table(spark, "documents", sf_dir),
+        threshold=0.95, num_perm=QD.NUM_PERM, bands=QD.BANDS,
+        rows=QD.ROWS, k=QD.K, pagerank_iters=QD.PR_ITERS,
+    )
+    _assert_red(spark, oracle, sf_dir, name, QD, mut, "threshold 0.3 -> 0.95")
+
+
+def test_mut_d8_span_k(spark, oracle, sf_dir):
+    """Substring spans: k-gram width + 1 changes span boundaries (45
+    spans exist at sf0.001)."""
+    from lcmap_firebird_spark.operators import substring as SUB
+    from lcmap_firebird_spark.queries.dedup import SPAN_K
+
+    name = "d8_substring_spans"
+    _assert_green(spark, oracle, sf_dir, name, QD)
+    mut = SUB.duplicate_spans(
+        read_table(spark, "documents", sf_dir), k=SPAN_K + 1
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_grams",
+    )
+    _assert_red(spark, oracle, sf_dir, name, QD, mut, "span k 8 -> 9")
+
+
+def test_mut_t_family_constants(spark, oracle, sf_dir):
+    """BM25 k1, NB smoothing alpha, LM add-k each perturbed — the
+    quantized integer scores must diverge from the twins generated
+    under the pinned constants."""
+    from lcmap_firebird_spark.operators import text as T
+    from lcmap_firebird_spark.operators.classifier import nb_quantized
+    from lcmap_firebird_spark.operators.perplexity import nll_quantized
+    from lcmap_firebird_spark.operators.retrieval import bm25_quantized
+    from lcmap_firebird_spark.queries import text as QT
+    from lcmap_firebird_spark.queries.text import BM25_TERMS
+
+    for name in ("t1_token_stats", "t2_lang_id_nb"):
+        _assert_green(spark, oracle, sf_dir, name, QT)
+    docs = read_table(spark, "documents", sf_dir)
+
+    # t1: rebuild with k1 + 0.3 (496/500 docs hit a query term)
+    toks = T.tokens("text")
+    sum_len = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    bm25 = bm25_quantized(
+        docs.select("doc_id", "text"), BM25_TERMS, k1=1.5
+    ).select("doc_id", "bm25_q", "n_hit_terms")
+    stats = docs.select(
+        "doc_id",
+        T.char_count("text").cast("bigint").alias("n_chars_m"),
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.distinct_token_count("text").cast("bigint").alias("n_distinct"),
+        F.when(
+            T.token_count("text") > 0,
+            sum_len.cast("double") / T.token_count("text").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("avg_token_len"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.when(
+            T.token_count("text") > 0,
+            T.bpe_token_count("text").cast("double") / T.token_count("text"),
+        ).otherwise(F.lit(0.0)).alias("tokens_per_word"),
+    )
+    _assert_red(
+        spark, oracle, sf_dir, "t1_token_stats", QT,
+        stats.join(bm25, "doc_id", "left"), "bm25 k1 + 0.3",
+    )
+
+    # t2: NB alpha 1.0 -> 2.0
+    scored = nb_quantized(
+        docs.select("doc_id", "lang", "text"),
+        label_pred=F.col("lang") == "en",
+        alpha=2.0,
+    )
+    mut2 = scored.select(
+        "doc_id", "lang", T.language_id("text").alias("pred_lang"),
+        "nb_q", (F.col("nb_q") >= 0).alias("nb_en"),
+    )
+    _assert_red(spark, oracle, sf_dir, "t2_lang_id_nb", QT, mut2, "NB alpha 2.0")
+
+    # t3: LM add-k 0.1 -> 0.2 — rebuild only the nll leg, reuse the
+    # registry query's quality-feature leg by swapping the join side
+    _assert_green(spark, oracle, sf_dir, "t3_quality_fingerprint", QT)
+    base = QT.QUERIES["t3_quality_fingerprint"](spark, sf_dir).drop(
+        "lm_nll_q", "n_bigrams"
+    )
+    nll = nll_quantized(
+        docs.select("doc_id", "text", "lang"),
+        target_pred=F.col("lang") == "en",
+        k=0.2,
+    ).select("doc_id", "lm_nll_q", "n_bigrams")
+    _assert_red(
+        spark, oracle, sf_dir, "t3_quality_fingerprint", QT,
+        base.join(nll, "doc_id", "left"), "LM add-k 0.2",
+    )
+
+
+def test_mut_similarity_constants(spark, oracle, sf_dir):
+    """ANN family: top-k off-by-one (rows), plane count (bucket
+    granularity), and IVF cell count (assignment granularity)."""
+    from lcmap_firebird_spark.operators import similarity as S
+    from lcmap_firebird_spark.queries import similarity as QS
+
+    emb = read_table(spark, "embeddings", sf_dir)
+    for name in ("s1_knn_bruteforce", "s3_knn_lsh", "s5_ivf_knn"):
+        _assert_green(spark, oracle, sf_dir, name, QS)
+    mut1 = S.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < QS.N_QUERIES), QS.TOP_K - 1
+    )
+    _assert_red(spark, oracle, sf_dir, "s1_knn_bruteforce", QS, mut1, "k - 1")
+    mut3 = S.knn_lsh(emb, QS.TOP_K, 12, QS.DIM)
+    _assert_red(spark, oracle, sf_dir, "s3_knn_lsh", QS, mut3, "planes 8 -> 12")
+    mut5 = S.knn_ivf(emb, QS.TOP_K, 128)
+    _assert_red(spark, oracle, sf_dir, "s5_ivf_knn", QS, mut5, "cells 64 -> 128")
+
+
+def test_mut_u3_u5_constants(spark, oracle, sf_dir):
+    """Sessionization gap and the CCD kernel's exposed dials
+    (min_obs) perturbed — the flagship family's twins must notice."""
+    from lcmap_firebird_spark.functions.dates import EPOCH_ORDINAL
+    from lcmap_firebird_spark.operators.segmentation import (
+        ccd_segments,
+        sessionize,
+        threshold_segments,
+    )
+    from lcmap_firebird_spark.queries import timeseries as QTS
+
+    for name in ("u3_sessionize_threshold", "u5_ccd_segments"):
+        _assert_green(spark, oracle, sf_dir, name, QTS)
+
+    ev = read_table(spark, "events", sf_dir)
+    s = sessionize(ev, ["user_id"], "ts", 15, order_cols=["event_id"])
+    sessions = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            micros(F.min("ts")).alias("start_us"),
+            micros(F.max("ts")).alias("end_us"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("metric"),
+        )
+        .select(
+            F.lit("session").alias("kind"),
+            "user_id",
+            F.col("session_id").cast("bigint").alias("seg_id"),
+            "start_us", "end_us", "n_obs", "metric",
+        )
+    )
+    ev_us = ev.withColumn("t_us", micros("ts"))
+    segments = threshold_segments(
+        ev_us, ["user_id"], "t_us", "value", QTS.LEVEL_T,
+        order_cols=["event_id"],
+    ).select(
+        F.lit("threshold").alias("kind"),
+        "user_id",
+        F.col("segment_id").cast("bigint").alias("seg_id"),
+        F.col("seg_start").alias("start_us"),
+        F.col("seg_end").alias("end_us"),
+        "n_obs",
+        F.col("avg_value").alias("metric"),
+    )
+    _assert_red(
+        spark, oracle, sf_dir, "u3_sessionize_threshold", QTS,
+        sessions.unionByName(segments), "gap 30 -> 15 min (22 boundary gaps)",
+    )
+
+    evd = ev.select(
+        "user_id",
+        (
+            (micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+            + F.lit(EPOCH_ORDINAL)
+        ).alias("t"),
+        F.col("value"),
+    )
+    daily = evd.groupBy("user_id", "t").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v")
+    )
+    seg = ccd_segments(daily, ["user_id"], "t", "v", min_obs=12, chi=3.0)
+    mut5 = seg.select(
+        "user_id", "sday", "eday", "bday", "sdate", "edate", "chprob",
+        F.element_at("coef", 1).alias("c0"),
+        "intercept", "rmse", "magnitude",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+    )
+    _assert_red(spark, oracle, sf_dir, "u5_ccd_segments", QTS, mut5, "min_obs 6 -> 12")
+
+
+def test_mut_ml1_artifact_drift(spark, oracle, sf_dir):
+    """ml1: the twin is generated from models/ml1_rf.json — a drifted
+    artifact (one root threshold nudged) scored on the Spark side
+    must diverge from the oracle built from the checked-in one."""
+    import copy as _copy
+
+    from lcmap_firebird_spark.operators.rf_replay import classify, load_model
+    from lcmap_firebird_spark.queries import ml as QM
+
+    name = "ml1_rf_classify"
+    _assert_green(spark, oracle, sf_dir, name, QM)
+    drifted = _copy.deepcopy(load_model())
+
+    def nudge(node):
+        if "thr" in node:
+            node["thr"] += 0.5
+            return True
+        return ("pred" not in node) and (nudge(node["left"]) or nudge(node["right"]))
+
+    assert sum(nudge(t) for t in drifted["trees"]) == len(drifted["trees"])
+    emb = read_table(spark, "embeddings", sf_dir)
+    mut = classify(emb, drifted).select("vec_id", "predicted_label", "votes_top")
+    _assert_red(spark, oracle, sf_dir, name, QM, mut, "all root thresholds + 0.5")
+
+
+def test_mut_streaming_constants(spark, oracle, sf_dir):
+    """Streaming slots: tumbling width, session gap (22 boundary gaps
+    at sf0.001), dedup key set, and the join's event-type constant.
+    AUDIT FINDING (r9): st4's 1-hour join window has NO boundary
+    pair at sf0.001 (no purchase lands 30-60 min after a signup), so
+    a window-width mutation is undetectable there — the committed
+    mutation perturbs the event-type constant instead."""
+    from lcmap_firebird_spark.queries import streaming as QST
+    from lcmap_firebird_spark.streaming import events as ST
+
+    for name in QST.QUERIES:
+        _assert_green(spark, oracle, sf_dir, name, QST)
+    stream = ST.stream_events(spark, sf_dir)
+    mut1 = ST.run_available_now(
+        ST.tumbling_counts(stream, "2 hours", QST.WATERMARK), spark,
+        mode="complete",
+    )
+    _assert_red(spark, oracle, sf_dir, "st1_tumbling_counts", QST, mut1, "window 1h -> 2h")
+    stream = ST.stream_events(spark, sf_dir)
+    mut2 = ST.run_available_now(
+        ST.session_counts(stream, "15 minutes", QST.WATERMARK), spark,
+        mode="append",
+    )
+    _assert_red(spark, oracle, sf_dir, "st2_session_windows", QST, mut2, "gap 30 -> 15 min")
+    stream = ST.stream_events(spark, sf_dir)
+    mut3 = ST.run_available_now(
+        ST.dedup_keys(stream, ["user_id"], QST.WATERMARK), spark, mode="append"
+    )
+    _assert_red(spark, oracle, sf_dir, "st3_stream_dedup", QST, mut3, "dedup keys drop event_type")
+    stream = ST.stream_events(spark, sf_dir)
+    # wrong-source-filter bug class: clicks relabeled as purchases
+    # upstream of the join — a different (much larger) left side
+    relabeled = stream.withColumn(
+        "event_type",
+        F.when(F.col("event_type") == "click", "purchase")
+        .when(F.col("event_type") == "purchase", "click")
+        .otherwise(F.col("event_type")),
+    )
+    mut4 = ST.run_available_now(
+        ST.purchases_after_signup(relabeled, "1 hour", QST.WATERMARK),
+        spark,
+        mode="append",
+    )
+    _assert_red(spark, oracle, sf_dir, "st4_stream_stream_join", QST, mut4, "purchase <-> click swap")
+
+
+# --- remaining slots: every registry query mutation-certified ----------------
+
+
+def test_mut_p1_p5_projection(spark, oracle, sf_dir):
+    """p1: dropped rename step -> schema red. p5: slice 3 -> 2 -> the
+    posexploded row count shrinks."""
+    from lcmap_firebird_spark.operators.vectors import dedensify, densify
+    from lcmap_firebird_spark.queries import extended as QE
+
+    name = "p1_conform_project"
+    _assert_green(spark, oracle, sf_dir, name, QR)
+    li = read_table(spark, "lineitem", sf_dir)
+    extra = li.withColumn("extra", F.lit(1))
+    out = R.conform(extra, ["l_orderkey", "l_linenumber", "l_quantity", "l_tax"])
+    _assert_red(
+        spark, oracle, sf_dir, name, QR, R.drop(out, "l_tax"),
+        "rename l_quantity -> qty dropped",
+    )
+    name = "p5_array_ops"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    emb = read_table(spark, "embeddings", sf_dir)
+    dense = densify(emb, ["embedding", "label"], "features", compat=True)
+    back = dedensify(dense, "features", "farr")
+    mut = back.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.element_at("embedding", -1).alias("last_val"),
+        F.element_at("farr", 1).alias("f0"),
+        F.element_at("farr", 2).alias("f1"),
+        F.posexplode(F.slice("embedding", 1, 2)).alias("pos", "head_val"),
+    )
+    _assert_red(spark, oracle, sf_dir, name, QE, mut, "slice 3 -> 2")
+
+
+def test_mut_a6_dropped_grouping_member(spark, oracle, sf_dir):
+    """Multi-dim agg with the GROUPING SETS member dropped — a whole
+    op family silently missing from the union."""
+    name = "a6_multidim_agg"
+    _assert_green(spark, oracle, sf_dir, name, QR)
+    li = read_table(spark, "lineitem", sf_dir)
+    orders = read_table(spark, "orders", sf_dir)
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.lit("rollup").alias("op"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("g1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("g2"),
+            "n",
+            "sum_qty",
+        )
+    )
+    cube = (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("cube").alias("op"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("g1"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("g2"),
+            "n",
+            F.lit(None).cast("double").alias("sum_qty"),
+        )
+    )
+    _assert_red(
+        spark, oracle, sf_dir, name, QR, rollup.unionByName(cube),
+        "GROUPING SETS member dropped",
+    )
+
+
+def test_mut_f5_f6_scalar_functions(spark, oracle, sf_dir):
+    """Scalar-function slots: substring width off-by-one; JSON path
+    pointed at a missing key."""
+    from lcmap_firebird_spark.queries import extended as QE
+
+    name = "f5_string_functions"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    mut = QE.QUERIES[name](spark, sf_dir).withColumn(
+        "prefix8", F.substring(F.col("prefix8"), 1, 7)
+    )
+    _assert_red(spark, oracle, sf_dir, name, QE, mut, "substring 8 -> 7")
+    name = "f6_semistructured"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    ev = read_table(spark, "events", sf_dir)
+    base = QE.QUERIES[name](spark, sf_dir).drop("k_str")
+    mut = base.join(
+        ev.select(
+            "event_id", F.get_json_object("props", "$.missing").alias("k_str")
+        ),
+        "event_id",
+    )
+    _assert_red(spark, oracle, sf_dir, name, QE, mut, "JSON path $.k -> $.missing")
+
+
+def test_mut_j9_wrong_key(spark, oracle, sf_dir):
+    from lcmap_firebird_spark.queries import extended as QE
+
+    name = "j9_parts_suppliers"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    li = read_table(spark, "lineitem", sf_dir)
+    part = read_table(spark, "part", sf_dir)
+    supp = read_table(spark, "supplier", sf_dir)
+    mut = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_partkey % 100 == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+    _assert_red(spark, oracle, sf_dir, name, QE, mut, "supplier joined on wrong key")
+
+
+def test_mut_m1_s4_kernels(spark, oracle, sf_dir):
+    """Arrow-kernel slots: frame-sampling stride doubled; the
+    external-fetch fake emitting one fewer row per id."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from lcmap_firebird_spark.operators import multimodal as M
+    from lcmap_firebird_spark.queries import extended as QE
+    from lcmap_firebird_spark.queries import multimodal as QM2
+    from lcmap_firebird_spark.sources.external import fetch_explode
+
+    name = "m1_media_pipeline"
+    _assert_green(spark, oracle, sf_dir, name, QM2)
+    docs = read_table(spark, "documents", sf_dir)
+    media = M.to_media_table(docs)
+    feats = M.extract_features(media).select("media_id", "n_bytes", "checksum")
+    counts = (
+        M.frame_sample(media, every_n_bytes=128)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+    mut = feats.join(counts, "media_id", "left").withColumn(
+        "n_frames", F.coalesce("n_frames", F.lit(0).cast("bigint"))
+    )
+    _assert_red(spark, oracle, sf_dir, name, QM2, mut, "frame stride 64 -> 128")
+
+    name = "s4_external_fetch"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    ids = read_table(spark, "nation", sf_dir).select("n_nationkey")
+
+    def fake_fetch(row):
+        k = row["n_nationkey"]
+        return [{"n_nationkey": k, "i": i, "val": k * 100 + i} for i in range(3)]
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType(), False),
+            StructField("i", IntegerType(), False),
+            StructField("val", LongType(), False),
+        ]
+    )
+    mut = fetch_explode(ids, fake_fetch, schema, max_concurrency=2)
+    _assert_red(spark, oracle, sf_dir, name, QE, mut, "fetch explode 4 -> 3 rows/id")
+
+
+def test_mut_x2_ordering_contract(spark, oracle, sf_dir):
+    """The O2 array-ordering contract: assembling over NEGATED
+    timestamps (descending order) re-pairs every position."""
+    from lcmap_firebird_spark.operators.timeseries import assemble
+    from lcmap_firebird_spark.queries import timeseries as QTS
+
+    name = "x2_assemble_series"
+    _assert_green(spark, oracle, sf_dir, name, QTS)
+    ev = read_table(spark, "events", sf_dir).select(
+        "user_id", (-micros("ts")).alias("t_us"), "value"
+    )
+    wide = assemble(ev, ["user_id"], "t_us", ["value"])
+    mut = (
+        wide.select(
+            "user_id",
+            F.size("t_uss").alias("n_obs"),
+            F.posexplode(F.arrays_zip("t_uss", "values")).alias("pos", "z"),
+        ).select(
+            "user_id",
+            "n_obs",
+            "pos",
+            (-F.col("z.t_uss")).alias("t_us"),
+            F.col("z.values").alias("value"),
+        )
+    )
+    _assert_red(spark, oracle, sf_dir, name, QTS, mut, "descending assembly order")
+
+
+def test_mut_x4_fractions(spark, oracle, sf_dir):
+    """Stratified-sample fractions perturbed (en 0.5 -> 0.4); the
+    dsir leg rides unchanged from the registry query."""
+    from lcmap_firebird_spark.operators.sampling import stratified_hash_sample
+    from lcmap_firebird_spark.queries import extended as QE
+
+    name = "x4_dsir_stratified"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    docs = read_table(spark, "documents", sf_dir)
+    fracs = dict(QE.X4_FRACTIONS) | {"en": 0.4}
+    strat = stratified_hash_sample(docs, "lang", "doc_id", fracs).select(
+        F.lit("strat").alias("method"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("bigint").alias("skey"),
+    )
+    dsir = QE.QUERIES[name](spark, sf_dir).filter(F.col("method") == "dsir")
+    _assert_red(
+        spark, oracle, sf_dir, name, QE, strat.unionByName(dsir),
+        "en fraction 0.5 -> 0.4",
+    )
+
+
+def test_mut_x5_wrong_update_set(spark, oracle, sf_dir):
+    """The transactional MERGE slot under a wrong update filter
+    (MACHINERY instead of BUILDING) — different balances zeroed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from lcmap_firebird_spark.lakehouse import LakeTable
+    from lcmap_firebird_spark.queries import extended as QE
+
+    name = "x5_upsert"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    cust = read_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    updates = (
+        cust.filter(F.col("c_mktsegment") == "MACHINERY")
+        .withColumn("c_acctbal", F.lit(0.0))
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (1_000_001, "NEW Customer#1", "BUILDING", 1.0),
+                    (1_000_002, "NEW Customer#2", "MACHINERY", 2.0),
+                ],
+                ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+            )
+        )
+    )
+    root = tempfile.mkdtemp(prefix="x5_mut_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = LakeTable.create(spark, root, cust, key_cols=["c_custkey"])
+    table.merge(updates)
+    _assert_red(
+        spark, oracle, sf_dir, name, QE, table.snapshot(),
+        "update set BUILDING -> MACHINERY",
+    )
+
+
+def test_mut_z1_column_order(spark, oracle, sf_dir):
+    """Morton interleave with the column order swapped — every zval
+    with differing partkey/suppkey bits moves.
+    AUDIT FINDING (r9, kept on record): a BIT-WIDTH mutation
+    (16 -> 8) is UNDETECTABLE at sf0.001 — zvalue masks raw values
+    and every key there fits in 8 bits, so the extra positions
+    interleave zeros identically (first divergence needs a key
+    >= 256, i.e. sf0.01's partkey range)."""
+    from lcmap_firebird_spark.operators.zorder import zvalue
+    from lcmap_firebird_spark.queries import extended as QE
+
+    name = "z1_zorder"
+    _assert_green(spark, oracle, sf_dir, name, QE)
+    li = read_table(spark, "lineitem", sf_dir)
+    z = zvalue(["l_suppkey", "l_partkey"], bits=16)
+    mut = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        z.alias("zval"),
+        F.shiftright(z, 24).alias("zbucket"),
+    )
+    _assert_red(spark, oracle, sf_dir, name, QE, mut, "interleave column order swapped")
+
+
+def test_mut_d1_fingerprint_input(spark, oracle, sf_dir):
+    """Exact dedup: fingerprint computed over case-folded text — a
+    wrong-normalization bug; every fp value moves.
+    AUDIT FINDING (r9, kept on record): the corpus has NO exact
+    duplicates at sf0.001 (500/500 distinct texts), so d1's min-id
+    KEEPER RULE is unobservable through this slot (every group has
+    one member); the rule is pinned by operator tests instead."""
+    from lcmap_firebird_spark.operators.text import fingerprint
+
+    name = "d1_exact_dedup"
+    _assert_green(spark, oracle, sf_dir, name, QD)
+    docs = read_table(spark, "documents", sf_dir)
+    mut = (
+        docs.select("doc_id", fingerprint(F.upper("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+    _assert_red(spark, oracle, sf_dir, name, QD, mut, "fingerprint over upper(text)")
+
+
 # --- comparator dimensions, each proven independently -------------------------
 
 
