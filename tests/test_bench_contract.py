@@ -64,3 +64,35 @@ def test_bench_unknown_subset_exits_loudly():
     r = _run({"SPARK_GRAFT_BENCH_QUERIES": "a4_pricing_summary,zz_typo"}, timeout=120)
     assert r.returncode == 2
     assert "zz_typo" in r.stderr
+
+
+def test_scaling_report_writer_preserves_attribution(tmp_path):
+    """r9 review finding: tools/scaling_report.py regenerates
+    SCALING.md with a plain overwrite, which would have destroyed the
+    committed '## Attribution notes' analysis on the next regen —
+    write_report must carry every hand-written section from that
+    heading onward across rewrites."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from scaling_report import write_report
+
+    out = str(tmp_path / "SCALING.md")
+    with open(out, "w") as f:
+        f.write(
+            "# SCALING old\n\n| q | t |\n|---|---|\n| a | 1s |\n\n"
+            "## Attribution notes\n\n- hand-written analysis, keep me\n"
+        )
+    write_report(["# SCALING new", "", "| q | t |", "| b | 2s |"], out)
+    got = open(out).read()
+    assert "# SCALING new" in got and "| b | 2s |" in got
+    assert "old" not in got and "| a | 1s |" not in got
+    assert "## Attribution notes" in got
+    assert "hand-written analysis, keep me" in got
+    # idempotent: a second regen keeps exactly one attribution section
+    write_report(["# SCALING newer"], out)
+    got2 = open(out).read()
+    assert got2.count("## Attribution notes") == 1
+    assert "hand-written analysis, keep me" in got2
+    # and a fresh file (no prior report) writes cleanly
+    out2 = str(tmp_path / "fresh.md")
+    write_report(["# SCALING fresh"], out2)
+    assert open(out2).read().startswith("# SCALING fresh")

@@ -266,9 +266,23 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.md",
     )
-    with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+    write_report(lines, out)
     print(f"wrote {out}")
+
+
+def write_report(lines: list[str], out: str) -> None:
+    """Rewrite the measured table while PRESERVING every hand-written
+    section from '## Attribution notes' onward (r9 review finding:
+    the plain overwrite would have destroyed the committed r8
+    attribution analysis on the next regen)."""
+    tail = ""
+    if os.path.exists(out):
+        existing = open(out).read()
+        idx = existing.find("## Attribution notes")
+        if idx != -1:
+            tail = "\n" + existing[idx:].rstrip() + "\n"
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":
