@@ -124,3 +124,138 @@ def test_keys_option_validated_at_plan_time(registered, tmp_path):
     )
     df.write.format("lake").option("keys", "id").mode("append").save(root)
     assert LakeTable(spark, root).snapshot().count() == 1
+
+
+def test_stream_planned_before_add_column_projects_new_files(
+    registered, tmp_path
+):
+    """r9b: ADDITIVE evolution mid-stream. The planned schema rides
+    into every partition by design (sources/lake.py streamReader —
+    deriving it per-batch would yield batches that no longer match
+    the query plan), so a stream whose `.load()` happened BEFORE an
+    add_column must keep delivering rows committed AFTER it,
+    projected to the planned columns; a fresh stream planned AFTER
+    the evolution must null-fill the new column for old files. The
+    rename-away case fails fast instead (test_column_mapping)."""
+    spark = registered
+    root = str(tmp_path / "addmid")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA),
+        key_cols=["id"],
+    )
+    # plan the stream NOW: schema() resolves (and memoizes) the
+    # 3-column schema before the evolution below
+    planned = (
+        spark.readStream.format("lake").option("path", root).load()
+    )
+    assert [f.name for f in planned.schema.fields] == ["id", "name", "val"]
+    t.add_column("score", "double")
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 3.0, 9.5)],
+            "id long, name string, val double, score double",
+        )
+    )
+    out = str(tmp_path / "out")
+    q = (
+        planned.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # the post-evolution file's row arrives under the PLANNED columns
+    assert got == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+
+    # a stream planned AFTER the evolution sees 4 columns and
+    # null-fills `score` for the pre-evolution file
+    fresh = spark.readStream.format("lake").option("path", root).load()
+    assert [f.name for f in fresh.schema.fields] == [
+        "id", "name", "val", "score",
+    ]
+    out2 = str(tmp_path / "out2")
+    q2 = (
+        fresh.writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got2 = sorted(
+        tuple(r) for r in spark.read.parquet(out2).collect()
+    )
+    assert got2 == [
+        (1, "a", 1.0, None),
+        (2, "b", 2.0, None),
+        (3, "c", 3.0, 9.5),
+    ]
+
+
+def test_cdf_stream_planned_before_add_column_projects_changes(
+    registered, tmp_path
+):
+    """r9b: the CDF-stream variant of the planned-schema seam — a
+    change feed planned BEFORE add_column must deliver post-evolution
+    commits (derived inserts from add files AND staged merge change
+    files, which carry every current column) projected to the planned
+    columns + _change_type/_commit_version."""
+    spark = registered
+    root = str(tmp_path / "cdfmid")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA),
+        key_cols=["id"],
+        enable_cdf=True,
+    )
+    planned = (
+        spark.readStream.format("lake")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert [f.name for f in planned.schema.fields] == [
+        "id", "name", "val", "_change_type", "_commit_version",
+    ]
+    t.add_column("score", "double")
+    # post-evolution commits: an append (derived inserts) AND a merge
+    # (staged change file carrying the new column)
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 3.0, 9.5)],
+            "id long, name string, val double, score double",
+        )
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a2", 1.5, 0.5)],
+            "id long, name string, val double, score double",
+        )
+    )
+    out = str(tmp_path / "out")
+    q = (
+        planned.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("id", "name", "val", "_change_type")
+        .collect()
+    )
+    assert got == [
+        (1, "a", 1.0, "insert"),
+        (1, "a", 1.0, "update_preimage"),
+        (1, "a2", 1.5, "update_postimage"),
+        (2, "b", 2.0, "insert"),
+        (3, "c", 3.0, "insert"),
+    ]

@@ -486,6 +486,19 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                     "extra_gen": extra_gen,
                     "next_id": 50_000,
                     "step_tag": step,
+                    # r9b: the clone leg gained its own schema-evolution
+                    # ops — clone-side generations draw from a disjoint
+                    # range so a clone re-add can never alias a source
+                    # generation in the model
+                    "gen_counter": 1_000,
+                    "ver": c.latest_version(),
+                    "history": {
+                        c.latest_version(): (
+                            copy.deepcopy(model),
+                            dict(cols),
+                            extra_gen,
+                        )
+                    },
                 }
             else:
                 # later clones stay throwaway: mutate once, check
@@ -527,9 +540,18 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 )
                 return s + (", extra double" if c_has_extra else "") + tail
 
+            # source ops must never advance the CLONE's log (the
+            # mirror of the clone->source independence check below)
+            assert c.latest_version() == ac["ver"], (
+                f"seed {seed} step {step}: source op ({op}) advanced"
+                " the CLONE log"
+            )
             cv_before = c.latest_version()
             cop = rng.choice(
-                ["append", "merge", "delete", "apply_changes", "compact"]
+                [
+                    "append", "merge", "delete", "apply_changes",
+                    "compact", "rename", "togglecol", "restore",
+                ]
             )
             if cop == "append":
                 k = ac["next_id"]
@@ -576,6 +598,44 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 )
             elif cop == "compact":
                 c.compact(target_rows=1_000)
+            elif cop == "rename":
+                # r9b: renames on the CLONE — the transferred column
+                # mapping must evolve independently of the source's
+                # (fresh physical translation on the clone, source
+                # logical names untouched), and the declared stats
+                # column must follow its clone-side rename
+                sem = rng.choice(["name", "val"])
+                new = f"c{sem}_{step}"
+                c.rename_column(ccols[sem], new)
+                ac["cols"][sem] = new
+                assert (c._live()[1].get("stats_cols") or []) == [
+                    ac["cols"]["val"]
+                ], f"seed {seed} step {step}: clone stats_cols lost rename"
+            elif cop == "togglecol":
+                # r9b: drop + re-add of `extra` on the CLONE — the
+                # re-added column gets a fresh clone-side physical name;
+                # source rows written under source generations must
+                # never resurrect through it (and vice versa)
+                if cgen is not None:
+                    c.drop_column("extra")
+                    ac["extra_gen"] = None
+                else:
+                    c.add_column("extra", "double")
+                    ac["extra_gen"] = ac["gen_counter"]
+                    ac["gen_counter"] += 1
+            elif cop == "restore":
+                # r9b: restore on the CLONE — rolls clone data back
+                # (possibly to v1, whose files live in the SOURCE's
+                # data dir by absolute path) while keeping the newer
+                # clone schema; the source log must not move
+                target = rng.choice(sorted(ac["history"]))
+                c.restore(target)
+                ac["model"] = copy.deepcopy(ac["history"][target][0])
+                cm = ac["model"]
+            # schema ops above may have moved cols/extra_gen — refresh
+            # before asserting
+            ccols, cgen = ac["cols"], ac["extra_gen"]
+            c_has_extra = cgen is not None
             # clone == its own model, identity hygiene holds
             assert _got(c, ccols, c_has_extra) == _display(cm, cgen), (
                 f"seed {seed} step {step} (clone {cop}): clone != model"
@@ -599,6 +659,12 @@ def test_combined_feature_mix(spark, tmp_path, seed):
             assert _got(t, cols, extra_gen is not None) == want, (
                 f"seed {seed} step {step}: clone {cop} leaked into source"
             )
+            ac["ver"] = cv_after
+            ac["history"][cv_after] = (
+                copy.deepcopy(cm),
+                dict(ccols),
+                cgen,
+            )
         if v_after > v_before and (rng.random() < 0.4 or step == 19):
             # CDF replay closure across THIS step's commit(s): crosses
             # the recorded change feed with identity values, renames,
@@ -619,6 +685,16 @@ def test_combined_feature_mix(spark, tmp_path, seed):
         assert _got(t, vcols, vgen is not None, version=v) == _display(
             m, vgen
         ), f"seed {seed}: version {v} time travel"
+
+    # the persistent clone's own history time-travels too — checked
+    # BEFORE the source vacuum below, which may legally invalidate
+    # clone-referenced source files (Delta's documented caveat)
+    if active_clone is not None:
+        ac = active_clone
+        for v, (m, vcols, vgen) in ac["history"].items():
+            assert _got(ac["t"], vcols, vgen is not None, version=v) == _display(
+                m, vgen
+            ), f"seed {seed}: clone version {v} time travel"
 
     # aggressive vacuum keeps the head equal to the model
     t.vacuum(keep_last=1, retention_seconds=0)
