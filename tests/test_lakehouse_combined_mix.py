@@ -424,6 +424,23 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 except ConstraintViolation:
                     pass
                 assert t.latest_version() == v0
+                # r9b: a violating apply_changes UPSERT is rejected
+                # atomically too — enforcement lives at _commit over
+                # the staged (COW-rewritten) files, so the CDC writer
+                # shares the guarantee with append/merge
+                try:
+                    t.apply_changes(
+                        spark.createDataFrame(
+                            [(-2, "bad", -2.0, "upsert")],
+                            _wschema(False) + ", _op string",
+                        )
+                    )
+                    raise AssertionError(
+                        f"step {step}: violating apply_changes landed"
+                    )
+                except ConstraintViolation:
+                    pass
+                assert t.latest_version() == v0
             else:
                 t.drop_constraint("id_pos")
         elif op == "bad_generated":
