@@ -58,8 +58,15 @@ def explode_series(
 ) -> DataFrame:
     """Dense-wide → long: positional unzip of the parallel arrays
     (inverse of assemble; the reference's U4 explode without a UDF).
-    """
-    out_names = list(out_names or [c.rstrip("s") for c in array_cols])
+
+    Default out_names strip exactly ONE trailing 's' — the suffix
+    `assemble` appends — not every trailing 's' (str.rstrip would turn
+    a source column `t_us` → array `t_uss` back into `t_u`, silently
+    renaming the round trip; r9 continuation review finding)."""
+    out_names = list(
+        out_names
+        or [c[:-1] if c.endswith("s") else c for c in array_cols]
+    )
     first, rest = array_cols[0], list(array_cols[1:])
     ex = df.select(
         *keys, F.posexplode(first).alias("_pos", out_names[0]), *rest

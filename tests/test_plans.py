@@ -75,6 +75,14 @@ def test_assemble_explode_roundtrip(observations):
     back = explode_series(
         wide, ["cx", "cy", "px", "py"], ["ts", "values"], ["t", "value"]
     )
+    # default out_names strip exactly ONE trailing 's' (the suffix
+    # assemble appends) — a source column already ending in 's' must
+    # round-trip to its own name, not lose every trailing 's'
+    wide2 = assemble(observations.withColumnRenamed("t", "t_us"),
+                     ["cx", "cy", "px", "py"], "t_us", ["value"])
+    back2 = explode_series(wide2, ["cx", "cy", "px", "py"],
+                           ["t_uss", "values"])
+    assert {"t_us", "value"} <= set(back2.columns)
     assert back.count() == observations.count()
     # exact value preservation through the round trip
     orig = {(r.cx, r.cy, r.px, r.py, r.t): r.value for r in observations.collect()}
