@@ -55,3 +55,15 @@ def assert_parity(spark_df, oracle_con, sql: str, name: str = "query"):
     if g != w:
         diffs = [(a, b) for a, b in zip(g, w) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")
+
+
+def fuzz_seeds(default, base=8200):
+    """Pinned seeds by default; SPARK_GRAFT_FUZZ_SEEDS=n sweeps n
+    random seeds starting at `base` (per-suite bases keep swept seed
+    sets distinct across fuzz files). Same hook as the combined mix."""
+    import os
+
+    n = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "0"))
+    if n:
+        return list(range(base, base + n))
+    return default

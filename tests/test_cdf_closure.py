@@ -17,6 +17,8 @@ from collections import Counter
 
 import pytest
 
+from .helpers import fuzz_seeds
+
 from lcmap_firebird_spark.lakehouse import LakeTable
 
 SCHEMA = "id long, name string, val double"
@@ -41,7 +43,7 @@ def _apply(base: Counter, changes) -> Counter:
     return out
 
 
-@pytest.mark.parametrize("seed", [5, 17])
+@pytest.mark.parametrize("seed", fuzz_seeds([5, 17], base=8300))
 def test_table_changes_replay_closure(spark, tmp_path, seed):
     rng = random.Random(seed)
     root = str(tmp_path / f"cdf{seed}")

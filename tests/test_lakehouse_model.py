@@ -29,8 +29,10 @@ def _model_rows(model):
 
 import pytest
 
+from .helpers import fuzz_seeds
 
-@pytest.mark.parametrize("seed", [1234, 99])
+
+@pytest.mark.parametrize("seed", fuzz_seeds([1234, 99], base=8200))
 def test_random_op_sequence_matches_dict_model(spark, tmp_path, seed):
     rng = random.Random(seed)  # deterministic: reruns identical
     root = str(tmp_path / f"mtbl{seed}")
