@@ -290,7 +290,13 @@ def test_combined_feature_mix(spark, tmp_path, seed):
         s = f"id long, {cols['name']} string, {cols['val']} double"
         return s + (", extra double" if with_extra else "")
 
-    for step in range(20):
+    # 20 steps by default; SPARK_GRAFT_FUZZ_STEPS=n runs longer
+    # histories (deep restores, many extra-column generations, long
+    # checkpoint replays) without touching the seeded op sequence of
+    # the default run's prefix
+    n_steps = int(os.environ.get("SPARK_GRAFT_FUZZ_STEPS", "20"))
+    last = n_steps - 1
+    for step in range(n_steps):
         v_before = t.latest_version()
         op = rng.choice(
             [
@@ -663,7 +669,7 @@ def test_combined_feature_mix(spark, tmp_path, seed):
             )
             # per-step replay closure on the CLONE's own CDF feed
             cv_after = c.latest_version()
-            if cv_after > cv_before and (rng.random() < 0.5 or step == 19):
+            if cv_after > cv_before and (rng.random() < 0.5 or step == last):
                 _closure_check(
                     c, cv_before, cv_after, use_cdf=True,
                     ctx=f"seed {seed} step {step} (clone {cop})",
@@ -682,7 +688,7 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 dict(ccols),
                 cgen,
             )
-        if v_after > v_before and (rng.random() < 0.4 or step == 19):
+        if v_after > v_before and (rng.random() < 0.4 or step == last):
             # CDF replay closure across THIS step's commit(s): crosses
             # the recorded change feed with identity values, renames,
             # add/drop generations, and whatever rewrite just ran
