@@ -165,3 +165,77 @@ def test_clone_of_clone_and_vacuum_isolation(spark, source, tmp_path):
                 [(-5, "bad", 0.0)], "id long, name string, val double"
             )
         )
+
+
+def test_chained_clone_of_mutated_cdf_clone(spark, tmp_path):
+    """r9b: clone a MUTATED clone — c1 carries a mix of source-dir
+    references, c1-local COW files, and a c1-local deletion vector
+    when c2 is cut, so c2's referenced set spans two foreign data
+    dirs with a transferred DV. CDF must inherit down the chain
+    (entry-0 property), c2's v1 feed must derive DV-masked inserts,
+    per-commit replay closure must hold on c2, and mutations must
+    stay independent across all three tables."""
+    from collections import Counter
+
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "src"),
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(40)],
+            "id long, name string, val double",
+        ).repartition(4, "id"),
+        key_cols=["id"],
+        enable_cdf=True,
+    )
+    c1 = src.clone(str(tmp_path / "c1"))
+    assert c1._cdf_enabled()
+    # mutate c1: COW merge (c1-local file) + MOR delete (c1-local DV)
+    c1.merge(
+        spark.createDataFrame(
+            [(3, "m", 3.5), (100, "new", 1.0)],
+            "id long, name string, val double",
+        )
+    )
+    c1.delete_mor("id >= 35 AND id < 40")
+    c2 = c1.clone(str(tmp_path / "c2"))
+    assert c2._cdf_enabled(), "cdf did not inherit through the chain"
+    assert _rows(c2.snapshot()) == _rows(c1.snapshot())
+    # c2's initial CDF population: DV-masked derived inserts equal to
+    # c1's live rows (never a MOR-deleted one)
+    v1 = Counter(
+        (tuple(r)[:-1])
+        for r in c2.read_cdf(0, 1).drop("_commit_version").collect()
+        if r["_change_type"] == "insert"
+    )
+    assert v1 == Counter(tuple(r) for r in c1.snapshot().collect())
+    # mutate all three; snapshots stay independent
+    before_src = _rows(src.snapshot())
+    before_c1 = _rows(c1.snapshot())
+    v_before = c2.latest_version()
+    c2.merge(
+        spark.createDataFrame([(0, "c2", -1.0)], "id long, name string, val double")
+    )
+    c2.delete("id = 7")
+    v_after = c2.latest_version()
+    assert _rows(src.snapshot()) == before_src
+    assert _rows(c1.snapshot()) == before_c1
+    # per-commit replay closure on c2 across its own commits
+    for v in range(v_before, v_after):
+        base = Counter(tuple(r) for r in c2.snapshot(version=v).collect())
+        want = Counter(tuple(r) for r in c2.snapshot(version=v + 1).collect())
+        for r in c2.read_cdf(v, v + 1).collect():
+            row = tuple(r)[:-2]
+            kind = r["_change_type"]
+            if kind in ("delete", "update_preimage"):
+                base[row] -= 1
+                if base[row] <= 0:
+                    del base[row]
+            else:
+                base[row] += 1
+        assert base == want, f"c2 replay {v}->{v + 1} diverged"
+    # c2 vacuum sweeps nothing from src's or c1's data dirs
+    sf, c1f = _own_files(src), _own_files(c1)
+    c2.vacuum(keep_last=1, retention_seconds=0)
+    assert _own_files(src) == sf and _own_files(c1) == c1f
+    assert _rows(src.snapshot()) == before_src
+    assert _rows(c1.snapshot()) == before_c1
