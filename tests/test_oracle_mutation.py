@@ -474,6 +474,54 @@ def test_mut_sql1_sql2_constants(spark, oracle, sf_dir):
     )
 
 
+def test_mut_sql1_unlimited_closes_topk_blindness(spark, oracle, sf_dir):
+    """Close the r9 audit's surviving mutation class OUTSIDE the
+    registry (r9 VERDICT next-round #4): the registry slot keeps its
+    LIMIT-10 driver contract, but this test compares the SAME Q3 plan
+    and its DuckDB twin with the limit stripped — so predicate drift
+    confined to non-top rows becomes catchable.
+
+    The twin text derives from the registry's own oracle string
+    (strip-LIMIT, not a re-typed copy), so it tracks any future slot
+    edit. Proven: baseline green on the full result set, then the
+    EXACT documented surviving mutation — a one-month shipdate shift
+    (72 lineitems at sf0.001, none in a top-10 order) — turns RED."""
+    from lcmap_firebird_spark.catalog import register_views
+    from lcmap_firebird_spark.queries import extended as QE
+
+    twin = QE.ORACLES["sql1_tpch_q3"]
+    assert "LIMIT 10" in twin  # the slot's contract this test derives from
+    twin_unlimited = twin.replace("LIMIT 10", "")
+
+    def q3_spark(shipdate):
+        register_views(spark, sf_dir, only=("customer", "orders", "lineitem"))
+        return spark.sql(
+            f"""
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP_NTZ '1997-01-01'
+              AND l_shipdate > TIMESTAMP_NTZ '{shipdate}'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            """
+        )
+
+    want = oracle.execute(twin_unlimited).fetchdf()
+    assert len(want) > 10, "unlimited twin must see past the top-10"
+    base = compare(q3_spark("1997-01-01").toPandas(), want)
+    assert all(base.values()), f"unlimited sql1 baseline not green: {base}"
+    mut = compare(q3_spark("1997-02-01").toPandas(), want)
+    assert not all(mut.values()), (
+        "HOLE STILL OPEN: one-month shipdate drift stayed green even "
+        "without the LIMIT — the full-result comparison must see it"
+    )
+
+
 def test_mut_x3_wrong_budget(spark, oracle, sf_dir):
     """The mixture slot's oracle is GENERATED from the pinned
     weights/budget constants — a Spark side composed under a
