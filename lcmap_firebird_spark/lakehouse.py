@@ -2205,7 +2205,13 @@ class LakeTable:
         they may violate — carrying the newer set forward would
         leave the table inconsistent with its own live constraints).
         The schema deliberately stays the NEWER one: evolution is
-        additive-nullable, so old rows read correctly under it."""
+        additive-nullable, so old rows read correctly under it.
+        Restored constraint text is re-bound by PHYSICAL identity
+        into the current logical space (_rebind_constraints) — a
+        column renamed since the constraint was dropped is rewritten
+        to its current name, and a restore whose constraint
+        references a since-dropped column refuses loudly instead of
+        poisoning later commits."""
         head = self.latest_version()
         old_live, old_entry = self._live(version)
         cur_live, cur_entry = self._live(head)
@@ -2222,7 +2228,12 @@ class LakeTable:
             "restore", add, remove, expected_head=head,
             extra={
                 "restored_version": version,
-                "constraints": old_entry.get("constraints") or {},
+                # re-bound by physical identity into the CURRENT
+                # logical space (the schema stays the newer one);
+                # refuses loudly if a referenced column is gone
+                "constraints": self._rebind_constraints(
+                    old_entry, cur_entry, version
+                ),
             },
         )
         missing = [
@@ -2361,6 +2372,68 @@ class LakeTable:
             extra={"schema": new_schema.json(), "added_column": name}
             | extra,
         )
+
+    def _rebind_constraints(
+        self, old_entry: dict, cur_entry: dict, version: int
+    ) -> dict:
+        """Re-bind a restored CHECK-constraint set into the CURRENT
+        logical column space BY PHYSICAL IDENTITY (r10 fix).
+
+        Restore keeps the NEWER schema but resurrects the TARGET
+        version's constraints — stored as SQL text over the target
+        version's LOGICAL names. If a referenced column was renamed
+        after the constraint was dropped, carrying the text verbatim
+        either stops binding (every later row-introducing commit dies
+        with UNRESOLVED_COLUMN — the table is poisoned until a manual
+        drop_constraint) or, worse, silently binds to an UNRELATED
+        column that has since taken the name (a shadowing rename let a
+        violating append land). The fix is the engine's standing
+        _relabel rule applied to metadata: each referenced old logical
+        name maps via its physical identity to the current logical
+        name (simultaneous word-boundary substitution, so swap-renames
+        rewrite correctly); a referenced physical column that no
+        longer exists refuses the restore LOUDLY — enforcement that
+        cannot bind must not be carried forward silently."""
+        cons = old_entry.get("constraints") or {}
+        if not cons:
+            return {}
+        import re
+
+        old_schema = StructType.fromJson(json.loads(old_entry["schema"]))
+        cur_schema = StructType.fromJson(json.loads(cur_entry["schema"]))
+        cur_by_phys = {
+            _phys(cur_entry, f.name): f.name for f in cur_schema.fields
+        }
+        out = {}
+        for cname, expr in sorted(cons.items()):
+            repl: dict[str, str] = {}
+            for f in old_schema.fields:
+                pat = (
+                    rf"(?<![A-Za-z0-9_]){re.escape(f.name)}(?![A-Za-z0-9_])"
+                )
+                if not re.search(pat, expr):
+                    continue
+                phys = _phys(old_entry, f.name)
+                if phys not in cur_by_phys:
+                    raise ValueError(
+                        f"cannot restore to v{version}: its CHECK "
+                        f"constraint {cname!r} ({expr}) references "
+                        f"column {f.name!r}, whose physical column has "
+                        "since been dropped — drop the constraint in a "
+                        "later version of the target history or re-add "
+                        "the column before restoring"
+                    )
+                if cur_by_phys[phys] != f.name:
+                    repl[f.name] = cur_by_phys[phys]
+            if repl:
+                sub = re.compile(
+                    r"(?<![A-Za-z0-9_])("
+                    + "|".join(re.escape(k) for k in sorted(repl))
+                    + r")(?![A-Za-z0-9_])"
+                )
+                expr = sub.sub(lambda m: repl[m.group(1)], expr)
+            out[cname] = expr
+        return out
 
     def _check_constraint_refs(self, head_entry: dict, name: str) -> None:
         """Refuse to rename/drop a column a CHECK constraint or a

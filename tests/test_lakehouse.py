@@ -1670,6 +1670,80 @@ def test_restore_restores_constraint_set(spark, tmp_path):
     assert t.snapshot().count() == 3  # v1's two rows + the append
 
 
+def test_restore_rebinds_constraints_by_physical_identity(spark, tmp_path):
+    """r10 fix (found by reading the restore/rename/constraint seam):
+    restore keeps the NEWER schema but resurrects the TARGET
+    version's constraint TEXT — stored over the target's logical
+    names. Before the fix, a shadowing rename (another column taking
+    the constrained name after the constraint was dropped) made the
+    restored text silently bind to the WRONG column (a violating
+    append LANDED), and restoring past a drop of the referenced
+    column poisoned every later append with UNRESOLVED_COLUMN.
+    Now: referenced names re-bind by physical identity
+    (val -> its current name), and a gone column refuses the restore
+    loudly."""
+    from lcmap_firebird_spark.lakehouse import ConstraintViolation
+
+    root = str(tmp_path / "rebind")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, 5.0, 1.0)], "id long, other double, val double"
+        ),
+        key_cols=["id"],
+    )
+    t.add_constraint("val_floor", "val > -100")
+    v_cons = t.latest_version()
+    t.drop_constraint("val_floor")
+    t.rename_column("val", "v2")
+    t.rename_column("other", "val")  # shadow: logical 'val' is now OTHER
+    t.restore(v_cons)
+    cons = t._live()[1].get("constraints")
+    assert cons == {"val_floor": "v2 > -100"}, cons
+    # the truly constrained physical column (now v2) is enforced ...
+    with pytest.raises(ConstraintViolation):
+        t.append(
+            spark.createDataFrame(
+                [(3, 7.0, -500.0)], "id long, val double, v2 double"
+            )
+        )
+    # ... and the shadow column is NOT (it was never the constrained one)
+    t.append(
+        spark.createDataFrame(
+            [(4, -500.0, 4.0)], "id long, val double, v2 double"
+        )
+    )
+    assert t.snapshot().filter("id = 4").count() == 1
+
+
+def test_restore_refuses_when_constrained_column_dropped(spark, tmp_path):
+    """The other half of the r10 rebind fix: a restore whose
+    resurrected constraint references a since-DROPPED physical column
+    refuses loudly (ValueError naming the constraint) instead of
+    committing text that can never bind — before the fix the table
+    was poisoned: every later row-introducing commit died with
+    UNRESOLVED_COLUMN until a manual drop_constraint."""
+    root = str(tmp_path / "rgone")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a", 1.0)], "id long, name string, val double"),
+        key_cols=["id"],
+    )
+    t.add_constraint("val_floor", "val > -100")
+    v_cons = t.latest_version()
+    t.drop_constraint("val_floor")
+    t.drop_column("val")
+    v_head = t.latest_version()
+    with pytest.raises(ValueError, match="val_floor"):
+        t.restore(v_cons)
+    # refusal consumed no version and the table stays writable
+    assert t.latest_version() == v_head
+    t.append(spark.createDataFrame([(3, "c")], "id long, name string"))
+    assert t.snapshot().count() == 2
+
+
 def test_append_conforms_to_table_schema(spark, table):
     # unknown column: rejected up front, not committed as a file
     # readers would silently null-fill away

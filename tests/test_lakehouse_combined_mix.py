@@ -574,8 +574,14 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 [
                     "append", "merge", "delete", "apply_changes",
                     "compact", "rename", "togglecol", "restore",
+                    "constraint",
                 ]
             )
+            # clone-side CHECK constraint state is read LIVE (like the
+            # source leg) — restore can resurrect or remove it, and
+            # the r10 rebind fix may have rewritten its referenced
+            # column to the clone's current val name
+            ccons_live = c._live()[1].get("constraints") or {}
             if cop == "append":
                 k = ac["next_id"]
                 ac["next_id"] += 1
@@ -626,11 +632,25 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 # mapping must evolve independently of the source's
                 # (fresh physical translation on the clone, source
                 # logical names untouched), and the declared stats
-                # column must follow its clone-side rename
+                # column must follow its clone-side rename.
+                # r10 crossing: while the clone's CHECK constraint is
+                # live on val, renaming val must be REFUSED (the DDL
+                # guard) without consuming a version
                 sem = rng.choice(["name", "val"])
                 new = f"c{sem}_{step}"
-                c.rename_column(ccols[sem], new)
-                ac["cols"][sem] = new
+                if sem == "val" and "cval_floor" in ccons_live:
+                    try:
+                        c.rename_column(ccols[sem], new)
+                        raise AssertionError(
+                            f"seed {seed} step {step}: rename of the "
+                            "clone's constrained column was allowed"
+                        )
+                    except ValueError:
+                        pass
+                    assert c.latest_version() == cv_before
+                else:
+                    c.rename_column(ccols[sem], new)
+                    ac["cols"][sem] = new
                 assert (c._live()[1].get("stats_cols") or []) == [
                     ac["cols"]["val"]
                 ], f"seed {seed} step {step}: clone stats_cols lost rename"
@@ -652,9 +672,61 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 # data dir by absolute path) while keeping the newer
                 # clone schema; the source log must not move
                 target = rng.choice(sorted(ac["history"]))
+                # r10: restore may resurrect the clone's CHECK
+                # constraint from a version where val had a DIFFERENT
+                # logical name — the rebind fix must rewrite it to the
+                # clone's CURRENT val name (physical identity); the
+                # referenced physical column always exists in this mix
+                # (val is never dropped), so restore never refuses
                 c.restore(target)
                 ac["model"] = copy.deepcopy(ac["history"][target][0])
                 cm = ac["model"]
+                rcons = c._live()[1].get("constraints") or {}
+                if "cval_floor" in rcons:
+                    assert rcons["cval_floor"] == (
+                        f"{ac['cols']['val']} > -1000000000.0"
+                    ), (
+                        f"seed {seed} step {step}: restored clone "
+                        f"constraint not rebound: {rcons['cval_floor']!r}"
+                    )
+            elif cop == "constraint":
+                # r10 (r9 VERDICT #5): CHECK constraint add/drop on
+                # the CLONE, interleaved with clone-side evolution —
+                # the one uncrossed pair in the r9 mix log. The
+                # constraint references the clone's CURRENT val name,
+                # a violating append rejects atomically, and the
+                # SOURCE's constraint set never gains it.
+                from lcmap_firebird_spark.lakehouse import (
+                    ConstraintViolation,
+                )
+
+                if "cval_floor" not in ccons_live:
+                    c.add_constraint(
+                        "cval_floor", f"{ccols['val']} > -1000000000.0"
+                    )
+                    cv0 = c.latest_version()
+                    bad_ev = 0.0 if c_has_extra else None
+                    try:
+                        c.append(
+                            spark.createDataFrame(
+                                [_crow(ac["next_id"], "cbad", -2e9, bad_ev)],
+                                _cschema(),
+                            )
+                        )
+                        raise AssertionError(
+                            f"seed {seed} step {step}: violating clone "
+                            "append landed"
+                        )
+                    except ConstraintViolation:
+                        pass
+                    assert c.latest_version() == cv0
+                else:
+                    c.drop_constraint("cval_floor")
+                scons = t._live()[1].get("constraints") or {}
+                assert "cval_floor" not in scons, (
+                    f"seed {seed} step {step}: clone constraint leaked "
+                    "into the source"
+                )
             # schema ops above may have moved cols/extra_gen — refresh
             # before asserting
             ccols, cgen = ac["cols"], ac["extra_gen"]
