@@ -1717,6 +1717,42 @@ def test_restore_rebinds_constraints_by_physical_identity(spark, tmp_path):
     assert t.snapshot().filter("id = 4").count() == 1
 
 
+def test_rebind_constraints_swap_rename_unit():
+    """_rebind_constraints is a pure metadata function — unit-test the
+    SIMULTANEOUS substitution on a swap-rename (val<->other via a temp
+    name): sequential replacement would corrupt 'val > other' into a
+    self-comparison; the single-pass alternation must produce the
+    swapped text, each name following its physical column."""
+    import json as _json
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    def entry(fields, mapping, cons):
+        return {
+            "schema": StructType(
+                [StructField(f, DoubleType()) for f in fields]
+            ).json(),
+            "column_mapping": mapping,
+            "constraints": cons,
+        }
+
+    # old: logical val=phys val, other=phys other; constraint text
+    # over old names. current: swapped — logical 'other' is phys val,
+    # logical 'val' is phys other.
+    old = entry(["val", "other"], {}, {"c": "val > other"})
+    cur = entry(["val", "other"], {"other": "val", "val": "other"}, {})
+    t = LakeTable.__new__(LakeTable)
+    got = t._rebind_constraints(old, cur, 1)
+    assert got == {"c": "other > val"}, got
+    # word-boundary: a name appearing as a substring stays untouched
+    old2 = entry(["val"], {}, {"c": "val2(val) AND val_x > val"})
+    cur2 = entry(["v9"], {"v9": "val"}, {})
+    got2 = t._rebind_constraints(old2, cur2, 1)
+    assert got2 == {"c": "val2(v9) AND val_x > v9"}, got2
+    # no constraints -> empty, no schema parse
+    assert t._rebind_constraints({"constraints": {}}, cur2, 1) == {}
+
+
 def test_restore_refuses_when_constrained_column_dropped(spark, tmp_path):
     """The other half of the r10 rebind fix: a restore whose
     resurrected constraint references a since-DROPPED physical column
