@@ -45,6 +45,24 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+# lakehouse symbols used by reader/writer/stream methods that execute
+# in Spark's Python data source workers are imported at MODULE level
+# so cloudpickle's by-value registration (end of this file, end of
+# lakehouse.py) captures them inside the pickled classes. A
+# function-local `from ..lakehouse import X` is a REAL import executed
+# in the worker process and dies with ModuleNotFoundError wherever the
+# package is not installed / on sys.path — which defeated the
+# registration's whole purpose (r10 fix; CLAUDE.md invariant 2).
+from ..lakehouse import (  # noqa: E402
+    _DATA,
+    _TXN,
+    LakeTable,
+    _dv_key,
+    _entry_path,
+    _file_stats,
+    _stats_intersect,
+)
+
 
 @dataclass
 class LakeFilePartition(InputPartition):
@@ -106,8 +124,6 @@ class LakeDataSource(DataSource):
     def _resolved(self):
         import json as _json
         import os as _os
-
-        from ..lakehouse import LakeTable
 
         # memoized: schema() and reader() both need the resolution —
         # resolving twice would replay the log twice AND open a
@@ -188,8 +204,6 @@ class LakeDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "LakeWriter":
         import json as _json
         import os as _os
-
-        from ..lakehouse import _TXN, LakeTable
 
         root = self._root()
         txn = _os.path.join(root, _TXN)
@@ -366,7 +380,6 @@ class LakeReader(DataSourceReader):
         # delegate to THE pruning predicate (lakehouse._stats_intersect
         # handles open bounds + incomparable types) — two hand-rolled
         # copies would silently diverge on the next stats change
-        from ..lakehouse import _stats_intersect
 
         return _stats_intersect(rec, self._bounds, self._cmap)
 
@@ -396,7 +409,6 @@ class LakeReader(DataSourceReader):
             p = _os.path.join(self._root, r["path"])
             for c in r.get("covers", []):
                 dv_for.setdefault(c, []).append(p)
-        from ..lakehouse import _dv_key
 
         cm = tuple(sorted(self._cmap.items()))
         return [
@@ -497,8 +509,6 @@ from pyspark.sql.datasource import (  # noqa: E402
     WriterCommitMessage,
 )
 
-from ..lakehouse import _file_stats  # noqa: E402  (worker-shipped)
-
 
 @dataclass
 class LakeCommitMessage(WriterCommitMessage):
@@ -535,8 +545,6 @@ class LakeWriter(DataSourceArrowWriter):
         import os as _os
         import time as _time
 
-        from ..lakehouse import _entry_path
-
         schema_json, keys = self._bootstrap
         entry0 = {
             "version": 0,
@@ -558,7 +566,6 @@ class LakeWriter(DataSourceArrowWriter):
             with open(_entry_path(self._root, 0), "x") as f:
                 _json.dump(entry0, f, indent=1)
         except FileExistsError:
-            from ..lakehouse import LakeTable
 
             _, head = LakeTable.attach(self._root)._live()
             theirs = {
@@ -591,8 +598,6 @@ class LakeWriter(DataSourceArrowWriter):
 
         import pyarrow as pa
         import pyarrow.parquet as pq
-
-        from ..lakehouse import _DATA
 
         name = f"{_DATA}/{_uuid.uuid4().hex}.parquet"
         dst = os.path.join(self._root, name)
@@ -633,7 +638,6 @@ class LakeWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         """Driver side: one atomic log entry for every task's files."""
-        from ..lakehouse import LakeTable
 
         if self._bootstrap is not None:
             self._ensure_created()
@@ -706,8 +710,6 @@ def _planned_col_map(root: str, schema) -> tuple:
 
     from pyspark.sql.types import StructType as _St
 
-    from ..lakehouse import LakeTable
-
     _, head = LakeTable.attach(root)._live()
     names = {
         f.name
@@ -736,8 +738,6 @@ class LakeStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, schema, start: int = 0):
         import json as _json
 
-        from ..lakehouse import LakeTable
-
         self._root = root
         self._sj = _json.dumps(schema.jsonValue())
         self._start = start
@@ -747,7 +747,6 @@ class LakeStreamReader(DataSourceStreamReader):
         self._ident = LakeTable.attach(root)._identity()
 
     def _table(self):
-        from ..lakehouse import LakeTable
 
         return LakeTable.attach(self._root)
 
@@ -837,7 +836,6 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self._cmap = _planned_col_map(root, schema)
 
     def _table(self):
-        from ..lakehouse import LakeTable
 
         return LakeTable.attach(self._root)
 
@@ -904,8 +902,6 @@ def _cdf_partitions(
 
     from pyspark.sql.types import StructType as _St
 
-    from ..lakehouse import LakeTable
-
     t = LakeTable.attach(root)
     if not t._cdf_enabled():
         raise ValueError(
@@ -967,7 +963,6 @@ def _cdf_partitions(
             # deletion vectors applied (a MOR-deleted source row must
             # not stream as a clone insert). append/create commits
             # never carry DVs, so dv_for stays empty for them.
-            from ..lakehouse import _dv_key as _dvk
 
             dv_for: dict[str, list] = {}
             for rec in e.get("add", []):
@@ -982,9 +977,9 @@ def _cdf_partitions(
                     LakeFilePartition(
                         _os.path.join(root, rec["path"]),
                         sj,
-                        rel=_dvk(rec["path"]),
+                        rel=_dv_key(rec["path"]),
                         dv_paths=tuple(
-                            dv_for.get(_dvk(rec["path"]), ())
+                            dv_for.get(_dv_key(rec["path"]), ())
                         ),
                         const_cols=(
                             ("_change_type", "insert"),
@@ -1029,7 +1024,6 @@ class LakeCDFReader(DataSourceReader):
         self._cmap = _planned_col_map(root, schema)
 
     def partitions(self):
-        from ..lakehouse import LakeTable
 
         t = LakeTable.attach(self._root)
         end = self._end if self._end is not None else t.latest_version()

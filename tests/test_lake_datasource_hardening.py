@@ -259,3 +259,76 @@ def test_cdf_stream_planned_before_add_column_projects_changes(
         (2, "b", 2.0, "insert"),
         (3, "c", 3.0, "insert"),
     ]
+
+
+def test_datasource_foreign_cwd_pickles_lakehouse_by_value(tmp_path):
+    """r10 fix: every format('lake') surface must work when the
+    package is importable ONLY in the driver process (sys.path.insert;
+    PYTHONPATH stripped; cwd foreign) — the registered-by-value
+    DataSource classes must carry their lakehouse dependencies in the
+    pickle instead of re-importing the package inside Spark's Python
+    workers. Before the fix the function-local
+    `from ..lakehouse import X` statements made every read, write and
+    stream die with ModuleNotFoundError in exactly this setup, which
+    is the scenario CLAUDE.md invariant 2's registration exists for.
+    Covers: Arrow writer append on an IDENTITY table (engine-assigned
+    values, watermark advancing), batch read, CDF batch read, and the
+    streaming source."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    script = tmp_path / "probe.py"
+    script.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from lcmap_firebird_spark.lakehouse import LakeTable
+from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+spark.dataSource.register(LakeDataSource)
+root = {root!r}
+t = LakeTable.create(spark, root,
+    spark.createDataFrame([(1, "a")], "id long, name string"),
+    key_cols=["id"], identity="rid", enable_cdf=True)
+(spark.createDataFrame([(2, "b")], "id long, name string")
+    .write.format("lake").mode("append").option("path", root).save())
+got = sorted(r["id"] for r in
+    spark.read.format("lake").option("path", root).load().collect())
+assert got == [1, 2], got
+rids = sorted(r["rid"] for r in t.snapshot().collect())
+assert rids == [1, 2], rids
+cdf = (spark.read.format("lake").option("path", root)
+       .option("readChangeFeed", "true").option("startingVersion", 0)
+       .load().collect())
+# startingVersion is EXCLUSIVE: (0, head] covers the create commit's
+# derived inserts AND the Arrow append's, identity values included
+assert sorted((r["id"], r["rid"]) for r in cdf) == [(1, 1), (2, 2)], cdf
+assert all(r["_change_type"] == "insert" for r in cdf), cdf
+q = (spark.readStream.format("lake").option("path", root).load()
+     .writeStream.format("memory").queryName("m")
+     .trigger(availableNow=True)
+     .option("checkpointLocation", {ck!r}).start())
+q.awaitTermination(180)
+n = spark.sql("select count(*) c from m").collect()[0]["c"]
+assert n == 2, n
+print("FOREIGN_CWD_OK")
+"""
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+        env=env,
+        timeout=420,
+    )
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    assert "FOREIGN_CWD_OK" in r.stdout
