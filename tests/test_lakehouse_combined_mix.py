@@ -574,7 +574,7 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 [
                     "append", "merge", "delete", "apply_changes",
                     "compact", "rename", "togglecol", "restore",
-                    "constraint",
+                    "constraint", "checkpoint",
                 ]
             )
             # clone-side CHECK constraint state is read LIVE (like the
@@ -726,6 +726,19 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 assert "cval_floor" not in scons, (
                     f"seed {seed} step {step}: clone constraint leaked "
                     "into the source"
+                )
+            elif cop == "checkpoint":
+                # r10 (round-11 candidate pulled forward): checkpoint
+                # the CLONE's log mid-mix — checkpointed replay must
+                # carry the clone's own mapping/constraints/identity
+                # state, restores to pre-checkpoint versions (clone
+                # restore op) fall back to full replay, and the
+                # checkpoint file lives in the CLONE's _txn, never the
+                # source's. No commit: the log must not advance.
+                c.checkpoint_log()
+                assert c.latest_version() == cv_before, (
+                    f"seed {seed} step {step}: clone checkpoint "
+                    "consumed a version"
                 )
             # schema ops above may have moved cols/extra_gen — refresh
             # before asserting
