@@ -566,7 +566,6 @@ class LakeWriter(DataSourceArrowWriter):
             with open(_entry_path(self._root, 0), "x") as f:
                 _json.dump(entry0, f, indent=1)
         except FileExistsError:
-
             _, head = LakeTable.attach(self._root)._live()
             theirs = {
                 f["name"]: f["type"]
@@ -638,7 +637,6 @@ class LakeWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         """Driver side: one atomic log entry for every task's files."""
-
         if self._bootstrap is not None:
             self._ensure_created()
         t = LakeTable.attach(self._root)
