@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -131,6 +132,96 @@ def _physical_schema(schema: StructType, mapping: dict) -> StructType:
             for f in schema.fields
         ]
     )
+
+
+def _sql_segments(expr: str) -> list[tuple[str, str]]:
+    """Split SQL expression TEXT into (kind, text) segments where
+    kind is 'code' (bare expression text), 'str' (a quoted string
+    literal, quotes included — Spark treats both ' and " as string
+    delimiters, with backslash and doubled-quote escapes), or
+    'ident' (a backtick-quoted identifier, backticks included, ``
+    escaping a literal backtick). Column-reference scanning and
+    rewriting must only look at 'code' and 'ident' segments —
+    matching inside a string literal either rewrites the literal's
+    VALUE or falsely refuses an operation on a name that is only
+    data (r11 hardening of the r10 _rebind_constraints fix)."""
+    segs: list[tuple[str, str]] = []
+    i, start, n = 0, 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c not in ("'", '"', "`"):
+            i += 1
+            continue
+        if start < i:
+            segs.append(("code", expr[start:i]))
+        j = i + 1
+        while j < n:
+            if c != "`" and expr[j] == "\\" and j + 1 < n:
+                j += 2  # backslash escape inside a string literal
+                continue
+            if expr[j] == c:
+                if j + 1 < n and expr[j + 1] == c:
+                    j += 2  # doubled-quote escape ('' / "" / ``)
+                    continue
+                j += 1
+                break
+            j += 1
+        segs.append(("ident" if c == "`" else "str", expr[i:j]))
+        i = start = j
+    if start < n:
+        segs.append(("code", expr[start:]))
+    return segs
+
+
+def _ref_pattern(names) -> "re.Pattern":
+    """Word-boundary pattern over one or more column names,
+    case-insensitive to match Spark's default identifier resolution
+    (spark.sql.caseSensitive=false): constraint text written as
+    'VAL > 0' binds to column val, so metadata guards must see the
+    reference too."""
+    alts = "|".join(re.escape(k) for k in sorted(names))
+    return re.compile(
+        rf"(?<![A-Za-z0-9_])({alts})(?![A-Za-z0-9_])", re.IGNORECASE
+    )
+
+
+def _expr_references(expr: str, name: str) -> bool:
+    """True when SQL expression text references column `name` —
+    case-insensitive, counting backtick-quoted identifiers, and
+    NEVER matching inside string literals."""
+    pat = _ref_pattern([name])
+    for kind, text in _sql_segments(expr):
+        if kind == "code" and pat.search(text):
+            return True
+        if kind == "ident" and (
+            text[1:-1].replace("``", "`").lower() == name.lower()
+        ):
+            return True
+    return False
+
+
+def _expr_rewrite_refs(expr: str, repl: dict) -> str:
+    """Simultaneously rewrite column references old->new in SQL
+    expression text (so swap-renames resolve correctly), skipping
+    string literals, matching case-insensitively, and rewriting
+    backtick-quoted identifiers with the backticks preserved."""
+    if not repl:
+        return expr
+    lrepl = {k.lower(): v for k, v in repl.items()}
+    pat = _ref_pattern(repl)
+    out = []
+    for kind, text in _sql_segments(expr):
+        if kind == "code":
+            out.append(pat.sub(lambda m: lrepl[m.group(1).lower()], text))
+        elif kind == "ident":
+            inner = text[1:-1].replace("``", "`")
+            new = lrepl.get(inner.lower())
+            out.append(
+                "`" + new.replace("`", "``") + "`" if new else text
+            )
+        else:
+            out.append(text)
+    return "".join(out)
 
 
 def _file_stats(path: str, key_cols: list[str]) -> dict:
@@ -670,8 +761,6 @@ class LakeTable:
                 df = df.withColumn(c, F.expr(expr))
         ident = None
         if identity is not None:
-            import re as _re
-
             if isinstance(identity, str):
                 identity = {"col": identity}
             ident = {
@@ -696,16 +785,12 @@ class LakeTable:
                     "re-insert as duplicates. Key on a natural "
                     "column and carry the identity alongside."
                 )
-            pat = (
-                rf"(?<![A-Za-z0-9_]){_re.escape(ident['col'])}"
-                r"(?![A-Za-z0-9_])"
-            )
             for what, exprs in (
                 ("CHECK constraint", constraints or {}),
                 ("generated column", generated or {}),
             ):
                 for nm, ex in exprs.items():
-                    if _re.search(pat, ex):
+                    if _expr_references(ex, ident["col"]):
                         raise ValueError(
                             f"{what} {nm!r} references identity "
                             f"column {ident['col']!r} (values are "
@@ -2222,7 +2307,20 @@ class LakeTable:
                 )
         cur_paths = {r["path"] for r in cur_live}
         old_paths = {r["path"] for r in old_live}
-        add = [r for r in old_live if r["path"] not in cur_paths]
+        # r11 (bloom sidecar x vacuum x restore matrix): a resurrected
+        # rec may carry a bloom POINTER whose sidecar was legitimately
+        # vacuumed — the data file stayed referenced through a
+        # pre-bloom version while no protected version referenced the
+        # sidecar. Unlike a missing DATA file (loud refusal above), a
+        # bloom is a rebuildable INDEX: strip the dead pointer so the
+        # new head never references a swept artifact (lookup() would
+        # crash, and build_bloom_index couldn't repair — it skips recs
+        # that already carry a pointer).
+        add = [
+            self._strip_dead_bloom(r)
+            for r in old_live
+            if r["path"] not in cur_paths
+        ]
         remove = sorted(cur_paths - old_paths)
         v_new = self._commit(
             "restore", add, remove, expected_head=head,
@@ -2250,7 +2348,11 @@ class LakeTable:
             # so its rows survive the roll-forward.
             self._commit(
                 "restore",
-                [r for r in cur_live if r["path"] in set(remove)],
+                [
+                    self._strip_dead_bloom(r)
+                    for r in cur_live
+                    if r["path"] in set(remove)
+                ],
                 sorted(old_paths - cur_paths),
                 expected_head=None,
                 extra={
@@ -2264,6 +2366,18 @@ class LakeTable:
                 f"pre-restore state (v{head})"
             )
         return v_new
+
+    def _strip_dead_bloom(self, rec: dict) -> dict:
+        """Drop a rec's bloom pointer when its sidecar file no longer
+        exists (vacuumed). Blooms are rebuildable indexes — a rec
+        without a pointer scans correctly and build_bloom_index can
+        re-index it; a rec pointing at a swept sidecar crashes
+        lookup() and blocks the rebuild."""
+        bl = rec.get("bloom")
+        if bl and not os.path.exists(os.path.join(self.root, bl["path"])):
+            rec = dict(rec)
+            rec.pop("bloom")
+        return rec
 
     def clone(self, dest_root: str) -> "LakeTable":
         """SHALLOW CLONE (Delta's CLONE): a new, independent table
@@ -2390,15 +2504,21 @@ class LakeTable:
         violating append land). The fix is the engine's standing
         _relabel rule applied to metadata: each referenced old logical
         name maps via its physical identity to the current logical
-        name (simultaneous word-boundary substitution, so swap-renames
-        rewrite correctly); a referenced physical column that no
-        longer exists refuses the restore LOUDLY — enforcement that
-        cannot bind must not be carried forward silently."""
+        name (simultaneous substitution via _expr_rewrite_refs, so
+        swap-renames rewrite correctly); a referenced physical column
+        that no longer exists refuses the restore LOUDLY — enforcement
+        that cannot bind must not be carried forward silently.
+
+        r11 hardening: reference detection and substitution are
+        case-insensitive (Spark resolves identifiers that way, so
+        'VAL > 0' binds to val and must follow its rename) and skip
+        string literals / handle backtick quoting (_sql_segments) —
+        a rename crossing `tag != 'val'` must not rewrite the
+        LITERAL, and a dropped column mentioned only inside a
+        literal must not refuse the restore."""
         cons = old_entry.get("constraints") or {}
         if not cons:
             return {}
-        import re
-
         old_schema = StructType.fromJson(json.loads(old_entry["schema"]))
         cur_schema = StructType.fromJson(json.loads(cur_entry["schema"]))
         cur_by_phys = {
@@ -2408,10 +2528,7 @@ class LakeTable:
         for cname, expr in sorted(cons.items()):
             repl: dict[str, str] = {}
             for f in old_schema.fields:
-                pat = (
-                    rf"(?<![A-Za-z0-9_]){re.escape(f.name)}(?![A-Za-z0-9_])"
-                )
-                if not re.search(pat, expr):
+                if not _expr_references(expr, f.name):
                     continue
                 phys = _phys(old_entry, f.name)
                 if phys not in cur_by_phys:
@@ -2425,28 +2542,20 @@ class LakeTable:
                     )
                 if cur_by_phys[phys] != f.name:
                     repl[f.name] = cur_by_phys[phys]
-            if repl:
-                sub = re.compile(
-                    r"(?<![A-Za-z0-9_])("
-                    + "|".join(re.escape(k) for k in sorted(repl))
-                    + r")(?![A-Za-z0-9_])"
-                )
-                expr = sub.sub(lambda m: repl[m.group(1)], expr)
-            out[cname] = expr
+            out[cname] = _expr_rewrite_refs(expr, repl)
         return out
 
     def _check_constraint_refs(self, head_entry: dict, name: str) -> None:
         """Refuse to rename/drop a column a CHECK constraint or a
         GENERATED column expression mentions (the stored SQL text
         would silently stop binding — Delta blocks the same way), or
-        a generated column itself. Conservative word-boundary match:
-        an over-match costs a manual drop_constraint first, an
-        under-match would corrupt enforcement."""
-        import re
-
-        pat = rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])"
+        a generated column itself. Detection via _expr_references:
+        case-insensitive (matching Spark's resolver — 'VAL > 0'
+        references val) and literal-safe (a name appearing only
+        inside a quoted string is DATA, not a reference, and must
+        not block the rename/drop)."""
         for cname, expr in (head_entry.get("constraints") or {}).items():
-            if re.search(pat, expr):
+            if _expr_references(expr, name):
                 raise ValueError(
                     f"column {name!r} is referenced by CHECK "
                     f"constraint {cname!r} ({expr}); drop the "
@@ -2459,7 +2568,7 @@ class LakeTable:
                     f"{expr}); generated columns cannot be renamed "
                     "or dropped"
                 )
-            if re.search(pat, expr):
+            if _expr_references(expr, name):
                 raise ValueError(
                     f"column {name!r} is referenced by generated "
                     f"column {gcol!r} (ALWAYS AS {expr})"
@@ -2587,13 +2696,7 @@ class LakeTable:
             raise ValueError(f"constraint {name!r} already exists")
         ident = self._identity()
         if ident:
-            import re as _re
-
-            pat = (
-                rf"(?<![A-Za-z0-9_]){_re.escape(ident['col'])}"
-                r"(?![A-Za-z0-9_])"
-            )
-            if _re.search(pat, expr):
+            if _expr_references(expr, ident["col"]):
                 raise ValueError(
                     f"CHECK constraint {name!r} references identity "
                     f"column {ident['col']!r}: staged rows are "
@@ -2741,6 +2844,10 @@ class LakeTable:
         key = _phys(head_entry, head_entry["key_cols"][0])
         add = []
         for rec in live:
+            # a pointer whose sidecar was swept (source-table vacuum
+            # under a shallow clone) counts as UN-indexed — rebuild it
+            # locally instead of skipping the rec forever
+            rec = self._strip_dead_bloom(rec)
             if rec.get("bloom") or not rec.get("rows"):
                 continue
             path = os.path.join(self.root, rec["path"])
@@ -2807,15 +2914,28 @@ class LakeTable:
                 # would be a wrong-answer bug, not a perf bug.
                 bl = None
             if bl:
-                with open(os.path.join(self.root, bl["path"]), "rb") as f:
-                    bits = f.read()
-                m, k = bl["m"], bl["k"]
-                if not all(
-                    bits[((h1 + i * h2) % m) // 8]
-                    & (1 << (((h1 + i * h2) % m) % 8))
-                    for i in range(k)
-                ):
-                    continue
+                # A sidecar can vanish under a live pointer in two
+                # legitimate ways: a vacuum racing a restore's
+                # dead-pointer strip, and a SOURCE-table vacuum
+                # sweeping a sidecar a shallow clone references (the
+                # documented clone caveat). An index that cannot be
+                # read must degrade to a scan of the file, never fail
+                # the query — Delta's bloom indexes behave the same.
+                try:
+                    with open(
+                        os.path.join(self.root, bl["path"]), "rb"
+                    ) as f:
+                        bits = f.read()
+                except FileNotFoundError:
+                    bits = None
+                if bits is not None:
+                    m, k = bl["m"], bl["k"]
+                    if not all(
+                        bits[((h1 + i * h2) % m) // 8]
+                        & (1 << (((h1 + i * h2) % m) % 8))
+                        for i in range(k)
+                    ):
+                        continue
             paths.append(rec["path"])
         recs = [r for r in data if r["path"] in set(paths)]
         df = self._scan_live(

@@ -1780,6 +1780,210 @@ def test_restore_refuses_when_constrained_column_dropped(spark, tmp_path):
     assert t.snapshot().count() == 2
 
 
+def test_rebind_constraints_literal_case_backtick_unit():
+    """r11 hardening of the r10 rebind fix (same stored-text class):
+    (a) a column name inside a QUOTED STRING LITERAL is data, not a
+    reference — a rename crossing `tag != 'val'` must not rewrite
+    the literal, and a dropped column mentioned only in a literal
+    must not refuse the restore; (b) Spark resolves identifiers
+    case-insensitively, so 'VAL > -100' references val and must
+    follow its rename (before: the mixed-case text escaped both the
+    rewrite and the dropped-column refusal); (c) backtick-quoted
+    identifiers are references and rewrite with backticks kept."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    def entry(fields, mapping, cons):
+        return {
+            "schema": StructType(
+                [StructField(f, DoubleType()) for f in fields]
+            ).json(),
+            "column_mapping": mapping,
+            "constraints": cons,
+        }
+
+    t = LakeTable.__new__(LakeTable)
+    ren = entry(["v2", "tag"], {"v2": "val"}, {})  # val renamed to v2
+
+    # (a) literals survive the rewrite — single, double, escaped quote
+    old = entry(
+        ["val", "tag"],
+        {},
+        {
+            "c1": "val > 0 AND tag != 'val'",
+            "c2": 'val > 0 AND tag != "val"',
+            "c3": "val > 0 AND tag != 'it''s val'",
+        },
+    )
+    got = t._rebind_constraints(old, ren, 1)
+    assert got == {
+        "c1": "v2 > 0 AND tag != 'val'",
+        "c2": 'v2 > 0 AND tag != "val"',
+        "c3": "v2 > 0 AND tag != 'it''s val'",
+    }, got
+
+    # (a') dropped column mentioned ONLY inside a literal: no refusal,
+    # text carried verbatim (before: false ValueError)
+    old_lit = entry(["gone", "tag"], {}, {"c": "tag != 'gone'"})
+    cur_dropped = entry(["tag"], {}, {})
+    assert t._rebind_constraints(old_lit, cur_dropped, 1) == {
+        "c": "tag != 'gone'"
+    }
+
+    # (b) mixed-case reference follows the rename ...
+    old_case = entry(["val", "tag"], {}, {"c": "VAL > -100"})
+    assert t._rebind_constraints(old_case, ren, 1) == {"c": "v2 > -100"}
+    # ... and mixed-case reference to a dropped column refuses loudly
+    old_case2 = entry(["gone", "tag"], {}, {"c": "GONE > 0"})
+    with pytest.raises(ValueError, match="'gone'"):
+        t._rebind_constraints(old_case2, cur_dropped, 1)
+
+    # (c) backtick-quoted identifier rewrites, backticks preserved
+    old_bt = entry(["val", "tag"], {}, {"c": "`val` > 0"})
+    assert t._rebind_constraints(old_bt, ren, 1) == {"c": "`v2` > 0"}
+
+
+def test_restore_rebind_preserves_literal_integration(spark, tmp_path):
+    """End-to-end dual of the unit case: constraint
+    'val > 0 AND tag != ''val''' crosses a val->v2 rename via
+    restore. The LITERAL must still say 'val' afterwards — rows
+    tagged 'val' violate, rows tagged 'v2' pass. A buggy rewrite
+    into the literal would invert both outcomes."""
+    from lcmap_firebird_spark.lakehouse import ConstraintViolation
+
+    root = str(tmp_path / "rlit")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "ok", 1.0)], "id long, tag string, val double"),
+        key_cols=["id"],
+    )
+    t.add_constraint("c", "val > 0 AND tag != 'val'")
+    v_cons = t.latest_version()
+    t.drop_constraint("c")
+    t.rename_column("val", "v2")
+    t.restore(v_cons)
+    assert t._live()[1]["constraints"] == {"c": "v2 > 0 AND tag != 'val'"}
+    t.append(
+        spark.createDataFrame([(2, "v2", 2.0)], "id long, tag string, v2 double")
+    )
+    with pytest.raises(ConstraintViolation):
+        t.append(
+            spark.createDataFrame(
+                [(3, "val", 3.0)], "id long, tag string, v2 double"
+            )
+        )
+    assert t.snapshot().count() == 2
+
+
+def test_check_constraint_refs_literal_and_case(spark, tmp_path):
+    """_check_constraint_refs (rename/drop guard) shares the r11
+    hardening: a name appearing only inside a string literal no
+    longer blocks the rename (false positive), while a MIXED-CASE
+    reference now does (before: 'VAL > -100' escaped the guard and
+    the stale text poisoned later commits). Same for the identity
+    guards at create/add_constraint time."""
+    root = str(tmp_path / "refs")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "ok", 1.0)], "id long, tag string, val double"
+        ),
+        key_cols=["id"],
+    )
+    t.add_constraint("lit_only", "tag != 'val'")
+    t.rename_column("val", "v2")  # allowed: 'val' is only a literal
+    assert "v2" in t.snapshot().columns
+    t.add_constraint("cfloor", "V2 > -100")  # mixed-case reference
+    with pytest.raises(ValueError, match="cfloor"):
+        t.rename_column("v2", "v3")
+    with pytest.raises(ValueError, match="cfloor"):
+        t.drop_column("v2")
+
+    # identity guards: literal mention allowed, mixed-case refused
+    root2 = str(tmp_path / "refs_ident")
+    t2 = LakeTable.create(
+        spark,
+        root2,
+        spark.createDataFrame([(1, "x")], "id long, note string"),
+        key_cols=["id"],
+        identity="rid",
+        constraints={"lit": "note != 'rid'"},  # literal: fine
+    )
+    with pytest.raises(ValueError, match="identity"):
+        t2.add_constraint("bad", "RID > 0")
+
+
+def test_restore_strips_vacuumed_bloom_pointer(spark, tmp_path):
+    """r11 find (bloom sidecar x vacuum x restore matrix, the r10
+    restore-bug class): a file can stay vacuum-protected through a
+    PRE-bloom version while no protected version references its
+    SIDECAR — the sidecar is legitimately swept. A later restore to
+    the bloom-indexed version then resurrected the rec verbatim,
+    pointer included: lookup() on a key in that file died with
+    FileNotFoundError, and build_bloom_index could not repair (it
+    skipped recs that already carry a pointer). Now: restore strips
+    pointers whose sidecar is gone (blooms are rebuildable indexes,
+    not data), lookup() degrades a missing sidecar to a scan, and
+    build_bloom_index re-indexes stripped recs."""
+    root = str(tmp_path / "bloomres")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"),
+        key_cols=["id"],
+    )
+    v1 = t.latest_version()
+    t.build_bloom_index()
+    v2 = t.latest_version()
+    t.delete("id = 1")   # file(id=1) leaves live (COW)
+    t.restore(v1)        # back WITHOUT its pointer (v1's rec)
+    t.delete("id >= 1")  # everything leaves live again
+    removed = t.vacuum(keep_last=2, retention_seconds=0)
+    assert any(p.endswith(".bloom") for p in removed), removed
+    t.restore(v2)  # pre-fix: resurrected the dangling pointer
+    live, _ = t._live()
+    for rec in live:
+        bl = rec.get("bloom")
+        if bl:
+            assert os.path.exists(os.path.join(root, bl["path"])), (
+                "restore resurrected a pointer to a swept sidecar"
+            )
+    # the lookup that crashed pre-fix
+    assert [r["id"] for r in t.lookup(1).collect()] == [1]
+    # and the stripped rec is re-indexable again
+    t.build_bloom_index()
+    live, _ = t._live()
+    rows_recs = [r for r in live if r.get("rows")]
+    assert rows_recs and all(r.get("bloom") for r in rows_recs)
+    assert all(
+        os.path.exists(os.path.join(root, r["bloom"]["path"]))
+        for r in rows_recs
+    )
+    assert [r["id"] for r in t.lookup(1).collect()] == [1]
+
+
+def test_lookup_degrades_missing_sidecar_to_scan(spark, tmp_path):
+    """lookup() with a pointer whose sidecar vanished (vacuum racing
+    the restore-time strip; source-table vacuum under a shallow
+    clone) must scan the file, not fail the query — an INDEX that
+    cannot be read degrades, same as Delta's bloom indexes."""
+    root = str(tmp_path / "bloomgone")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"),
+        key_cols=["id"],
+    )
+    t.build_bloom_index()
+    live, _ = t._live()
+    for rec in live:
+        if rec.get("bloom"):
+            os.remove(os.path.join(root, rec["bloom"]["path"]))
+    assert sorted(r["id"] for r in t.lookup(1).collect()) == [1]
+    assert sorted(r["id"] for r in t.lookup(2).collect()) == [2]
+
+
 def test_append_conforms_to_table_schema(spark, table):
     # unknown column: rejected up front, not committed as a file
     # readers would silently null-fill away

@@ -574,7 +574,7 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 [
                     "append", "merge", "delete", "apply_changes",
                     "compact", "rename", "togglecol", "restore",
-                    "constraint", "checkpoint",
+                    "constraint", "checkpoint", "ckpt_restore",
                 ]
             )
             # clone-side CHECK constraint state is read LIVE (like the
@@ -739,6 +739,45 @@ def test_combined_feature_mix(spark, tmp_path, seed):
                 assert c.latest_version() == cv_before, (
                     f"seed {seed} step {step}: clone checkpoint "
                     "consumed a version"
+                )
+            elif cop == "ckpt_restore":
+                # r11 (r10 VERDICT #5): the DELIBERATE checkpoint_log
+                # x restore x clone metadata-only triple — the
+                # least-crossed combination in the mix log (the
+                # independent checkpoint/restore ops only rarely land
+                # in this order by chance). Checkpoint the clone's
+                # head, advance the log with a metadata-only commit
+                # (bloom_index — zero row change), then restore to a
+                # PRE-checkpoint version: _live(target) must ignore
+                # the too-new checkpoint (full-replay fallback), the
+                # restore's own head replay runs THROUGH the
+                # checkpoint, and a fresh checkpoint over the
+                # post-restore head must summarize the restored state
+                # exactly (asserted by the generic clone==model check
+                # below plus the end-of-run time-travel sweep).
+                c.checkpoint_log()
+                assert c.latest_version() == cv_before, (
+                    f"seed {seed} step {step}: triple checkpoint "
+                    "consumed a version"
+                )
+                c.build_bloom_index()  # metadata commit past the ckpt
+                target = rng.choice(sorted(ac["history"]))
+                c.restore(target)
+                ac["model"] = copy.deepcopy(ac["history"][target][0])
+                cm = ac["model"]
+                # second checkpoint ON TOP of the restore commit: the
+                # next clone op (and every later read) replays from it
+                c.checkpoint_log()
+                # pre-checkpoint versions still time-travel (full-
+                # replay fallback past a newer checkpoint), displayed
+                # under the names in force at that version
+                tv = rng.choice(sorted(ac["history"]))
+                m_tv, cols_tv, gen_tv = ac["history"][tv]
+                assert _got(
+                    c, cols_tv, gen_tv is not None, version=tv
+                ) == _display(m_tv, gen_tv), (
+                    f"seed {seed} step {step}: pre-checkpoint clone "
+                    f"version {tv} lost time travel after the triple"
                 )
             # schema ops above may have moved cols/extra_gen — refresh
             # before asserting
