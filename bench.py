@@ -58,6 +58,21 @@ def _loadavg():
         return None
 
 
+# Idle reference band for _calib_ms ON THIS BOX, measured across
+# rounds 9-10 idle runs (r10 VERDICT #3: the band must live in the
+# artifact chain, not prose). A recorded calib_ms materially above
+# the band means the run was contended and its query timings read
+# high together with it; BASELINE.md's driver-target table carries
+# the same band and tests/test_bench_contract.py pins the two equal.
+CALIB_MS_IDLE_REF = [29.0, 34.0]
+
+_CALIB_N = 500_000
+# closed form of sum(i*i for i in range(_CALIB_N)) — comparing the
+# loop's result against it keeps `acc` live (an `assert` would be
+# stripped under python -O, r10 ADVICE)
+_CALIB_EXPECT = _CALIB_N * (_CALIB_N - 1) * (2 * _CALIB_N - 1) // 6
+
+
 def _calib_ms():
     """Fixed single-thread CPU loop, min-of-3, in milliseconds.
 
@@ -65,18 +80,20 @@ def _calib_ms():
     was unadjudicable from the artifact alone (r9 VERDICT #1): loadavg
     shows queued runnable tasks, this shows what a CPU-second actually
     bought *this* process (frequency scaling / timeslicing). On an
-    idle box the number is stable run-to-run; a contended run inflates
-    it together with the query timings, so the artifact self-reports
-    its own noise floor. min-of-3 rejects one scheduler blip.
+    idle box the number is stable run-to-run (CALIB_MS_IDLE_REF); a
+    contended run inflates it together with the query timings, so the
+    artifact self-reports its own noise floor. min-of-3 rejects one
+    scheduler blip.
     """
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
         acc = 0
-        for i in range(500_000):
+        for i in range(_CALIB_N):
             acc += i * i
-        assert acc > 0
         dt = (time.perf_counter() - t0) * 1000.0
+        if acc != _CALIB_EXPECT:  # unreachable; anchors acc as live
+            return float("nan")
         best = dt if best is None else min(best, dt)
     return round(best, 2)
 
@@ -198,6 +215,9 @@ def main() -> None:
             "loadavg_after": _loadavg(),
             "calib_ms_before": calib_before,
             "calib_ms_after": _calib_ms(),
+            # recorded idle band for this box: calib_ms materially
+            # above it marks the run (and its query timings) contended
+            "calib_ms_idle_ref": CALIB_MS_IDLE_REF,
         },
     }
     if errors:
