@@ -57,6 +57,15 @@ def bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
+def _canon_type(t: str) -> str:
+    """The dtype a key column hashes AS (see _canon)."""
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "bigint"
+    if t == "float":
+        return "double"
+    return t
+
+
 def _canon(df: DataFrame, c: str):
     """Hash-canonical form of a key column: xxhash64 hashes a 4-byte
     int and the same value as an 8-byte long DIFFERENTLY, so an
@@ -66,11 +75,31 @@ def _canon(df: DataFrame, c: str):
     have (the verifying equi-join would have inserted the cast).
     Integers widen to bigint, float to double, before hashing."""
     t = dict(df.dtypes)[c]
-    if t in ("tinyint", "smallint", "int", "bigint"):
-        return F.col(c).cast("bigint")
-    if t == "float":
-        return F.col(c).cast("double")
-    return F.col(c)
+    ct = _canon_type(t)
+    return F.col(c).cast(ct) if ct != t else F.col(c)
+
+
+def _check_key_types(big: DataFrame, ids: DataFrame, keys: list[str]):
+    """Refuse key pairs whose CANONICAL hash types differ between the
+    two frames (r11 review): int-vs-bigint and float-vs-double widen
+    away, but e.g. string-vs-bigint or decimal-vs-double would hash
+    true members to DIFFERENT positions — silent false negatives,
+    while the plain semi-join this operator promises row-identity
+    with would have inserted an implicit cast. Loud beats subtly
+    wrong: the caller casts one side explicitly."""
+    bt, it = dict(big.dtypes), dict(ids.dtypes)
+    bad = [
+        (c, bt[c], it[c])
+        for c in keys
+        if _canon_type(bt[c]) != _canon_type(it[c])
+    ]
+    if bad:
+        raise ValueError(
+            "bloom_semi_join key dtype mismatch (would hash to "
+            "different positions — silent false negatives): "
+            + ", ".join(f"{c!r} big={b} ids={i}" for c, b, i in bad)
+            + "; cast one side first"
+        )
 
 
 def _positions(df: DataFrame, cols: list[str], m: int, k: int) -> list:
@@ -154,6 +183,7 @@ def bloom_semi_join(
     """Exact semi-join of `big` against `ids`, bloom-pruned first:
     row-identical to `big.join(ids, keys, 'left_semi')`, but the
     exact join's shuffle carries only the bloom survivors."""
+    _check_key_types(big, ids, keys)
     bitmap, m, k = bloom_build(ids, keys, fpp, n)
     pruned = bloom_prune(big, bitmap, keys, m, k)
     return pruned.join(

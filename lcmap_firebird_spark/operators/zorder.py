@@ -79,6 +79,11 @@ def write_zordered(
     interleave degenerates to a single-column sort, which is why
     production Z-order (Delta/Iceberg) always normalizes to
     per-column rank or range ids first."""
+    if num_files is not None and num_files < 1:
+        # same trap class as chip_ids(num_partitions=0) (r8 glue
+        # review): an explicit 0 silently becoming default
+        # parallelism hides the caller's bug
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     stats = df.agg(
         *[F.min(c).alias(f"mn_{c}") for c in cols],

@@ -239,6 +239,20 @@ class LakeDataSource(DataSource):
         stats_cols: list = []
         if not fresh:
             _, head = LakeTable.attach(root)._live()
+            # fail BEFORE the job stages anything (r11 matrix read):
+            # commit() re-checks against the then-current head (the
+            # authoritative, race-proof refusal — a constraint added
+            # mid-job is still caught there), but a table already
+            # constrained at plan time would only fail after every
+            # task wrote its files — a full wasted write pass at scale
+            if head.get("constraints") or head.get("generated"):
+                raise ValueError(
+                    "table has CHECK constraints or generated "
+                    "columns; the format('lake') writer commits "
+                    "without a SparkSession and cannot validate/"
+                    "compute them — use LakeTable.append/merge "
+                    "instead"
+                )
             keys = head["key_cols"]
             cmap = head.get("column_mapping") or {}
             stats_cols = list(head.get("stats_cols") or [])

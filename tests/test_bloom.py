@@ -104,3 +104,27 @@ def test_bloom_no_false_negatives_across_int_widths(spark):
     got = bloom_semi_join(big, ids, ["doc_id"]).count()
     want = big.join(ids, "doc_id", "left_semi").count()
     assert got == want == len(range(0, 1000, 7))
+
+
+def test_bloom_refuses_uncanonicalizable_key_mismatch(spark):
+    """r11 review: int-vs-bigint widens away (test above), but a key
+    pair whose CANONICAL hash types differ — string ids against a
+    bigint big side — would hash true members to different positions:
+    silent FALSE NEGATIVES, while the plain semi-join the operator
+    promises row-identity with would have inserted an implicit cast.
+    The operator must refuse loudly instead."""
+    import pytest
+
+    from lcmap_firebird_spark.operators.bloom import bloom_semi_join
+
+    big = spark.range(0, 100).withColumnRenamed("id", "doc_id")  # bigint
+    ids = spark.createDataFrame(
+        [(str(i),) for i in range(0, 100, 7)], "doc_id string"
+    )
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        bloom_semi_join(big, ids, ["doc_id"])
+    # casting one side explicitly restores the exact semantics
+    fixed = bloom_semi_join(
+        big, ids.selectExpr("CAST(doc_id AS BIGINT) AS doc_id"), ["doc_id"]
+    ).count()
+    assert fixed == len(range(0, 100, 7))

@@ -129,9 +129,19 @@ def test_generated_column_ddl_guards(spark, gen_table):
 
 
 def test_datasource_writer_refuses_generated_tables(spark, gen_table):
+    """The refusal fires at PLAN time (r11): a table already
+    constrained/generated when the write is planned must fail before
+    any task stages a file — at scale the old commit-time-only check
+    wasted a full write pass (commit() still re-checks for the
+    constraint-added-mid-job race). Plan-time failure = zero orphan
+    parquet files left for vacuum."""
+    import os
+
     from lcmap_firebird_spark.sources.lake import LakeDataSource
 
     spark.dataSource.register(LakeDataSource)
+    data_dir = os.path.join(gen_table.root, "data")
+    before = set(os.listdir(data_dir))
     with pytest.raises(Exception, match="generated"):
         spark.createDataFrame(
             [(600, 1.0, 60)], "id long, val double, bucket int"
@@ -139,6 +149,34 @@ def test_datasource_writer_refuses_generated_tables(spark, gen_table):
             "path", gen_table.root
         ).save()
     assert gen_table.snapshot().filter("id = 600").count() == 0
+    assert set(os.listdir(data_dir)) == before  # nothing staged
+
+
+def test_datasource_writer_refuses_constrained_tables(spark, tmp_path):
+    """Constrained twin of the generated refusal, same plan-time
+    contract (the writer commits session-less and cannot validate
+    CHECK constraints)."""
+    import os
+
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    root = str(tmp_path / "ct")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 1.0)], "id long, val double"),
+        key_cols=["id"],
+        constraints={"pos": "val > 0"},
+    )
+    spark.dataSource.register(LakeDataSource)
+    data_dir = os.path.join(root, "data")
+    before = set(os.listdir(data_dir))
+    with pytest.raises(Exception, match="constraint"):
+        spark.createDataFrame(
+            [(2, -5.0)], "id long, val double"
+        ).write.format("lake").mode("append").option("path", root).save()
+    assert t.snapshot().count() == 1
+    assert set(os.listdir(data_dir)) == before
 
 
 def test_clone_carries_generated_and_stats(spark, gen_table, tmp_path):
