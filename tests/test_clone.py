@@ -239,3 +239,50 @@ def test_chained_clone_of_mutated_cdf_clone(spark, tmp_path):
     assert _own_files(src) == sf and _own_files(c1) == c1f
     assert _rows(src.snapshot()) == before_src
     assert _rows(c1.snapshot()) == before_c1
+
+
+def test_compact_deletes_on_dv_transferred_clone(spark, tmp_path):
+    """r11 matrix read (DV transfer x compact_deletes): a clone
+    inherits the source's live deletion vectors over ABSOLUTE file
+    paths; compact_deletes must key them through _dv_key (basename
+    scoping), rewrite only the over-threshold shared files INTO THE
+    CLONE's data dir, drop exactly their now-inert DV rows, and leave
+    the source untouched."""
+    from lcmap_firebird_spark.lakehouse import _dv_key
+
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "dvsrc"),
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, val double"
+        ),
+        key_cols=["id"],
+    )
+    src.delete_mor("id < 12")
+    c = src.clone(str(tmp_path / "dvclone"))
+    src_v = src.latest_version()
+    c.compact_deletes(min_deleted_fraction=0.3)
+    assert sorted(r["id"] for r in c.snapshot().collect()) == list(
+        range(12, 20)
+    )
+    # source untouched (log AND data)
+    assert src.latest_version() == src_v
+    assert sorted(r["id"] for r in src.snapshot().collect()) == list(
+        range(12, 20)
+    )
+    live, _ = c._live()
+    data = [r for r in live if r.get("kind") != "dv"]
+    dvs = [r for r in live if r.get("kind") == "dv"]
+    shared = [r for r in data if os.path.isabs(r["path"])]
+    local = [r for r in data if not os.path.isabs(r["path"])]
+    assert local, "over-threshold files were not rewritten locally"
+    # surviving DV rows may only cover still-shared files (rewritten
+    # files' rows are dropped, never orphaned)
+    for key in c._dv_counts(dvs):
+        assert any(_dv_key(r["path"]) == key for r in shared), (
+            f"orphan DV rows for {key}"
+        )
+    # rewrites materialized every transferred delete for the targets:
+    # a fresh pass at the same threshold finds nothing to do
+    v1 = c.latest_version()
+    assert c.compact_deletes(min_deleted_fraction=0.3) == v1

@@ -1842,6 +1842,66 @@ def test_rebind_constraints_literal_case_backtick_unit():
     assert t._rebind_constraints(old_bt, ren, 1) == {"c": "`v2` > 0"}
 
 
+def test_sql_segments_tokenizer_unit():
+    """The r11 tokenizer behind _expr_references/_expr_rewrite_refs:
+    segments must reassemble to the input EXACTLY for any string
+    (hypothesis sweep over a quote-heavy alphabet — a lost or
+    duplicated character would corrupt constraint text), and the
+    span classification must handle the escape edge cases: doubled
+    quotes, backslash escapes, trailing backslash, unterminated
+    literals (conservatively swallowed to end-of-string: never
+    misread as code)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lcmap_firebird_spark.lakehouse import (
+        _expr_references,
+        _expr_rewrite_refs,
+        _sql_segments,
+    )
+
+    @given(st.text(alphabet="ab'\"`\\ ()_,x", max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def roundtrip(s):
+        segs = _sql_segments(s)
+        assert "".join(t for _, t in segs) == s
+        for kind, t in segs:
+            assert kind in ("code", "str", "ident")
+            if kind == "str":
+                assert t[0] in ("'", '"')
+            if kind == "ident":
+                assert t[0] == "`"
+
+    roundtrip()
+
+    # escape edges
+    assert _sql_segments("a = 'it''s'") == [
+        ("code", "a = "), ("str", "'it''s'")
+    ]
+    assert _sql_segments(r"a = 'x\'y'") == [
+        ("code", "a = "), ("str", r"'x\'y'")
+    ]
+    assert _sql_segments("`a``b` > 0") == [
+        ("ident", "`a``b`"), ("code", " > 0")
+    ]
+    # unterminated literal swallows to EOS (never misread as code)
+    assert _sql_segments("a = 'oops") == [("code", "a = "), ("str", "'oops")]
+    # trailing backslash inside a literal must not read past the end
+    assert _sql_segments("a = 'x\\")[-1][0] == "str"
+
+    # reference semantics on the edges
+    assert _expr_references("`a``b` > 0", "a`b")
+    assert not _expr_references("c = 'a' || \"b\"", "a")
+    assert _expr_references("A > 0 AND c = 'a'", "a")
+    assert _expr_rewrite_refs("`a``b` > 0 AND t != 'a`b'", {"a`b": "q"}) == (
+        "`q` > 0 AND t != 'a`b'"
+    )
+    # swap-rename stays simultaneous under mixed case
+    assert _expr_rewrite_refs("VAL > Other", {"val": "other", "other": "val"}) == (
+        "other > val"
+    )
+
+
 def test_restore_rebind_preserves_literal_integration(spark, tmp_path):
     """End-to-end dual of the unit case: constraint
     'val > 0 AND tag != ''val''' crosses a val->v2 rename via
