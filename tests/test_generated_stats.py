@@ -222,3 +222,47 @@ def test_stats_cols_survive_checkpoint_and_writer(spark, tmp_path):
     paths, total = t.pruned_paths({"score": (99.0, 99.0)})
     assert len(paths) < total
     assert t.scan({"score": (99.0, 99.0)}).count() == 1
+
+
+def test_writer_commit_refuses_constraint_added_mid_job(spark, tmp_path):
+    """The commit-time refusal is the RACE-proof layer behind the
+    plan-time check (r11): a constraint added between write planning
+    and the driver-side commit must still abort the job loudly and
+    leave no log entry. Exercised by driving LakeWriter directly —
+    plan against an unconstrained head, land add_constraint, then
+    commit the staged message."""
+    import pyarrow as pa
+
+    from lcmap_firebird_spark.sources.lake import LakeDataSource
+
+    root = str(tmp_path / "race")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 1.0)], "id long, val double"),
+        key_cols=["id"],
+    )
+    ds = LakeDataSource(options={"path": root})
+    w = ds.writer(t.snapshot().schema, overwrite=False)  # plan: OK
+    v = t.add_constraint("pos", "val > 0")  # lands mid-job
+    msg = w.write(
+        iter(
+            [
+                pa.RecordBatch.from_pydict(
+                    {"id": pa.array([2], "int64"),
+                     "val": pa.array([-9.0], "float64")}
+                )
+            ]
+        )
+    )
+    with pytest.raises(RuntimeError, match="constraint"):
+        w.commit([msg])
+    # no entry landed; the head is still the add_constraint commit
+    assert t.latest_version() == v
+    assert t.snapshot().count() == 1
+    # Spark would call abort() on the failure — it reclaims the
+    # staged task file, leaving nothing for vacuum
+    staged = [r["path"] for r in msg.recs]
+    w.abort([msg])
+    for p in staged:
+        assert not os.path.exists(os.path.join(root, p))
