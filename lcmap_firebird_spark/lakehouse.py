@@ -140,15 +140,41 @@ def _sql_segments(expr: str) -> list[tuple[str, str]]:
     literal, quotes included — Spark treats both ' and " as string
     delimiters, with backslash and doubled-quote escapes), or
     'ident' (a backtick-quoted identifier, backticks included, ``
-    escaping a literal backtick). Column-reference scanning and
-    rewriting must only look at 'code' and 'ident' segments —
-    matching inside a string literal either rewrites the literal's
-    VALUE or falsely refuses an operation on a name that is only
-    data (r11 hardening of the r10 _rebind_constraints fix)."""
+    escaping a literal backtick), or 'comment' (a `--` line comment
+    through its newline, or a `/* */` bracketed comment — NESTED,
+    matching Spark's lexer — an unterminated one swallowing to
+    end-of-string). Column-reference scanning and rewriting must
+    only look at 'code' and 'ident' segments — matching inside a
+    string literal either rewrites the literal's VALUE or falsely
+    refuses an operation on a name that is only data (r11 hardening
+    of the r10 _rebind_constraints fix); matching inside a comment
+    would rebind/refuse on prose (r12, r11 VERDICT watch item #2)."""
     segs: list[tuple[str, str]] = []
     i, start, n = 0, 0, len(expr)
     while i < n:
         c = expr[i]
+        if c == "-" and expr.startswith("--", i):
+            if start < i:
+                segs.append(("code", expr[start:i]))
+            j = expr.find("\n", i)
+            j = n if j < 0 else j + 1  # newline belongs to the comment
+            segs.append(("comment", expr[i:j]))
+            i = start = j
+            continue
+        if c == "/" and expr.startswith("/*", i):
+            if start < i:
+                segs.append(("code", expr[start:i]))
+            j, depth = i + 2, 1
+            while j < n and depth:
+                if expr.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif expr.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            segs.append(("comment", expr[i:j]))
+            i = start = j
+            continue
         if c not in ("'", '"', "`"):
             i += 1
             continue
@@ -171,6 +197,25 @@ def _sql_segments(expr: str) -> list[tuple[str, str]]:
     if start < n:
         segs.append(("code", expr[start:]))
     return segs
+
+
+def _strip_sql_comments(expr: str) -> str:
+    """Normalize stored SQL expression text to be COMMENT-FREE:
+    each comment segment becomes one space (a separator, so
+    'a--c\\n>0' stays two tokens), code/literals/identifiers pass
+    verbatim. Applied at every boundary that ACCEPTS expression text
+    for storage (add_constraint, create's constraints/generated) —
+    Spark's parser takes comments standalone, but stored text is
+    re-embedded in composed SQL (`NOT coalesce((expr), true)`,
+    lakehouse.py:603,2748) where a `--` line comment would swallow
+    the wrapper's tail and flip the check's meaning (r12, r11
+    VERDICT watch item #2)."""
+    segs = _sql_segments(expr)
+    if all(kind != "comment" for kind, _ in segs):
+        return expr
+    return "".join(
+        " " if kind == "comment" else text for kind, text in segs
+    ).strip()
 
 
 def _ref_pattern(names) -> "re.Pattern":
@@ -204,7 +249,15 @@ def _expr_rewrite_refs(expr: str, repl: dict) -> str:
     """Simultaneously rewrite column references old->new in SQL
     expression text (so swap-renames resolve correctly), skipping
     string literals, matching case-insensitively, and rewriting
-    backtick-quoted identifiers with the backticks preserved."""
+    backtick-quoted identifiers with the backticks preserved.
+
+    A bare-word match immediately followed by '(' (optionally after
+    whitespace) is a FUNCTION CALL SITE, never a column reference —
+    a column named 'abs' renamed while another stored expression
+    says 'abs(val) > 0' must not have the function call rewritten
+    (r11 ADVICE). The refusal-only guards (_expr_references) keep
+    the conservative over-match: a false refusal is loud and safe,
+    a silent expression corruption is not."""
     if not repl:
         return expr
     lrepl = {k.lower(): v for k, v in repl.items()}
@@ -212,7 +265,13 @@ def _expr_rewrite_refs(expr: str, repl: dict) -> str:
     out = []
     for kind, text in _sql_segments(expr):
         if kind == "code":
-            out.append(pat.sub(lambda m: lrepl[m.group(1).lower()], text))
+
+            def _sub(m, _t=text):
+                if _t[m.end():].lstrip()[:1] == "(":
+                    return m.group(0)
+                return lrepl[m.group(1).lower()]
+
+            out.append(pat.sub(_sub, text))
         elif kind == "ident":
             inner = text[1:-1].replace("``", "`")
             new = lrepl.get(inner.lower())
@@ -753,6 +812,15 @@ class LakeTable:
         deterministic at staging and the change file records the
         materialized ids (_fill_identity_in_changes, r8); append
         inserts derive from add files, which readers materialize."""
+        # stored expression text must be comment-free: it is later
+        # re-embedded in composed SQL where a `--` line comment would
+        # swallow the wrapper's tail (see _strip_sql_comments)
+        constraints = {
+            k: _strip_sql_comments(v) for k, v in (constraints or {}).items()
+        }
+        generated = {
+            k: _strip_sql_comments(v) for k, v in (generated or {}).items()
+        }
         # exist_ok: a crashed create may have left the empty dirs
         # behind; the O_EXCL entry-0 create below is the real guard
         # against two concurrent creates
@@ -1665,6 +1733,9 @@ class LakeTable:
         files containing matches; read-dependent commit). For
         O(matches) deletes that never rewrite data files, see
         `delete_mor`."""
+        # the keep-side composes `NOT coalesce((predicate), false)` —
+        # a `--` line comment would swallow the wrapper tail (r12)
+        predicate = _strip_sql_comments(predicate)
         head = self.latest_version()
         live, head_entry = self._live(head)
         data, dvs = self._split_live(live)
@@ -2689,7 +2760,11 @@ class LakeTable:
         carries it forward; every later commit's staged rows are
         validated before the entry can land. SQL CHECK semantics: a
         row violates only when `expr` evaluates FALSE (NULL passes).
-        Read-dependent commit."""
+        Read-dependent commit. SQL comments in `expr` are accepted
+        (Spark's parser takes them) but normalized away before
+        storage — stored text is re-embedded in composed SQL where a
+        line comment would swallow the wrapper's tail (r12)."""
+        expr = _strip_sql_comments(expr)
         head = self.latest_version()
         cons = dict(self._live(head)[1].get("constraints") or {})
         if name in cons:
@@ -2926,7 +3001,14 @@ class LakeTable:
                         os.path.join(self.root, bl["path"]), "rb"
                     ) as f:
                         bits = f.read()
-                except FileNotFoundError:
+                except OSError:
+                    bits = None
+                if bits is not None and len(bits) * 8 < bl["m"]:
+                    # A truncated sidecar is as unreadable as a
+                    # missing one: probing bit (h % m) past the end
+                    # of a short bitset raises IndexError MID-QUERY,
+                    # violating the same degrade-to-scan contract the
+                    # FileNotFoundError branch honors (r11 ADVICE).
                     bits = None
                 if bits is not None:
                     m, k = bl["m"], bl["k"]

@@ -88,6 +88,20 @@ def _check_key_types(big: DataFrame, ids: DataFrame, keys: list[str]):
     with would have inserted an implicit cast. Loud beats subtly
     wrong: the caller casts one side explicitly."""
     bt, it = dict(big.dtypes), dict(ids.dtypes)
+    # Validate presence FIRST: a key absent from a frame must raise
+    # the operator's descriptive error, not a bare KeyError from the
+    # dtype lookup below (r11 ADVICE — the mismatch path this guard
+    # exists to make loud).
+    missing = [
+        f"{c!r} absent from "
+        + "+".join(s for s, d in (("big", bt), ("ids", it)) if c not in d)
+        for c in keys
+        if c not in bt or c not in it
+    ]
+    if missing:
+        raise ValueError(
+            "bloom_semi_join key column missing: " + "; ".join(missing)
+        )
     bad = [
         (c, bt[c], it[c])
         for c in keys

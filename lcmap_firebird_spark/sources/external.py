@@ -47,7 +47,23 @@ def fetch_explode(
     `fetch_fn` must be self-contained/picklable (e.g. uses
     urllib/requests inside the function body).
     """
-    throttled = ids.coalesce(max_concurrency)
+    if max_concurrency < 1:
+        raise ValueError(
+            f"max_concurrency must be >= 1, got {max_concurrency}"
+        )
+    # coalesce only ever REDUCES partition count — an ids frame that
+    # arrives in fewer partitions than max_concurrency (a collected
+    # id list is typically 1) would silently run UNDER the requested
+    # concurrency: an 8x throughput loss nobody sees (r12 stale-
+    # surface review). Widening needs the shuffle repartition() —
+    # metadata-scale on an ids frame, and it also spreads skewed id
+    # layouts evenly across the fetch loops.
+    cur = ids.rdd.getNumPartitions()
+    throttled = (
+        ids.coalesce(max_concurrency)
+        if cur >= max_concurrency
+        else ids.repartition(max_concurrency)
+    )
     names = [f.name for f in schema.fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -67,6 +67,32 @@ def test_fetch_explode_shape_and_throttle(spark):
     assert rows[0] == (0, 0, 0) and rows[-1] == (9, 2, 92)
 
 
+def test_fetch_explode_widens_underpartitioned_ids(spark):
+    """r12 stale-surface review: coalesce only REDUCES partitions, so
+    a 1-partition ids frame (the typical collected id list) with
+    max_concurrency=8 silently ran SERIAL — an 8x fetch-throughput
+    loss nobody sees. The throttle must hold in both directions."""
+    ids = spark.createDataFrame([(i,) for i in range(16)], ["id"]).coalesce(1)
+    schema = StructType(
+        [
+            StructField("id", IntegerType(), False),
+            StructField("j", IntegerType(), False),
+        ]
+    )
+
+    def fake(row):
+        return [{"id": row["id"], "j": j} for j in range(2)]
+
+    out = fetch_explode(ids, fake, schema, max_concurrency=8)
+    assert out.rdd.getNumPartitions() == 8
+    assert out.count() == 32
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_concurrency"):
+        fetch_explode(ids, fake, schema, max_concurrency=0)
+
+
 def test_asof_carries_whole_row_not_per_column(spark):
     """The newest right row wins AS A ROW: a genuinely-NULL value in
     it must be attached as NULL (not skipped for an older row's

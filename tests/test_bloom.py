@@ -128,3 +128,20 @@ def test_bloom_refuses_uncanonicalizable_key_mismatch(spark):
         big, ids.selectExpr("CAST(doc_id AS BIGINT) AS doc_id"), ["doc_id"]
     ).count()
     assert fixed == len(range(0, 100, 7))
+
+
+def test_bloom_missing_key_column_raises_descriptively(spark):
+    """r12 (r11 ADVICE): a key column absent from a frame must raise
+    the operator's descriptive ValueError naming the column and the
+    frame, not a bare KeyError from the dtype lookup — the mismatch
+    guard exists to be loud."""
+    import pytest
+
+    from lcmap_firebird_spark.operators.bloom import bloom_semi_join
+
+    big = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    ids = spark.range(0, 5).withColumnRenamed("id", "other_id")
+    with pytest.raises(ValueError, match="'doc_id' absent from ids"):
+        bloom_semi_join(big, ids, ["doc_id"])
+    with pytest.raises(ValueError, match="'nope' absent from big\\+ids"):
+        bloom_semi_join(big, ids, ["nope"])

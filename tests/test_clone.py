@@ -286,3 +286,46 @@ def test_compact_deletes_on_dv_transferred_clone(spark, tmp_path):
     # a fresh pass at the same threshold finds nothing to do
     v1 = c.latest_version()
     assert c.compact_deletes(min_deleted_fraction=0.3) == v1
+
+
+def test_clone_materializing_all_dvs_survives_source_vacuum(
+    spark, tmp_path
+):
+    """r12 matrix read (r11 VERDICT #2: DV transfer x compact_deletes
+    x CLONE x source vacuum). A clone whose compact_deletes rewrote
+    EVERY covered shared file holds no absolute reference left — it
+    has escaped the documented 'clones pin the source's retention'
+    caveat. The source's history may then move on and vacuum its old
+    files (data AND DV parquet) without breaking the clone: reads on
+    the clone return the same rows after the sweep, from clone-local
+    files only."""
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "vsrc"),
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], "id long, val double"
+        ).repartition(3, "id"),
+        key_cols=["id"],
+    )
+    # even ids die — hash partitioning spreads them over every file,
+    # so every data file is covered and over any sane threshold
+    src.delete_mor("id % 2 = 0")
+    c = src.clone(str(tmp_path / "vclone"))
+    c.compact_deletes(min_deleted_fraction=0.01)
+    live, _ = c._live()
+    assert not any(os.path.isabs(r["path"]) for r in live), (
+        "clone still references the source after materializing all DVs"
+    )
+    want = sorted(r["id"] for r in c.snapshot().collect())
+    assert want == list(range(1, 30, 2))
+    # source moves on and sweeps everything its own head no longer
+    # references (controlled-maintenance retention=0 sweep)
+    src_data = _own_files(src)
+    assert src_data  # the shared files existed
+    src.delete("true")
+    src.compact_deletes(min_deleted_fraction=0.0)  # retire DV rows too
+    swept = src.vacuum(keep_last=1, retention_seconds=0)
+    assert swept, "source vacuum swept nothing — setup is wrong"
+    # the clone is unaffected: same rows, clone-local files only
+    assert sorted(r["id"] for r in c.snapshot().collect()) == want
+    assert c.lookup(3).count() == 1

@@ -1858,19 +1858,29 @@ def test_sql_segments_tokenizer_unit():
         _expr_references,
         _expr_rewrite_refs,
         _sql_segments,
+        _strip_sql_comments,
     )
 
-    @given(st.text(alphabet="ab'\"`\\ ()_,x", max_size=40))
+    @given(st.text(alphabet="ab'\"`\\ ()_,x-/*\n", max_size=40))
     @settings(max_examples=300, deadline=None)
     def roundtrip(s):
         segs = _sql_segments(s)
         assert "".join(t for _, t in segs) == s
         for kind, t in segs:
-            assert kind in ("code", "str", "ident")
+            assert kind in ("code", "str", "ident", "comment")
             if kind == "str":
                 assert t[0] in ("'", '"')
             if kind == "ident":
                 assert t[0] == "`"
+            if kind == "comment":
+                assert t.startswith("--") or t.startswith("/*")
+            if kind == "code":
+                # a comment opener must never survive inside code
+                assert "--" not in t and "/*" not in t
+        # storage normalization: output is comment-free and stable
+        stripped = _strip_sql_comments(s)
+        assert all(k != "comment" for k, _ in _sql_segments(stripped))
+        assert _strip_sql_comments(stripped) == stripped
 
     roundtrip()
 
@@ -1900,6 +1910,42 @@ def test_sql_segments_tokenizer_unit():
     assert _expr_rewrite_refs("VAL > Other", {"val": "other", "other": "val"}) == (
         "other > val"
     )
+
+    # r12: SQL comments are their own segment kind — neither a
+    # reference nor a rewrite target (Spark's lexer strips them, so
+    # stored constraint text may legally carry them)
+    assert _sql_segments("val > 0 -- val note") == [
+        ("code", "val > 0 "), ("comment", "-- val note")
+    ]
+    assert _sql_segments("a /* val */ > 0\n-- b\n") == [
+        ("code", "a "), ("comment", "/* val */"), ("code", " > 0\n"),
+        ("comment", "-- b\n"),
+    ]
+    # nested bracketed comment, matching Spark's lexer
+    assert _sql_segments("/* a /* b */ c */x")[-1] == ("code", "x")
+    # unterminated block comment swallows to EOS (never read as code)
+    assert _sql_segments("a /* oops")[-1][0] == "comment"
+    # a comment opener inside a string literal stays literal
+    assert _sql_segments("tag != '--'") == [
+        ("code", "tag != "), ("str", "'--'")
+    ]
+    # SQL reads 5--3 as '5' then a comment — so do we
+    assert _sql_segments("5--3") == [("code", "5"), ("comment", "--3")]
+    assert not _expr_references("val > 0 -- tag here", "tag")
+    assert not _expr_references("val /* tag */ > 0", "tag")
+    assert _expr_rewrite_refs(
+        "val > 0 -- val stays prose", {"val": "v2"}
+    ) == "v2 > 0 -- val stays prose"
+
+    # r12 (r11 ADVICE): a bare word followed by '(' is a FUNCTION
+    # CALL, never a column reference — renaming column 'abs' must
+    # not rewrite the abs() call in an unrelated constraint...
+    assert _expr_rewrite_refs(
+        "abs(val) > 0 AND abs > 1 AND abs (x) > 0", {"abs": "mag"}
+    ) == "abs(val) > 0 AND mag > 1 AND abs (x) > 0"
+    # ...while the refusal-only guard keeps the conservative
+    # over-match (false refusal is loud and safe)
+    assert _expr_references("abs(val) > 0", "abs")
 
 
 def test_restore_rebind_preserves_literal_integration(spark, tmp_path):
@@ -2042,6 +2088,102 @@ def test_lookup_degrades_missing_sidecar_to_scan(spark, tmp_path):
             os.remove(os.path.join(root, rec["bloom"]["path"]))
     assert sorted(r["id"] for r in t.lookup(1).collect()) == [1]
     assert sorted(r["id"] for r in t.lookup(2).collect()) == [2]
+
+
+def test_lookup_degrades_truncated_sidecar_to_scan(spark, tmp_path):
+    """r12 (r11 ADVICE): a TRUNCATED sidecar is as unreadable as a
+    missing one — the old code caught only FileNotFoundError, so a
+    short bitset raised IndexError mid-probe, violating the
+    'an index that cannot be read degrades to a scan, never fails
+    the query' contract the missing-sidecar branch honors."""
+    root = str(tmp_path / "bloomshort")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(64)], "id long, name string"
+        ),
+        key_cols=["id"],
+    )
+    t.build_bloom_index()
+    live, _ = t._live()
+    n_trunc = 0
+    for rec in live:
+        if rec.get("bloom"):
+            with open(os.path.join(root, rec["bloom"]["path"]), "wb") as f:
+                f.write(b"\x00")  # 8 bits << m: every probe would IndexError
+            n_trunc += 1
+    assert n_trunc > 0
+    assert sorted(r["id"] for r in t.lookup(1).collect()) == [1]
+    assert sorted(r["id"] for r in t.lookup(63).collect()) == [63]
+
+
+def test_constraint_comments_normalized_at_storage(spark, tmp_path):
+    """r12 (r11 VERDICT watch item #2): SQL comments in expression
+    text are ACCEPTED at every storage boundary (Spark's parser takes
+    them) but normalized away before storage — stored text is later
+    re-embedded in composed SQL (`NOT coalesce((expr), true)`) where
+    a `--` line comment would swallow the wrapper's tail and flip the
+    check's meaning. So: (a) a commented constraint validates and
+    ENFORCES, (b) the stored text is comment-free and crosses a
+    rename-restore rebind correctly, (c) a column mentioned only in a
+    comment never blocks its rename, (d) create-time constraints and
+    generated expressions get the same normalization, (e) delete()
+    takes a commented predicate without swallowing its keep-side
+    wrapper."""
+    from lcmap_firebird_spark.lakehouse import ConstraintViolation
+
+    root = str(tmp_path / "ccomm")
+    t = LakeTable.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "ok", 1.0)], "id long, tag string, val double"
+        ),
+        key_cols=["id"],
+    )
+    t.add_constraint("c", "val > 0 -- val must stay positive")
+    assert t._live()[1]["constraints"] == {"c": "val > 0"}
+    with pytest.raises(ConstraintViolation):
+        t.append(
+            spark.createDataFrame(
+                [(2, "bad", -1.0)], "id long, tag string, val double"
+            )
+        )
+    v_cons = t.latest_version()
+    t.drop_constraint("c")
+    t.rename_column("val", "v2")
+    t.restore(v_cons)
+    assert t._live()[1]["constraints"] == {"c": "v2 > 0"}
+    # comment-only mention must never block a rename
+    t.drop_constraint("c")
+    t.add_constraint("c2", "v2 > 0 /* tag is prose */")
+    t.rename_column("tag", "label")
+    assert "label" in t.snapshot().columns
+
+    # create-time normalization: constraints AND generated columns
+    root2 = str(tmp_path / "ccomm2")
+    t2 = LakeTable.create(
+        spark,
+        root2,
+        spark.createDataFrame([(1, 4.0)], "id long, val double"),
+        key_cols=["id"],
+        constraints={"pos": "val > 0 -- floor"},
+        generated={"dbl": "val * 2 /* derived */"},
+    )
+    head2 = t2._live()[1]
+    assert head2["constraints"] == {"pos": "val > 0"}
+    assert head2["generated"] == {"dbl": "val * 2"}
+    assert t2.snapshot().collect()[0]["dbl"] == 8.0
+    # enforcement still bites post-normalization (the composed
+    # wrapper parses)
+    with pytest.raises(ConstraintViolation):
+        t2.append(spark.createDataFrame([(2, -1.0)], "id long, val double"))
+
+    # delete(): commented predicate must not swallow the keep-side
+    t2.append(spark.createDataFrame([(3, 9.0)], "id long, val double"))
+    t2.delete("val > 5 -- drop the big one")
+    assert sorted(r["id"] for r in t2.snapshot().collect()) == [1]
 
 
 def test_append_conforms_to_table_schema(spark, table):
