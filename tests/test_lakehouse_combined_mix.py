@@ -416,7 +416,21 @@ def test_combined_feature_mix(spark, tmp_path, seed):
 
             cons = t._live()[1].get("constraints") or {}
             if "id_pos" not in cons:
-                t.add_constraint("id_pos", "id >= 0")
+                # r12: half the time the constraint text carries SQL
+                # comments — the storage boundary must normalize them
+                # away (a stored line comment would swallow the
+                # composed wrapper's tail), and the rest of the mix
+                # (rename crossings, restore rebinds, checkpoints)
+                # must behave identically either way
+                expr = (
+                    "id >= 0 -- engine-side floor\n/* prose */"
+                    if rng.random() < 0.5
+                    else "id >= 0"
+                )
+                t.add_constraint("id_pos", expr)
+                assert (
+                    t._live()[1]["constraints"]["id_pos"] == "id >= 0"
+                ), "comment normalization missing at add_constraint"
                 v0 = t.latest_version()
                 try:
                     t.append(
