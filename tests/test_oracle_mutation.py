@@ -1208,6 +1208,25 @@ def test_comparator_dimensions(spark, oracle, sf_dir):
     v = compare(swapped, want)
     assert v["rows_match"] and v["schema_match"] and not v["hash_match"]
 
+    # r12: dtype-KIND drift with identical VALUES — the exact r5
+    # failure class (DuckDB HUGEINT → float64 vs Spark int64; 5 ==
+    # 5.0, so hash_match alone is blind to it, while the round
+    # driver's schema check is not). kinds_match must go red alone.
+    int_cols = [c for c in base.columns if base[c].dtype.kind == "i"]
+    assert int_cols, "slot lost its integer column — pick another"
+    drifted = base.copy()
+    drifted[int_cols[0]] = drifted[int_cols[0]].astype("float64")
+    v = compare(drifted, want)
+    assert not v["kinds_match"], "int->float64 kind drift not caught"
+    assert v["rows_match"] and v["schema_match"] and v["hash_match"], (
+        "kind drift must be caught by kinds_match ALONE (values are "
+        "equal by design)"
+    )
+    # representation-detail tolerance: a narrower int is the SAME kind
+    narrowed = base.copy()
+    narrowed[int_cols[0]] = narrowed[int_cols[0]].astype("int32")
+    assert all(compare(narrowed, want).values())
+
 
 def test_driver_sim_imports_certified_comparator():
     """driver_sim.py must import canon/compare from oracle_compare —
