@@ -24,8 +24,6 @@ Scale design:
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -281,12 +279,19 @@ def minhash_signature(
     # stay engine-portable while codegen shrinks ~16×.
     h32 = hash60(F.col("s")).bitwiseAND(F.lit(0xFFFFFFFF))
     tagged = sh.select("doc_id", h32.alias("_h32"))
+    # aggregates rendered as SQL strings, one F.expr parse each: the
+    # Column-API form cost ~6 py4j round-trips per permutation on
+    # EVERY query build (r12 driver-time profile); the parsed
+    # expression tree is identical, so results and codegen are
+    # byte-for-byte unchanged
     aggs = []
     for p in range(num_perm):
         a, b = perm_params(p)
         aggs.append(
-            F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % F.lit(MINHASH_PRIME))
-            .alias(f"h{p}")
+            F.expr(
+                f"min((CAST({a} AS BIGINT) * _h32 + {b})"
+                f" % {MINHASH_PRIME}) AS h{p}"
+            )
         )
     return tagged.groupBy("doc_id").agg(*aggs)
 
@@ -928,23 +933,29 @@ def simhash(
         )
         .select("doc_id", hash60(F.col("t")).alias("_h"))
     )
-    h = F.col("_h")
+    # per-bit aggregates and the bit-reassembly sum are rendered as
+    # SQL strings (one F.expr parse each): the Column-API form built
+    # ~700 py4j round-trip nodes per query build — measured 2.3 s of
+    # pure driver time per d5 attempt at r12 — while the parsed
+    # expression tree (and therefore codegen and results) is
+    # byte-for-byte identical
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(_h, {b}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS b{b}"
+        )
         for b in range(bits)
     ]
     per_bit = tok.groupBy("doc_id").agg(*aggs)
-    value = reduce(
-        lambda acc, b: acc
-        + F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        ),
-        range(bits),
-        F.lit(0).cast("bigint"),
+    value_sql = " + ".join(
+        [f"CAST(0 AS BIGINT)"]
+        + [
+            f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
+            for b in range(bits)
+        ]
     )
-    return per_bit.select("doc_id", value.alias("simhash"))
+    return per_bit.select("doc_id", F.expr(f"({value_sql}) AS simhash"))
 
 
 def derive_prefix_bits(

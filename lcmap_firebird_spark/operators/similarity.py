@@ -240,24 +240,30 @@ def lsh_buckets(
     staged = spread(embeddings, id_col).select(
         F.col(id_col).alias("vec_id"), quantize(vec_col).alias("_qv")
     )
-    qv = F.col("_qv")
-    bucket = F.lit(0).cast("bigint")
+    # the bucket expression — num_planes hyperplane dot products over
+    # num_planes × dim literal components — is rendered as ONE SQL
+    # string parsed by a single F.expr: the Column-API form built
+    # ~600 py4j round-trip nodes (64 lit().cast() calls per plane)
+    # costing ~2.2 s of driver time per s3 attempt at r12; the parsed
+    # tree (same zip_with/aggregate HOFs, same literal array, same
+    # CASE reassembly) is identical, so results and codegen are
+    # unchanged
+    terms = ["CAST(0 AS BIGINT)"]
     for j in range(num_planes):
-        w = F.array(
-            *[
-                F.lit(_plane_component(j, i, table)).cast("bigint")
-                for i in range(dim)
-            ]
+        comps = ", ".join(
+            f"CAST({_plane_component(j, i, table)} AS BIGINT)"
+            for i in range(dim)
         )
-        proj = F.aggregate(
-            F.zip_with(qv, w, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+        proj = (
+            f"aggregate(zip_with(_qv, array({comps}), (x, y) -> x * y),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
-        bucket = bucket + F.when(proj >= 0, F.lit(2**j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+        terms.append(
+            f"CASE WHEN {proj} >= 0 THEN CAST({1 << j} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
         )
-    return staged.select("vec_id", bucket.alias("bucket"))
+    bucket_sql = " + ".join(terms)
+    return staged.select("vec_id", F.expr(f"({bucket_sql}) AS bucket"))
 
 
 def derive_num_cells(
