@@ -34,13 +34,22 @@ def st2_session_windows(spark: SparkSession, sf: str) -> DataFrame:
 def st3_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     stream = ST.stream_events(spark, sf)
     deduped = ST.dedup_keys(stream, ["user_id", "event_type"], WATERMARK)
-    return ST.run_available_now(deduped, spark, mode="append")
+    # dedup emits first arrivals in their own batch — the trailing
+    # no-data watermark round only evicts state (row-identity under
+    # the skip pinned by test_streaming + the oracle)
+    return ST.run_available_now(
+        deduped, spark, mode="append", finalize_watermark=False
+    )
 
 
 def st4_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     stream = ST.stream_events(spark, sf)
     joined = ST.purchases_after_signup(stream, "1 hour", WATERMARK)
-    return ST.run_available_now(joined, spark, mode="append")
+    # INNER join matches emit immediately — no emission hold, so the
+    # trailing no-data round is pure state-eviction overhead
+    return ST.run_available_now(
+        joined, spark, mode="append", finalize_watermark=False
+    )
 
 
 QUERIES = {

@@ -314,7 +314,10 @@ def streaming_conf() -> str:
 
 
 def run_available_now(
-    stream_df: DataFrame, spark: SparkSession, mode: str = "append"
+    stream_df: DataFrame,
+    spark: SparkSession,
+    mode: str = "append",
+    finalize_watermark: bool = True,
 ) -> DataFrame:
     """Execute a streaming plan over everything currently available,
     collect via a memory sink, return the result as a static
@@ -326,7 +329,24 @@ def run_available_now(
       (max event time − delay, advanced by the trailing no-data
       micro-batch) — late/open windows are withheld, exactly what a
       production append sink would see.
-    """
+
+    `finalize_watermark=False` skips the trailing no-data micro-batch
+    (`spark.sql.streaming.noDataMicroBatches.enabled=false`, captured
+    into THIS query at start — conf-restore cannot leak it into a
+    later query, verified by the r12 probe where a session-window run
+    under the disabled conf emitted 0 rows). ONLY valid for operators
+    whose emission never waits on the watermark — streaming dedup
+    (first arrival emits in its own batch) and watermarked INNER
+    stream-stream joins (matches emit immediately; the trailing batch
+    only evicts state, which availableNow termination discards
+    anyway). Row-identity under the skip is pinned by
+    tests/test_streaming.py and the st3/st4 oracles. Append-mode
+    AGGREGATIONS (session/tumbling windows) and outer joins MUST keep
+    the default: their append emission happens precisely when the
+    final watermark closes the state, so skipping the trailing batch
+    withholds every final row (measured: st2 emits 0 rows). The
+    trailing batch costs ~0.5-0.7 s per query at any scale — it is a
+    fixed driver/state-store round, not data work."""
     name = f"st_{uuid.uuid4().hex[:12]}"
     # Stateful operators allocate one state store per shuffle
     # partition per operator; local availableNow runs over a few MB
@@ -337,11 +357,15 @@ def run_available_now(
     # real cluster you'd size this to throughput and keep it FIXED
     # for the checkpoint's lifetime.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    _ND = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nd = spark.conf.get(_ND)
     try:
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(min(int(prev), LOCAL_STATE_PARTITIONS)),
         )
+        if not finalize_watermark:
+            spark.conf.set(_ND, "false")
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -354,6 +378,7 @@ def run_available_now(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(_ND, prev_nd)
     q.awaitTermination()
     # detach the result from the memory sink so the per-query driver
     # state can be released: eager localCheckpoint materializes an

@@ -96,6 +96,51 @@ def test_append_mode_withholds_open_windows(spark, sf_dir, mode, expect_all):
     assert (got == full) if expect_all else (got < full)
 
 
+def test_skip_nodata_batch_identical_for_immediate_emitters(
+    spark, sf_dir
+):
+    """finalize_watermark=False (r12: skips the trailing no-data
+    micro-batch — pure state-eviction overhead, ~0.5 s/query) must be
+    row-identical for the two immediate-emission operators it is
+    applied to: streaming dedup (first arrival emits in its own
+    batch) and the watermarked INNER stream-stream join (matches emit
+    on arrival). Also pins that the scoped conf is RESTORED — a leak
+    would silently empty any later append-aggregation query."""
+    conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(conf)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    stream = ST.stream_events(spark, sf_dir)
+    dd = ST.dedup_keys(stream, ["user_id", "event_type"])
+    assert rows(
+        ST.run_available_now(dd, spark, mode="append")
+    ) == rows(
+        ST.run_available_now(
+            ST.dedup_keys(
+                ST.stream_events(spark, sf_dir),
+                ["user_id", "event_type"],
+            ),
+            spark,
+            mode="append",
+            finalize_watermark=False,
+        )
+    )
+    jn = ST.purchases_after_signup(ST.stream_events(spark, sf_dir))
+    assert rows(
+        ST.run_available_now(jn, spark, mode="append")
+    ) == rows(
+        ST.run_available_now(
+            ST.purchases_after_signup(ST.stream_events(spark, sf_dir)),
+            spark,
+            mode="append",
+            finalize_watermark=False,
+        )
+    )
+    assert spark.conf.get(conf) == before
+
+
 def test_stream_handles_mixed_generation_accretion(spark, tmp_path):
     """A live stream directory can accrete a file of ANOTHER ts
     generation after the stream's unit decision was made (the regen
