@@ -165,6 +165,9 @@ def main() -> None:
         # cold — no query reads a previous run's (or query's) cached
         # data.
         attempts = []
+        # label jobs per query (guide §1.2) — zero-cost, makes any
+        # UI/event-log investigation attributable; not part of timing
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         try:
             for _ in range(3 if name in HEADLINE else 2):
                 spark.catalog.clearCache()
