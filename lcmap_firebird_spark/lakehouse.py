@@ -1008,23 +1008,34 @@ class LakeTable:
         key_cols: list[str],
         schema: StructType,
         mapping: dict | None = None,
+        key_ranges: dict | None = None,
     ) -> list[str]:
         """Files that can contain a source key: footer-stats prune,
         then exact input_file_name semi-join confirmation. `schema`
         is the caller's PINNED head schema — re-reading the head here
         would cost another log replay and could pick up a racing
         add_column's different schema mid-operation. Stats records
-        are keyed by PHYSICAL column names; `mapping` translates."""
+        are keyed by PHYSICAL column names; `mapping` translates.
+
+        `key_ranges` ({col: (min, max)}, or {} for a known-empty
+        source) lets the caller supply precomputed bounds so the
+        min/max aggregation here is skipped — merge/apply_changes
+        fold it into the source pass they already run (r12: one
+        source aggregation instead of two full scans)."""
         mapping = mapping or {}
-        ranges = keys.agg(
-            *[F.min(c).alias(f"_mn_{c}") for c in key_cols],
-            *[F.max(c).alias(f"_mx_{c}") for c in key_cols],
-        ).first()
-        if any(ranges[f"_mn_{c}"] is None for c in key_cols):
-            return []  # empty source: nothing can match
-        key_ranges = {
-            c: (ranges[f"_mn_{c}"], ranges[f"_mx_{c}"]) for c in key_cols
-        }
+        if key_ranges is None:
+            ranges = keys.agg(
+                *[F.min(c).alias(f"_mn_{c}") for c in key_cols],
+                *[F.max(c).alias(f"_mx_{c}") for c in key_cols],
+            ).first()
+            if any(ranges[f"_mn_{c}"] is None for c in key_cols):
+                return []  # empty source: nothing can match
+            key_ranges = {
+                c: (ranges[f"_mn_{c}"], ranges[f"_mx_{c}"])
+                for c in key_cols
+            }
+        elif not key_ranges:
+            return []  # caller saw an empty source
         cands = [
             rec["path"]
             for rec in live
@@ -1664,21 +1675,46 @@ class LakeTable:
                 f"merge source lacks key column(s) {missing_keys}"
             )
         source = self._conform(source, head_entry, strict_original=True)
+        keys = source.select(*key_cols)
+        key_ranges = None
         if dedupe_source:
             source = source.dropDuplicates(key_cols)
+            keys = source.select(*key_cols)
         else:
-            dups = (
-                source.groupBy(*key_cols).count().filter(F.col("count") > 1)
+            # ONE source aggregation answers both pre-flight
+            # questions (r12 — the separate dup-guard + stats-range
+            # scans were two full source passes): group by key, then
+            # fold max(multiplicity) and the key min/max bounds in a
+            # 1-row global agg. min/max over distinct keys equals
+            # min/max over all rows, and max(count) > 1 iff a
+            # duplicate exists — byte-identical semantics, one scan.
+            row = (
+                keys.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .agg(
+                    F.max("_c").alias("_maxc"),
+                    *[F.min(c).alias(f"_mn_{c}") for c in key_cols],
+                    *[F.max(c).alias(f"_mx_{c}") for c in key_cols],
+                )
+                .first()
             )
-            if dups.limit(1).count():
+            if (row["_maxc"] or 0) > 1:
                 raise ValueError(
                     "duplicate keys in merge source; pass "
                     "dedupe_source=True to keep an arbitrary one"
                 )
-        keys = source.select(*key_cols)
+            key_ranges = (
+                {}  # empty source: nothing can match
+                if any(row[f"_mn_{c}"] is None for c in key_cols)
+                else {
+                    c: (row[f"_mn_{c}"], row[f"_mx_{c}"])
+                    for c in key_cols
+                }
+            )
         affected = self._affected_files(
             data, keys, key_cols, schema,
             mapping=_entry_mapping(head_entry),
+            key_ranges=key_ranges,
         )
         cols = [f.name for f in schema.fields]
         cdf_extra: dict = {}
@@ -3083,24 +3119,59 @@ class LakeTable:
         )
         if op_col != "_op":
             ops = ops.withColumnRenamed(op_col, "_op")
-        dups = ops.groupBy(*key_cols).count().filter(F.col("count") > 1)
-        if dups.limit(1).count():
-            raise ValueError("duplicate keys in change batch")
-        # validate ops up front: every change key lands in the
-        # anti-join, so a NULL or misspelled _op would SILENTLY DELETE
-        # its matched target row instead of erroring
-        bad_op = ops.filter(
-            F.col("_op").isNull() | ~F.col("_op").isin("upsert", "delete")
+        # ONE batch aggregation answers all three pre-flight
+        # questions (r12 — dup-guard, op-validity, and the stats
+        # min/max ranges were three separate full passes): group by
+        # key with a per-group bad-op count, then fold
+        # max(multiplicity), total bad count, and the key bounds in a
+        # 1-row global agg. Error paths re-query for detail — an
+        # extra job on the raise path costs nothing on the happy one.
+        # Op validity stays checked up front: every change key lands
+        # in the anti-join, so a NULL or misspelled _op would
+        # SILENTLY DELETE its matched target row instead of erroring.
+        _bad_pred = F.col("_op").isNull() | ~F.col("_op").isin(
+            "upsert", "delete"
         )
-        bad = [r["_op"] for r in bad_op.select("_op").distinct().limit(5).collect()]
-        if bad:
+        row = (
+            ops.groupBy(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.sum(_bad_pred.cast("int")).alias("_b"),
+            )
+            .agg(
+                F.max("_c").alias("_maxc"),
+                F.sum("_b").alias("_nbad"),
+                *[F.min(c).alias(f"_mn_{c}") for c in key_cols],
+                *[F.max(c).alias(f"_mx_{c}") for c in key_cols],
+            )
+            .first()
+        )
+        if (row["_maxc"] or 0) > 1:
+            raise ValueError("duplicate keys in change batch")
+        if (row["_nbad"] or 0) > 0:
+            bad = [
+                r["_op"]
+                for r in ops.filter(_bad_pred)
+                .select("_op")
+                .distinct()
+                .limit(5)
+                .collect()
+            ]
             raise ValueError(
                 f"invalid {op_col} values {bad!r}: expected 'upsert' or 'delete'"
             )
         keys = ops.select(*key_cols)
+        key_ranges = (
+            {}  # empty batch: nothing can match
+            if any(row[f"_mn_{c}"] is None for c in key_cols)
+            else {
+                c: (row[f"_mn_{c}"], row[f"_mx_{c}"]) for c in key_cols
+            }
+        )
         affected = self._affected_files(
             data, keys, key_cols, schema,
             mapping=_entry_mapping(head_entry),
+            key_ranges=key_ranges,
         )
         upserts = ops.filter(F.col("_op") != "delete").drop("_op")
         cols = [f.name for f in schema.fields]

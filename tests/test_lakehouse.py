@@ -1063,6 +1063,42 @@ def test_apply_changes_mixed_batch_atomic(spark, table):
         table.apply_changes(bad)
 
 
+def test_fused_preflight_edges(spark, table):
+    """r12 optimization regression: merge/apply_changes fold their
+    dup-guard, op-validity guard, and the stats-prune key ranges into
+    ONE source aggregation. Pin the edges the fusion must preserve:
+    (a) dup refusal takes precedence over bad-op refusal when a batch
+    has both; (b) an empty merge source commits cleanly and rewrites
+    nothing; (c) a source whose key column is entirely NULL behaves
+    like today's 'nothing can match' path (rows append, no rewrite)."""
+    both_bad = spark.createDataFrame(
+        [(1, "a", 0.0, "bogus"), (1, "b", 0.0, "bogus")],
+        "id long, name string, val double, _op string",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        table.apply_changes(both_bad)
+
+    v0 = table.latest_version()
+    empty = spark.createDataFrame(
+        [], "id long, name string, val double"
+    )
+    v = table.merge(empty)
+    assert v == v0 + 1
+    with open(os.path.join(table.root, "_txn", f"{v:020d}.json")) as f:
+        entry = json.load(f)
+    assert entry["remove"] == []
+    assert table.snapshot().count() == 100
+
+    null_keys = spark.createDataFrame(
+        [(None, "nk", -1.0)], "id long, name string, val double"
+    )
+    v2 = table.merge(null_keys)
+    with open(os.path.join(table.root, "_txn", f"{v2:020d}.json")) as f:
+        entry2 = json.load(f)
+    assert entry2["remove"] == []  # NULL keys match nothing
+    assert table.snapshot().filter("id is null").count() == 1
+
+
 def test_apply_changes_rejects_bad_op_values(spark, table):
     # regression (round-4 ADVICE): every change key lands in the
     # anti-join but only _op != 'delete' rows re-insert, so a NULL or
