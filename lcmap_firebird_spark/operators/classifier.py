@@ -61,14 +61,28 @@ def _labeled_buckets(
     """(doc_id, bucket, _y) per token occurrence — the one
     labeled-explode frame both the float trainer and the quantized
     trainer/scorer build on. `label` is an int-castable Column
-    (NULL-safe: NULL counts as 0, mirroring SQL CASE WHEN)."""
-    lab = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(label.cast("int"), F.lit(0)).alias("_y"),
-        F.col(text_col).alias("_text"),
+    (NULL-safe: NULL counts as 0, mirroring SQL CASE WHEN).
+
+    The label RIDES THROUGH the explode (the dsir/perplexity flag
+    discipline, r13): the previous join-back of `_y` on doc_id paid a
+    whole extra join of the exploded frame for a column that was
+    already on the row before the explode. Row-identical output."""
+    from .dedup import spread
+
+    lab = spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(label.cast("int"), F.lit(0)).alias("_y"),
+            F.col(text_col).alias("_text"),
+        ),
+        "doc_id",
     )
-    return token_buckets(lab, "doc_id", "_text", n_buckets).join(
-        lab.select("doc_id", "_y"), "doc_id"
+    return lab.select(
+        "doc_id", "_y", F.explode(tokens("_text")).alias("_t")
+    ).select(
+        "doc_id",
+        (hash60(F.col("_t")) % n_buckets).alias("bucket"),
+        "_y",
     )
 
 
@@ -174,18 +188,23 @@ def nb_quantized(
     AND scoring), same broadcast-weight scoring as `score_quality`.
     """
     # one tokenize+hash explode feeds training counts AND the score
-    # sum (two consumers → eager checkpoint; the frame is (long,
-    # long, int) — fingerprints, never text, per the PLANS.md rule)
+    # sum (the frame is (long, long, int) — fingerprints, never text,
+    # per the PLANS.md rule). LAZY checkpoints (r13 fusion, guide
+    # §1.3): the totals .first() below reads counts which reads tb,
+    # so ONE job materializes both — each frame appears exactly once
+    # in that action's DAG, so the rule-15 concurrent-first-reader
+    # hazard cannot occur; the scoring join then reads the persisted
+    # RDDs. The old eager form paid two extra persist jobs.
     tb = _labeled_buckets(
         df, label_pred, id_col, text_col, n_buckets
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     counts = (
         tb.groupBy("bucket")
         .agg(
             F.sum("_y").alias("_pos"),
             F.sum(1 - F.col("_y")).alias("_neg"),
         )
-        .localCheckpoint(eager=True)  # totals action + weight build
+        .localCheckpoint(eager=False)  # totals action + weight build
     )
     tot = counts.agg(
         F.sum("_pos").alias("tp"), F.sum("_neg").alias("tn")

@@ -498,19 +498,25 @@ def exact_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     rep = min doc_id in each content-fingerprint group. The shuffle
     key is the 60-bit fingerprint (8 bytes/doc, never the text).
 
-    NULL-text docs fingerprint to NULL; groupBy treats NULLs as one
-    group (exact_dedup's semantics), so the join back must be
-    NULL-SAFE — a bare equi-join would never match the NULL group
-    and those docs would silently vanish from the membership map
-    (and from every consumer: minhash_clusters, the corpus plan's
-    keep semi-join)."""
+    NULL-text docs fingerprint to NULL; window partitioning groups
+    NULLs as one partition (exact_dedup's NULL-group semantics), so
+    those docs keep their membership rows without any NULL-safe join
+    machinery.
+
+    Shape (r13, guide §2.4): min(doc_id) OVER (PARTITION BY fp) — one
+    exchange on fp and no join at all. The previous groupBy + join-back
+    paid the same fp shuffle PLUS a broadcast build of the reps
+    aggregate on every build (measured at sf0.1: 3 jobs → 2, warm
+    0.39 s → 0.24 s, row-identical)."""
+    from pyspark.sql import Window
+
     from .text import fingerprint
 
     fpd = df.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
-    reps = fpd.groupBy("fp").agg(F.min("doc_id").alias("rep"))
-    return fpd.join(
-        reps, fpd["fp"].eqNullSafe(reps["fp"])
-    ).select("doc_id", "rep")
+    return fpd.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("fp")).alias("rep"),
+    )
 
 
 def _rep_ladder(
@@ -635,11 +641,14 @@ def minhash_clusters(
     # the checkpoint instead of pagerank re-deriving edges AND nodes
     # from scratch (the r5-verdict floor shave: two fewer eager
     # checkpoint jobs + one fewer distinct shuffle per d7 run)
+    # LAZY checkpoint: pagerank_quantized's own n = nodes.count() is
+    # the materializing action (one job persists + counts instead of
+    # an eager-checkpoint job followed by a count job — r13 fusion)
     pr_nodes = (
         rep_pairs.select(F.col("doc_a").alias("node"))
         .unionByName(rep_pairs.select(F.col("doc_b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prq = pagerank_quantized(
         sym, n_iter=pagerank_iters, pre_distinct=True, nodes=pr_nodes
@@ -862,20 +871,22 @@ def dedup_clusters(
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         for _ in range(max_iter):
-            nbr_min = (
+            # neighbor-min fused into one aggregation (r13, guide
+            # §2.4): min(label(v), min over neighbors) is a single
+            # groupBy over (neighbor labels ∪ own labels) — the old
+            # nbr_min groupBy + left-join + least() shape cost one
+            # extra join and one extra broadcast build per round for
+            # the identical label values (key set = labels' keys
+            # either way, since every sym.src is a labeled vertex).
+            stepped = (
                 sym.join(
                     bc(labels.select(F.col("doc_id").alias("dst"), "label")),
                     "dst",
                 )
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
-                .withColumnRenamed("src", "doc_id")
-            )
-            stepped = labels.join(bc(nbr_min), "doc_id", "left").select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                .select(F.col("src").alias("doc_id"), "label")
+                .unionByName(labels)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
             )
             # pointer jump: follow one indirection so reach doubles
             jump = stepped.select(

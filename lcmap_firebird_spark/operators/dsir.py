@@ -128,20 +128,39 @@ def importance_weights(
             "exactly one of target_counts / target_pred is required"
         )
     k = float(smoothing)
+    fused_counts = None
     if target_pred is not None:
         if raw_counts is not None:
             raise ValueError("target_pred implies raw_counts=None")
+        # ONE aggregation carries both models (r13 fusion, guide §2.3
+        # partial/map-side aggregation): per bucket, the raw count is
+        # the row count and the target count is the flagged-row count
+        # — the previous two independent groupBys each ran a full
+        # aggregation pass over the corpus-sized explode (twice at
+        # build for the totals job, twice again at exec for the ratio
+        # join). Both checkpoints are LAZY: the totals .first() below
+        # reads fused_counts which reads flagged, so one job
+        # materializes both (each appears once in that DAG — no
+        # rule-15 concurrent-first-reader hazard).
         flagged = _doc_buckets(
             df, id_col, text_col, n_buckets, flag=target_pred
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         doc_bk = flagged.select("_id", "bucket")
-        raw_counts = flagged.groupBy("bucket").agg(
-            F.count("*").alias("n")
+        fused_counts = (
+            flagged.groupBy("bucket")
+            .agg(
+                F.count("*").alias("_nr"),
+                F.count(F.when(F.col("_flag"), F.lit(1))).alias("_nt"),
+            )
+            .localCheckpoint(eager=False)
         )
-        target_counts = (
-            flagged.filter(F.col("_flag"))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("n"))
+        raw_counts = fused_counts.select(
+            "bucket", F.col("_nr").alias("n")
+        )
+        # row-identical to the old filter-then-count frame: a bucket
+        # appears iff it has >= 1 flagged occurrence
+        target_counts = fused_counts.filter(F.col("_nt") > 0).select(
+            "bucket", F.col("_nt").alias("n")
         )
     else:
         doc_bk = _doc_buckets(df, id_col, text_col, n_buckets)
@@ -197,11 +216,32 @@ def importance_weights(
         ratio_expr = F.round(ratio_expr * s).cast("bigint")
         default_ratio = F.round(default_ratio * s).cast("bigint")
         zero = F.lit(0).cast("bigint")
-    ratios = (
-        _logp(target_counts, tot_t, "t")
-        .join(_logp(raw_counts, tot_r, "r"), "bucket", "full")
-        .select("bucket", ratio_expr.alias("_ratio"))
-    )
+    if fused_counts is not None:
+        # both log-probs off the ONE fused count frame — no join at
+        # all (target ⊆ raw, so the full-outer collapses to a
+        # projection: _lp_t is NULL exactly when _nt = 0, and
+        # ratio_expr's coalesce supplies the same floor the outer
+        # join's missing row did). Expressions are the byte-identical
+        # _logp shapes, so quantized ratios are unchanged.
+        ratios = fused_counts.select(
+            "bucket",
+            F.when(
+                F.col("_nt") > 0,
+                F.log(
+                    (F.col("_nt") + F.lit(k))
+                    / F.lit(tot_t + k * n_buckets)
+                ),
+            ).alias("_lp_t"),
+            F.log(
+                (F.col("_nr") + F.lit(k)) / F.lit(tot_r + k * n_buckets)
+            ).alias("_lp_r"),
+        ).select("bucket", ratio_expr.alias("_ratio"))
+    else:
+        ratios = (
+            _logp(target_counts, tot_t, "t")
+            .join(_logp(raw_counts, tot_r, "r"), "bucket", "full")
+            .select("bucket", ratio_expr.alias("_ratio"))
+        )
     doc_w = (
         doc_bk
         .join(F.broadcast(ratios), "bucket", "left")

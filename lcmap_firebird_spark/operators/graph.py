@@ -267,9 +267,27 @@ def pagerank_quantized(
         min(spark.sparkContext.defaultParallelism, n // 100_000 + 1),
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # r13 round shape (guide §1.3/§2.4): the fixed-n_iter loop has NO
+    # per-round driver action, so per-round localCheckpoint calls were
+    # pure overhead — under AQE even a LAZY checkpoint call blocks the
+    # driver while every upstream query stage materializes (toRdd →
+    # getFinalPhysicalPlan), so 6 rounds paid ~18 sequential stage
+    # jobs with a py4j round-trip between each. The rounds now chain
+    # into ONE plan executed by the closing eager checkpoint (plan
+    # depth is bounded: lineage is truncated every _CHAIN rounds for
+    # large n_iter). Each round is also one operator shorter: the
+    # (nodes ⟕ contribs) join is fused into the contribution groupBy
+    # by unioning a zero-contribution row per node — Σ is unchanged by
+    # +0 terms and integer `div` runs after the full sum, so pr_q is
+    # bit-identical (oracle-pinned) while the round drops one join and
+    # one broadcast build.
+    _CHAIN = 8
+    zero_rows = nodes.select(
+        "node", F.lit(0).cast("bigint").alias("_v")
+    )
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        for _ in range(n_iter):
+        for i in range(n_iter):
             r_side = ranks.select(F.col("node").alias("src"), "pr_q")
             if n <= BROADCAST_RANKS_MAX:
                 # same tiny-graph broadcast as the float loop: exact
@@ -277,33 +295,24 @@ def pagerank_quantized(
                 # the oracle twin is unaffected (asserted in
                 # test_graph's replica/twin parity)
                 r_side = F.broadcast(r_side)
-            contribs = (
-                ed.join(r_side, "src")
-                .groupBy("dst")
-                .agg(F.expr("sum(pr_q div deg)").alias("_s"))
+            contribs = ed.join(r_side, "src").select(
+                F.col("dst").alias("node"),
+                F.expr("pr_q div deg").alias("_v"),
             )
             ranks = (
-                nodes.join(
-                    contribs.withColumnRenamed("dst", "node"),
-                    "node",
-                    "left",
+                contribs.unionByName(zero_rows)
+                .groupBy("node")
+                .agg(
+                    F.expr(
+                        f"CAST(CAST({base} AS BIGINT)"
+                        f" + (({d} * sum(_v)) div 100) AS BIGINT)"
+                    ).alias("pr_q")
                 )
-                .select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.expr(
-                            f"({d} * coalesce(_s, CAST(0 AS BIGINT)))"
-                            " div 100"
-                        )
-                    )
-                    .cast("bigint")
-                    .alias("pr_q"),
-                )
-                .localCheckpoint(eager=False)
             )
-        # materialize the last lazy checkpoint so the restored
-        # shuffle conf can't re-plan the loop stages at consume time
+            if (i + 1) % _CHAIN == 0 and (i + 1) < n_iter:
+                ranks = ranks.localCheckpoint(eager=False)
+        # materialize the loop plan so the restored shuffle conf
+        # can't re-plan the loop stages at consume time
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

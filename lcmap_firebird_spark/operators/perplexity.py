@@ -158,6 +158,13 @@ def nll_quantized(
     # (long, long) instead of raw text, and no join ever shuffles
     # strings — the PLANS.md fingerprint rule. Measured on t3: the
     # raw-string form cost 3s extra at sf0.1.
+    # LAZY checkpoints, one materializing action (r13 fusion, guide
+    # §1.3): the vocab count below is the only driver action, and its
+    # plan reads bigrams which reads bg — so that single job
+    # materializes BOTH checkpoints (each frame appears exactly once
+    # in the count's DAG: no concurrent-first-reader race, the
+    # PLANS.md rule-15 hazard needs independent consumers). The old
+    # eager form paid two extra persist jobs for the same frames.
     bg = (
         _doc_bigrams(df, id_col, text_col, flag=target_pred)
         .select(
@@ -166,20 +173,19 @@ def nll_quantized(
             hash60(F.col("w1")).alias("w1"),
             hash60(F.col("w2")).alias("w2"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # ONE model aggregate reads the corpus-sized frame; everything
     # else derives from the vocabulary²-bounded bigram counts:
     # u(w1) = Σ_w2 b(w1, w2) exactly (unigram history counts ARE the
     # bigram row sums), and the vocabulary is the distinct key set.
-    # bigrams is eagerly checkpointed because three consumers
-    # (unigrams, vocab action, score join) would otherwise re-run its
-    # shuffle (PLANS.md rule 15).
+    # bigrams stays checkpointed (three consumers: unigrams, vocab
+    # action, score join) — materialized by the vocab count.
     bigrams = (
         bg.filter(F.col("_flag"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("b"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     unigrams = bigrams.groupBy("w1").agg(F.sum("b").alias("u"))
     vocab = (

@@ -124,18 +124,25 @@ def bm25_quantized(
         F.explode(tokens(text_col)).alias("term"),
     ).filter(F.col("term").isin(*query_terms))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # one tf frame, two consumers (df-counts + scoring) — rule 15
+    # one tf frame, two consumers (df-counts + scoring) — rule 15.
+    # Measured-and-rejected (r13): dropping this checkpoint in favor
+    # of in-plan exchange reuse does NOT work — the dfreq consumer
+    # prunes the count aggregate out of its tf subtree, so the two
+    # exchanges are canonically different and the tokenize explode
+    # runs twice at exec (plan captured: two Generate nodes).
     tf = tf.localCheckpoint(eager=True)
     dfreq = doc_frequency(tf)
 
     # per-doc length is doc-count-sized metadata (8 bytes/doc) with
-    # two consumers (stats action + scoring join) — checkpoint once
+    # two consumers (stats action + scoring join): LAZY checkpoint —
+    # the stats .first() right below is the materializing job (r13
+    # fusion; one job persists + aggregates instead of two)
     dl = df.select(
         F.col(id_col).alias("doc_id"),
         F.when(
             F.col(text_col).isNotNull(), F.size(tokens(text_col))
         ).alias("dl"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # corpus stats are a 2-value collect (the classifier-totals
     # precedent — metadata scale, avoids a 1-row nested-loop join);
     # explicit exact-int-sum / count division (NOT avg()) so the
