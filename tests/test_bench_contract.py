@@ -76,6 +76,13 @@ def test_bench_one_json_line_contract():
     # itself, so a future judge adjudicates contention without prose
     lo, hi = box["calib_ms_idle_ref"]
     assert 0 < lo < hi
+    # r13 (r12 VERDICT #1): the parallel companion calibration and
+    # its own band must ride along — the single-thread loop provably
+    # reads idle under multi-core starvation
+    for key in ("pcalib_ms_before", "pcalib_ms_after"):
+        assert box[key] is None or box[key] > 0
+    plo, phi = box["pcalib_ms_idle_ref"]
+    assert 0 < plo < phi
 
 
 def test_calib_idle_ref_band_matches_baseline_md():
@@ -105,6 +112,15 @@ def test_calib_idle_ref_band_matches_baseline_md():
         "bench.py emits"
     )
     assert "CALIB_MS_IDLE_REF" in text
+    # r13: the parallel band is pinned the same way
+    plo, phi = bench.PCALIB_MS_IDLE_REF
+    assert 0 < plo < phi
+    assert phi - plo >= 2.0 and phi / plo < 2.0
+    assert f"[{plo}, {phi}]" in text, (
+        "BASELINE.md's idle PARALLEL-calibration row must quote the "
+        "same band bench.py emits"
+    )
+    assert "PCALIB_MS_IDLE_REF" in text
     m = bench._calib_ms()
     # pure sanity: a real positive measurement from a loop that
     # terminates. 60s is ~2000x the recorded band — unreachable by
@@ -143,11 +159,15 @@ def test_calib_sanity_bound_survives_loaded_box():
         t.start()
     try:
         m = bench._calib_ms()
+        pm = bench._pcalib_ms()
     finally:
         stop.set()
         for t in threads:
             t.join(timeout=10)
     assert 0.0 < m < 60_000.0, m
+    # the parallel loop must also survive load with a sane value
+    # (band adjudication stays with the artifact, not this suite)
+    assert pm is None or 0.0 < pm < 600_000.0, pm
 
 
 def test_bench_calibration_loop_is_stable():
@@ -161,6 +181,10 @@ def test_bench_calibration_loop_is_stable():
     a, b = bench._calib_ms(), bench._calib_ms()
     assert a > 1 and b > 1  # a real loop, not optimized away
     assert max(a, b) / min(a, b) < 3.0
+
+    pa, pb = bench._pcalib_ms(), bench._pcalib_ms()
+    assert pa > 1 and pb > 1
+    assert max(pa, pb) / min(pa, pb) < 3.0
 
     la = bench._loadavg()
     assert la is not None and len(la) == 3
