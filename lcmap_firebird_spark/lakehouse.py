@@ -1688,26 +1688,29 @@ class LakeTable:
             # 1-row global agg. min/max over distinct keys equals
             # min/max over all rows, and max(count) > 1 iff a
             # duplicate exists — byte-identical semantics, one scan.
+            # internal aliases use a collision-proof __pf_ prefix
+            # (r12 ADVICE: a key column literally named _c/_maxc made
+            # the old aliases ambiguous at plan time)
             row = (
                 keys.groupBy(*key_cols)
-                .agg(F.count(F.lit(1)).alias("_c"))
+                .agg(F.count(F.lit(1)).alias("__pf_c"))
                 .agg(
-                    F.max("_c").alias("_maxc"),
-                    *[F.min(c).alias(f"_mn_{c}") for c in key_cols],
-                    *[F.max(c).alias(f"_mx_{c}") for c in key_cols],
+                    F.max("__pf_c").alias("__pf_maxc"),
+                    *[F.min(c).alias(f"__pf_mn_{c}") for c in key_cols],
+                    *[F.max(c).alias(f"__pf_mx_{c}") for c in key_cols],
                 )
                 .first()
             )
-            if (row["_maxc"] or 0) > 1:
+            if (row["__pf_maxc"] or 0) > 1:
                 raise ValueError(
                     "duplicate keys in merge source; pass "
                     "dedupe_source=True to keep an arbitrary one"
                 )
             key_ranges = (
                 {}  # empty source: nothing can match
-                if any(row[f"_mn_{c}"] is None for c in key_cols)
+                if any(row[f"__pf_mn_{c}"] is None for c in key_cols)
                 else {
-                    c: (row[f"_mn_{c}"], row[f"_mx_{c}"])
+                    c: (row[f"__pf_mn_{c}"], row[f"__pf_mx_{c}"])
                     for c in key_cols
                 }
             )
@@ -3132,23 +3135,25 @@ class LakeTable:
         _bad_pred = F.col("_op").isNull() | ~F.col("_op").isin(
             "upsert", "delete"
         )
+        # __pf_ prefix: collision-proof vs user key-column names
+        # (r12 ADVICE — same rationale as merge's pre-flight agg)
         row = (
             ops.groupBy(*key_cols)
             .agg(
-                F.count(F.lit(1)).alias("_c"),
-                F.sum(_bad_pred.cast("int")).alias("_b"),
+                F.count(F.lit(1)).alias("__pf_c"),
+                F.sum(_bad_pred.cast("int")).alias("__pf_b"),
             )
             .agg(
-                F.max("_c").alias("_maxc"),
-                F.sum("_b").alias("_nbad"),
-                *[F.min(c).alias(f"_mn_{c}") for c in key_cols],
-                *[F.max(c).alias(f"_mx_{c}") for c in key_cols],
+                F.max("__pf_c").alias("__pf_maxc"),
+                F.sum("__pf_b").alias("__pf_nbad"),
+                *[F.min(c).alias(f"__pf_mn_{c}") for c in key_cols],
+                *[F.max(c).alias(f"__pf_mx_{c}") for c in key_cols],
             )
             .first()
         )
-        if (row["_maxc"] or 0) > 1:
+        if (row["__pf_maxc"] or 0) > 1:
             raise ValueError("duplicate keys in change batch")
-        if (row["_nbad"] or 0) > 0:
+        if (row["__pf_nbad"] or 0) > 0:
             bad = [
                 r["_op"]
                 for r in ops.filter(_bad_pred)
@@ -3163,9 +3168,10 @@ class LakeTable:
         keys = ops.select(*key_cols)
         key_ranges = (
             {}  # empty batch: nothing can match
-            if any(row[f"_mn_{c}"] is None for c in key_cols)
+            if any(row[f"__pf_mn_{c}"] is None for c in key_cols)
             else {
-                c: (row[f"_mn_{c}"], row[f"_mx_{c}"]) for c in key_cols
+                c: (row[f"__pf_mn_{c}"], row[f"__pf_mx_{c}"])
+                for c in key_cols
             }
         )
         affected = self._affected_files(

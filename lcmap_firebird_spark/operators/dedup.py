@@ -286,7 +286,10 @@ def minhash_signature(
     # byte-for-byte unchanged
     aggs = []
     for p in range(num_perm):
-        a, b = perm_params(p)
+        # int() coercion (r12 ADVICE): the values are interpolated
+        # into SQL text — a non-int return would inject malformed SQL
+        # instead of failing type-safely as the Column API did
+        a, b = (int(v) for v in perm_params(p))
         aggs.append(
             F.expr(
                 f"min((CAST({a} AS BIGINT) * _h32 + {b})"
@@ -959,7 +962,7 @@ def simhash(
     ]
     per_bit = tok.groupBy("doc_id").agg(*aggs)
     value_sql = " + ".join(
-        [f"CAST(0 AS BIGINT)"]
+        ["CAST(0 AS BIGINT)"]
         + [
             f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT)"
             f" ELSE CAST(0 AS BIGINT) END"

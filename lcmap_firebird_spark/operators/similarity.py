@@ -250,8 +250,10 @@ def lsh_buckets(
     # unchanged
     terms = ["CAST(0 AS BIGINT)"]
     for j in range(num_planes):
+        # int() coercion (r12 ADVICE): interpolated into SQL text — a
+        # non-int return must not inject malformed SQL
         comps = ", ".join(
-            f"CAST({_plane_component(j, i, table)} AS BIGINT)"
+            f"CAST({int(_plane_component(j, i, table))} AS BIGINT)"
             for i in range(dim)
         )
         proj = (
