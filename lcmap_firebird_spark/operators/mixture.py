@@ -194,9 +194,13 @@ def compose_mixture(
     # THREE consumers read this frame (domain token counts, the
     # remainder-threshold aggregate, the selection filter) — an
     # un-materialized version re-ran the tokenize+md5 scan per
-    # consumer (the dsir.py pathology, PLANS.md rule 15)
+    # consumer (the dsir.py pathology, PLANS.md rule 15). LAZY
+    # checkpoint (r13 fusion): the counts .collect() right below is
+    # the materializing job — bucketed appears exactly once in that
+    # action's DAG, so there is no concurrent-first-reader race, and
+    # the later threshold/selection consumers read the persisted RDD.
     bucketed = _bucketed(df, domain_col, key_col, text_col, salt)
-    bucketed = bucketed.localCheckpoint(eager=True)
+    bucketed = bucketed.localCheckpoint(eager=False)
 
     counts = {
         r["domain"]: int(r["n_tokens"] or 0)

@@ -372,3 +372,30 @@ def test_tune_bands_rows_composes_with_pipeline(spark):
     assert all(a != 3 and bb != 3 for a, bb in got)  # 3 pairs with no one
     for p in pairs.collect():
         assert p["jaccard"] >= 0.5  # verification bound holds
+
+
+def test_dedup_clusters_converges_on_long_chains(spark):
+    """Worst-case CC topology for min-label propagation: a PATH graph
+    needs many rounds (the clique-shaped near-dup components converge
+    in one confirmation round, so only this pins multi-round
+    behavior). The r13 fused round (neighbor-min as one union
+    aggregation + pointer jump) must still converge within the
+    default max_iter via label-reach doubling and produce component
+    minima — two chains and one isolated vertex, checked exactly."""
+    edges = [(i, i + 1) for i in range(63)]          # chain 0..63
+    edges += [(i, i + 1) for i in range(100, 131)]   # chain 100..131
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    all_ids = spark.createDataFrame(
+        [(i,) for i in range(64)]
+        + [(i,) for i in range(100, 132)]
+        + [(999,)],
+        ["doc_id"],
+    )
+    out = D.dedup_clusters(pairs, all_ids=all_ids).collect()
+    got = {r.doc_id: (r.cluster_id, r.is_keeper) for r in out}
+    assert len(got) == 64 + 32 + 1
+    for i in range(64):
+        assert got[i] == (0, i == 0)
+    for i in range(100, 132):
+        assert got[i] == (100, i == 100)
+    assert got[999] == (999, True)
