@@ -67,3 +67,30 @@ def fuzz_seeds(default, base=8200):
     if n:
         return list(range(base, base + n))
     return default
+
+
+def slow_enabled() -> bool:
+    """SPARK_GRAFT_SLOW=1 opts into the soak/sweep/fuzz suites."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SLOW", "").strip().lower() in (
+        "1",
+        "true",
+        "yes",
+        "on",
+    )
+
+
+def skip_unless_slow(reason: str) -> None:
+    """Module-level gate for soak/sweep/fuzz suites (r12 VERDICT #2:
+    the 41-minute default run outgrew the driver's verify window —
+    the default `pytest tests/ -q` run must keep full FUNCTIONAL
+    coverage and finish inside it; the gated suites re-run locally
+    with SPARK_GRAFT_SLOW=1 before query-changing commits)."""
+    import pytest
+
+    if not slow_enabled():
+        pytest.skip(
+            f"slow suite: {reason} — set SPARK_GRAFT_SLOW=1 to run",
+            allow_module_level=True,
+        )

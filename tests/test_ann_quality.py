@@ -24,6 +24,10 @@ from lcmap_firebird_spark.operators.similarity import (
     knn_lsh,
 )
 
+from .helpers import skip_unless_slow
+
+skip_unless_slow("ANN recall sweeps (~25 s)")
+
 K = 5
 
 

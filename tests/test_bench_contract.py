@@ -19,6 +19,17 @@ import sys
 import threading
 import warnings
 
+import pytest
+
+
+def _slow_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_SLOW", "").strip().lower() in (
+        "1",
+        "true",
+        "yes",
+        "on",
+    )
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
@@ -134,15 +145,27 @@ def test_calib_idle_ref_band_matches_baseline_md():
         )
 
 
-def test_calib_sanity_bound_survives_loaded_box():
+@pytest.mark.skipif(
+    not _slow_enabled(),
+    reason="deliberate-load survival soak (~45 s) — SPARK_GRAFT_SLOW=1",
+)
+def test_calib_sanity_bound_survives_loaded_box(monkeypatch):
     """The suite's only wall-clock-sensitive assert must not flake
     under deliberate load (r11 VERDICT #4 done-criterion: 'test
     passes under a deliberately loaded box'). GIL-contending spinner
     threads are the worst case for a single-thread pure-Python
     calibration loop — under ~48 of them the old hi*20 ceiling is
-    routinely exceeded; the sanity bound is not."""
+    routinely exceeded; the sanity bound is not.
+
+    The parallel loop runs with a reduced iteration count here: 48
+    GIL-hogging spinners starve 32 md5 threads of their brief GIL
+    re-acquisitions, so full-size pcalib under this worst case costs
+    ~70 s of pure wall for a survival (not band) assertion — the
+    loop's structure under load is what's certified."""
     sys.path.insert(0, REPO)
     import bench
+
+    monkeypatch.setattr(bench, "_PCALIB_ITERS", 4)
 
     stop = threading.Event()
 

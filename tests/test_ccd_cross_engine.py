@@ -21,6 +21,10 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from .helpers import slow_enabled, skip_unless_slow
+
+skip_unless_slow("u5 synthetic-corpus oracle sweep (~130 s; u5 parity stays via test_oracle_parity and test_pyccd)")
+
 from lcmap_firebird_spark.queries.timeseries import ORACLES, u5_ccd_segments
 
 
@@ -64,7 +68,11 @@ def _synth_events(seed: int) -> pd.DataFrame:
     return df
 
 
-@pytest.mark.parametrize("seed", [7, 23, 101, 1969])
+# seed 7 stays in the default run (functional coverage); the
+# 3-seed sweep is slow-gated (r12 VERDICT #2)
+@pytest.mark.parametrize(
+    "seed", [7] + ([23, 101, 1969] if slow_enabled() else [])
+)
 def test_u5_oracle_bit_exact_on_synthetic_corpora(spark, tmp_path, seed):
     pdf = _synth_events(seed)
     sf_dir = str(tmp_path / f"sf_synth_{seed}")

@@ -17,7 +17,9 @@ from collections import Counter
 
 import pytest
 
-from .helpers import fuzz_seeds
+from .helpers import fuzz_seeds, slow_enabled, skip_unless_slow
+
+skip_unless_slow("CDF random-op replay-closure fuzz (~80 s; functional CDF coverage stays in test_lakehouse/test_identity/test_clone)")
 
 from lcmap_firebird_spark.lakehouse import LakeTable
 
@@ -43,7 +45,10 @@ def _apply(base: Counter, changes) -> Counter:
     return out
 
 
-@pytest.mark.parametrize("seed", fuzz_seeds([5, 17], base=8300))
+@pytest.mark.parametrize(
+    "seed",
+    fuzz_seeds([5, 17] if slow_enabled() else [5], base=8300),
+)
 def test_table_changes_replay_closure(spark, tmp_path, seed):
     rng = random.Random(seed)
     root = str(tmp_path / f"cdf{seed}")

@@ -9,6 +9,10 @@ from hypothesis import strategies as st
 
 from lcmap_firebird_spark.operators import dedup as D
 
+from .helpers import skip_unless_slow
+
+skip_unless_slow("dedup property sweeps (~35 s)")
+
 _slow = settings(
     max_examples=8,
     deadline=None,

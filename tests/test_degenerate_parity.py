@@ -19,6 +19,10 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+
+from .helpers import skip_unless_slow
+
+skip_unless_slow("degenerate-corpus parity sweep (~45 s; operator unit tests keep the edge coverage default)")
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod

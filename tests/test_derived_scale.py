@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from lcmap_firebird_spark.operators import dedup as D
 from lcmap_firebird_spark.operators import similarity as S
 
+from .helpers import skip_unless_slow
+
+skip_unless_slow("derived-parameter scale sweeps (~35 s)")
+
 N_DOCS = 50_000
 N_VECS = 20_000
 DIM = 16

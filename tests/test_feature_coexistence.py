@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 from lcmap_firebird_spark.lakehouse import ConstraintViolation, LakeTable
 from tests.test_lakehouse_combined_mix import _closure_check
 
+from .helpers import skip_unless_slow
+
+skip_unless_slow("all-features coexistence soak (~50 s)")
+
 SCHEMA = "id long, day long, name string, val double"
 
 

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from lcmap_firebird_spark.operators.graph import pagerank, rank_quality_gate
 
+from .helpers import slow_enabled
+
 EDGES = [
     (1, 2),
     (1, 3),
@@ -56,6 +58,11 @@ def test_matches_pure_python_power_iteration(spark, edges_df):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+@pytest.mark.skipif(
+    not slow_enabled(),
+    reason="rank-structure sweep — subsumed by the pure-python parity "
+    "test; SPARK_GRAFT_SLOW=1",
+)
 def test_structure_sane(spark, edges_df):
     got = {
         r["node"]: r["rank"] for r in pagerank(edges_df).collect()

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from .helpers import fuzz_seeds
+from .helpers import fuzz_seeds, slow_enabled
 from pyspark.sql import functions as F
 
 from lcmap_firebird_spark.catalog import read_table
@@ -111,7 +111,10 @@ def test_fp_exact_pairs_for_short_docs(spark):
     assert got == [(1, 3, 1.0)]
 
 
-@pytest.mark.parametrize("seed", fuzz_seeds([11, 47], base=8400))
+@pytest.mark.parametrize(
+    "seed",
+    fuzz_seeds([11, 47] if slow_enabled() else [11], base=8400),
+)
 def test_incremental_equals_batch_random_splits(spark, docs, seed):
     """Fuzzed form of the invariant: ANY random partition of the
     corpus into 2-5 arrival batches, folded through the signature

@@ -21,6 +21,10 @@ from lcmap_firebird_spark.lakehouse import LakeTable
 
 from .helpers import fuzz_seeds
 
+from .helpers import skip_unless_slow
+
+skip_unless_slow("CDF exactly-once fuzz under random restarts (~200 s)")
+
 SCHEMA = "id long, name string, val double"
 
 

@@ -32,6 +32,10 @@ import pytest
 
 from lcmap_firebird_spark.lakehouse import LakeTable
 
+from .helpers import skip_unless_slow
+
+skip_unless_slow("combined-feature fuzz mix (~260 s)")
+
 
 def _replay(base: Counter, change_rows) -> Counter:
     out = Counter(base)

@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from lcmap_firebird_spark.operators import mixture as MIX
+
+from .helpers import slow_enabled
 from lcmap_firebird_spark.operators.text import token_count
 
 
@@ -167,6 +169,9 @@ _corpus_strategy = st.lists(
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@pytest.mark.skipif(
+    not slow_enabled(), reason="hypothesis sweep — SPARK_GRAFT_SLOW=1"
 )
 @given(corpus=_corpus_strategy, budget=st.integers(1, 500))
 def test_budget_sample_properties(spark, corpus, budget):

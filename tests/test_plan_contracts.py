@@ -228,32 +228,39 @@ _BNLJ_OK = {
 }
 
 
-def _registry_plans(spark, sf_dir):
+@pytest.fixture(scope="module")
+def registry_plans(spark, sf_dir):
+    """All non-streaming registry plans, built ONCE per module — each
+    build runs the operators' checkpoint jobs, so the three sweep
+    tests sharing one build cut ~2/3 of this file's wall time (r13,
+    the driver-verify-window work)."""
     from lcmap_firebird_spark.queries import merged
 
     queries, _ = merged()
+    plans = {}
     for name, fn in sorted(queries.items()):
         if name.startswith("st"):
             # streaming entries execute a stream and return a memory
             # sink scan — their stateful plans are asserted in
             # tests/test_streaming.py, not here
             continue
-        yield name, plan_of(fn(spark, sf_dir))
+        plans[name] = plan_of(fn(spark, sf_dir))
+    return plans
 
 
-def test_registry_no_cartesian_products(spark, sf_dir):
+def test_registry_no_cartesian_products(registry_plans):
     bad = [
         name
-        for name, plan in _registry_plans(spark, sf_dir)
+        for name, plan in registry_plans.items()
         if "CartesianProduct" in plan
     ]
     assert not bad, f"cartesian product in: {bad}"
 
 
-def test_registry_python_nodes_only_where_declared(spark, sf_dir):
+def test_registry_python_nodes_only_where_declared(registry_plans):
     bad = [
         name
-        for name, plan in _registry_plans(spark, sf_dir)
+        for name, plan in registry_plans.items()
         if name not in _PYTHON_OK
         and ("EvalPython" in plan or "InPandas" in plan.replace("MapInPandas", "X")
              or "ArrowEval" in plan or "MapInPandas" in plan)
@@ -261,10 +268,10 @@ def test_registry_python_nodes_only_where_declared(spark, sf_dir):
     assert not bad, f"undeclared Python evaluation in: {bad}"
 
 
-def test_registry_nested_loop_joins_only_where_bounded(spark, sf_dir):
+def test_registry_nested_loop_joins_only_where_bounded(registry_plans):
     bad = [
         name
-        for name, plan in _registry_plans(spark, sf_dir)
+        for name, plan in registry_plans.items()
         if name not in _BNLJ_OK and "BroadcastNestedLoopJoin" in plan
     ]
     assert not bad, f"unbounded nested-loop join in: {bad}"

@@ -14,6 +14,10 @@ from __future__ import annotations
 import math
 import random
 
+from .helpers import skip_unless_slow
+
+skip_unless_slow("randomized quantized-parity sweep (~30 s; the pinned-corpus parity stays default)")
+
 import duckdb
 import numpy as np
 import pandas as pd
