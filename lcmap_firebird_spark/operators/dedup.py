@@ -871,8 +871,17 @@ def dedup_clusters(
 
     tiny = (n_vertices or 0) <= BROADCAST_RANKS_MAX
     bc = F.broadcast if tiny else (lambda df: df)
+    # Tiny-graph path additionally scopes AQE OFF for the loop (r13,
+    # same rationale and gate as pagerank_quantized): with explicit
+    # broadcasts and a pinned shuffle width, AQE's per-stage
+    # materialization only adds blocking driver jobs per round. Gated
+    # on graph size, not core count; restored in the finally.
+    _AQE = "spark.sql.adaptive.enabled"
+    prev_aqe = spark.conf.get(_AQE)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        if tiny:
+            spark.conf.set(_AQE, "false")
         for _ in range(max_iter):
             # neighbor-min fused into one aggregation (r13, guide
             # §2.4): min(label(v), min over neighbors) is a single
@@ -906,8 +915,12 @@ def dedup_clusters(
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
+        # materialize the last round under the loop confs — the
+        # checksum already did (labels is the checksum's own frame),
+        # so the restored confs cannot re-plan loop stages
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(_AQE, prev_aqe)
     if all_ids is not None:
         singles = (
             all_ids.select("doc_id")

@@ -285,8 +285,22 @@ def pagerank_quantized(
     zero_rows = nodes.select(
         "node", F.lit(0).cast("bigint").alias("_v")
     )
+    # Tiny-graph path: AQE has nothing left to decide inside the loop
+    # (joins are explicitly broadcast, shuffle width is pinned, keys
+    # are uniform vertex ids), but its per-stage materialization
+    # turns the chained plan into one blocking driver job per
+    # exchange — measured r13 on d7: jobs 50 → 36 at equal-or-better
+    # wall time with AQE scoped off here. Above the gate (the 100 TB
+    # shape) AQE stays on: skew/coalesce decisions on a billion-edge
+    # shuffle are worth the driver overhead. Gated on GRAPH SIZE, not
+    # core count, so the driver's low-core scaling runs see the same
+    # plan.
+    _AQE = "spark.sql.adaptive.enabled"
+    prev_aqe = spark.conf.get(_AQE)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        if n <= BROADCAST_RANKS_MAX:
+            spark.conf.set(_AQE, "false")
         for i in range(n_iter):
             r_side = ranks.select(F.col("node").alias("src"), "pr_q")
             if n <= BROADCAST_RANKS_MAX:
@@ -316,6 +330,7 @@ def pagerank_quantized(
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(_AQE, prev_aqe)
     return ranks
 
 
